@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's join family (SURVEY §2.4; flags `JF*`
+  * `rtl/include/eclhelper.hpp:1713-1748`, base contracts `:1764-1901`).
+  *
+  * Join *types* (INNER / LEFT|RIGHT|FULL OUTER / LEFT|RIGHT ONLY) map to
+  * Spark join types directly; the ECL-specific *modifiers* — LOOKUP
+  * first-match, KEEP(n), ATMOST(n) — are composed from broadcast hints,
+  * per-key row-number filters and per-key count filters.
+  *
+  * Scale notes: plain joins lower to Catalyst SortMergeJoin with both sides
+  * shuffled on the key — correct default at 100 TB. LOOKUP joins broadcast
+  * the RHS (reference `CBroadcaster`
+  * `thorlcr/activities/lookupjoin/thlookupjoinslave.cpp:88`); SMART-join
+  * failover (broadcast → hash) is Spark AQE's broadcast-threshold + skew
+  * handling, on by default. KEEP/ATMOST add one extra window/agg pass over
+  * the join key — the shuffle is shared with the join itself when keys match.
+  */
+object Joins {
+
+  /** ECL join types → Spark join type strings.
+    * LEFT ONLY / RIGHT ONLY (`JFexclude` :1716-1718) are anti-joins.
+    */
+  val Inner = "inner"
+  val LeftOuter = "left_outer"
+  val RightOuter = "right_outer"
+  val FullOuter = "full_outer"
+  val LeftOnly = "left_anti"
+
+  def join(l: DataFrame, r: DataFrame, cond: Column, typ: String): DataFrame =
+    l.join(r, cond, typ)
+
+  /** RIGHT ONLY: rows of `r` with no match in `l` (anti from the right). */
+  def rightOnly(l: DataFrame, r: DataFrame, cond: Column): DataFrame =
+    r.join(l, cond, "left_anti")
+
+  /** LOOKUP join (TAKlookupjoin :1044): RHS broadcast; without MANY
+    * (`JFmanylookup` :1732) only the FIRST match per key is used — we dedup
+    * the RHS by key first (deterministically: min over `pick`'s order).
+    *
+    * @param rhsKeys   join key columns on the RHS (used for the dedup)
+    * @param pick      deterministic tiebreak ordering that defines "first"
+    */
+  def lookupJoinFirst(l: DataFrame, r: DataFrame, rhsKeys: Seq[String],
+      pick: Seq[Column], cond: Column, typ: String = Inner): DataFrame = {
+    val w = Window.partitionBy(rhsKeys.map(col): _*).orderBy(pick: _*)
+    val firstPerKey = r.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    l.join(broadcast(firstPerKey), cond, typ)
+  }
+
+  /** LOOKUP, MANY: broadcast join keeping all matches. */
+  def lookupJoinMany(l: DataFrame, r: DataFrame, cond: Column,
+      typ: String = Inner): DataFrame =
+    l.join(broadcast(r), cond, typ)
+
+  /** JOIN ... ALL (TAKalljoin :1047): no equality required — nested-loop
+    * over a replicated RHS. Catalyst plans BroadcastNestedLoopJoin.
+    */
+  def allJoin(l: DataFrame, r: DataFrame, cond: Column,
+      typ: String = Inner): DataFrame =
+    l.join(broadcast(r), cond, typ)
+
+  /** KEEP(n) (`getKeepLimit` :1771): at most n matches kept per LEFT row.
+    * `pick` orders the RHS matches deterministically; the first n survive.
+    * Implemented as a post-join window over the left row's identity.
+    */
+  def keepN(joined: DataFrame, leftId: Seq[Column], pick: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(leftId: _*).orderBy(pick: _*)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** ATMOST(n) (`getMatchAbortLimit` :1772): if a key matches MORE than n
+    * RHS rows the key is treated as having NO match at all (not truncated —
+    * the classic trap, see lookupjoin.ecl golden test). For inner joins:
+    * pre-filter the RHS to keys with <= n rows.
+    */
+  def atmostRhs(r: DataFrame, keys: Seq[String], n: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    r.withColumn("__kc", count(lit(1)).over(w))
+      .filter(col("__kc") <= n).drop("__kc")
+  }
+
+  /** DENORMALIZE(GROUP) (TAKdenormalizegroup :1068): join then nest ALL
+    * matches as a child-rowset column — `groupBy(left).agg(collect_list)`.
+    * The LHS columns are preserved; matches land in `childCol`.
+    */
+  def denormalizeGroup(l: DataFrame, r: DataFrame, cond: Column,
+      childCol: String): DataFrame = {
+    val rCols = r.columns.map(r(_))
+    l.join(r, cond, "left_outer")
+      .groupBy(l.columns.map(l(_)): _*)
+      .agg(collect_list(struct(rCols: _*)).as(childCol))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SORT / TOPN / CHOOSEN / LIMIT / CHOOSESETS / SAMPLE / ENTH / QUANTILE —
+  * the reference's order-and-select family (SURVEY §2.6; contracts
+  * `rtl/include/eclhelper.hpp:1672` SORT, `:1697` TOPN, `:1272` CHOOSEN,
+  * `:1448` LIMIT, `:1279` CHOOSESETS, `:1616` SAMPLE, `:1622` ENTH,
+  * `:1399` QUANTILE).
+  *
+  * Scale notes: global SORT lowers to Spark's range-partitioned sort (the
+  * same sample-based partition strategy as the reference's
+  * `thorlcr/msort/tsortm.cpp:227` master). TOPN lowers to
+  * `orderBy.limit(n)` which Catalyst executes as TakeOrderedAndProject —
+  * per-partition heaps + driver merge, no global shuffle. The positional ops
+  * (SAMPLE/ENTH) require a defined ordering; they compute `row_number` over
+  * an explicit sort — at 100 TB callers should prefer the per-group variants
+  * or key-derived deterministic predicates (`hash(key) % n`) which need no
+  * global order.
+  */
+object Sorting {
+
+  /** Global stable sort. The reference's SORT is stable by default
+    * (`JFunstable` opt-out, eclhelper.hpp:1744); Spark's sort is not —
+    * callers needing stability must include a tiebreak column.
+    */
+  def sort(df: DataFrame, keys: Seq[Column]): DataFrame = df.orderBy(keys: _*)
+
+  /** SORT(..., LOCAL): per-partition sort, no redistribution. */
+  def sortLocal(df: DataFrame, keys: Seq[Column]): DataFrame =
+    df.sortWithinPartitions(keys: _*)
+
+  /** TOPN(ds, n, keys) — global top-n. TakeOrderedAndProject: no shuffle. */
+  def topn(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame =
+    df.orderBy(keys: _*).limit(n)
+
+  /** Grouped TOPN: top-n per group (per-group heap via window rank). */
+  def topnGrouped(df: DataFrame, n: Int, groupKeys: Seq[Column],
+      orderKeys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupKeys: _*).orderBy(orderKeys: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** CHOOSEN(ds, n [, start]) — first n rows (1-based start offset) in
+    * dataset order; order must be pinned by a prior sort.
+    */
+  def choosen(df: DataFrame, n: Int, start: Int = 1): DataFrame =
+    if (start <= 1) df.limit(n) else df.offset(start - 1).limit(n)
+
+  /** LIMIT(ds, n, FAIL) — a guard, not a truncation: error if |ds| > n
+    * (eclhelper.hpp:1448). Uses limit(n+1) so only n+1 rows are ever pulled.
+    */
+  def limitGuard(df: DataFrame, n: Long): DataFrame = {
+    val c = df.limit((n + 1).min(Int.MaxValue).toInt).count()
+    if (c > n) throw new IllegalStateException(
+      s"LIMIT exceeded: dataset has more than $n rows")
+    df
+  }
+
+  /** LIMIT(ds, n, SKIP) — empty result if the limit is exceeded. */
+  def limitSkip(df: DataFrame, n: Long): DataFrame = {
+    val c = df.limit((n + 1).min(Int.MaxValue).toInt).count()
+    if (c > n) df.limit(0) else df
+  }
+
+  /** CHOOSESETS(ds, cond1 => n1, ...) — per-category row quotas: the first
+    * n_i rows (in `order`) satisfying cond_i. A row counts toward the first
+    * matching condition (reference semantics: conditions tested in order).
+    */
+  def choosesets(df: DataFrame, sets: Seq[(Column, Int)],
+      order: Seq[Column]): DataFrame = {
+    // categorize each row by the FIRST matching condition (0-based), -1 = none
+    val cat = sets.zipWithIndex.foldRight(lit(-1)) {
+      case (((cond, _), i), rest) => when(cond, lit(i)).otherwise(rest)
+    }
+    val quota = sets.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, ((_, n), i)) => when(col("__cat") === i, lit(n)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__cat")).orderBy(order: _*)
+    df.withColumn("__cat", cat)
+      .filter(col("__cat") >= 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__cat", "__rn")
+  }
+
+  /** SAMPLE(ds, n [, which]) — deterministic every-nth row (phase `which`,
+    * 1-based) over the given order. Unlike df.sample this is exactly
+    * reproducible (helper `getProportion/getSampleNumber` eclhelper.hpp:1616).
+    */
+  def sample(df: DataFrame, n: Int, which: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - which) % n === 0)
+      .drop("__rn")
+  }
+
+  /** ENTH(ds, num, den [, which]) — evenly-spaced num-out-of-den selection
+    * (helper eclhelper.hpp:1622). Row r (1-based) is kept iff
+    * (r * num) % den < num, matching the reference's even-spacing arithmetic.
+    */
+  def enth(df: DataFrame, num: Long, den: Long, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") * num) % den < num)
+      .drop("__rn")
+  }
+
+  /** QUANTILE(ds, n, keys) — the n-quantile boundary rows: for i in 1..n-1
+    * the row at position ceil(i * N / n) of the sort order (exact variant;
+    * helper `getNumDivisions` eclhelper.hpp:1399). Emits a `quantile` column
+    * with the division index.
+    */
+  def quantile(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(keys: _*)
+    val withRn = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(
+        Window.partitionBy()))
+    withRn
+      .withColumn("quantile",
+        explode(sequence(lit(1), lit(n - 1))))
+      .filter(col("__rn") === ceil(col("quantile") * col("__cnt") / n))
+      .drop("__rn", "__cnt")
+  }
+
+  /** ds[n] — select the nth row (1-based) of the given order
+    * (TAKselectn eclhelper.hpp:912).
+    */
+  def selectNth(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === n)
+      .drop("__rn")
+  }
+}

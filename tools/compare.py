@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+sf tables and compare (columns sorted by name, rows sorted, exact values).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(oracle):
+    res_dir = f"{out}/{name}"
+    if not os.path.isdir(res_dir):
+        print(f"FAIL {name}: no spark result dir"); fails += 1; continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1; continue
+    got = got.reindex(sorted(got.columns), axis=1)
+    exp = exp.reindex(sorted(exp.columns), axis=1)
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+        fails += 1; continue
+    if got.dtypes.tolist() != exp.dtypes.tolist():
+        print(f"WARN {name}: dtypes {got.dtypes.tolist()} != {exp.dtypes.tolist()}")
+    def norm(df):
+        rows = []
+        for r in df.itertuples(index=False):
+            rows.append(tuple(
+                repr(v) if not isinstance(v, float)
+                else ("nan" if math.isnan(v) else repr(v)) for v in r))
+        return sorted(rows)
+    g, e = norm(got), norm(exp)
+    if len(g) != len(e):
+        print(f"FAIL {name}: rowcount {len(g)} != {len(e)}"); fails += 1; continue
+    if g != e:
+        bad = sum(1 for a, b in zip(g, e) if a != b)
+        print(f"FAIL {name}: {bad}/{len(g)} rows differ")
+        for a, b in list(zip(g, e))[:200]:
+            if a != b:
+                print(f"  got {a}\n  exp {b}"); break
+        fails += 1; continue
+    print(f"PASS {name} ({len(g)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries pass")
+sys.exit(1 if fails else 0)
