@@ -12,7 +12,10 @@ object SparkEntry {
 
   /** All registered query definitions, grouped by module. */
   def allDefs: Seq[QueryDef] =
-    graft.queries.CoreQueries.defs
+    graft.queries.CoreQueries.defs ++
+    graft.queries.JoinQueries.defs ++
+    graft.queries.OrderedQueries.defs ++
+    graft.queries.ShapeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

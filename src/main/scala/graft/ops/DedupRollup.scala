@@ -72,12 +72,13 @@ object DedupRollup {
 
   /** ROLLUP(ds, cond, t(L,R)) where the transform is an associative fold
     * (the overwhelmingly common case): group by run id and aggregate
-    * (helper :1520). `aggs` produce the folded columns.
+    * (helper :1520). `keys` are constant within a run and are preserved in
+    * the output; `aggs` produce the folded columns.
     */
   def rollupRuns(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       aggs: Seq[Column]): DataFrame =
     runIds(df, keys, order, "__run")
-      .groupBy(col("__run"))
+      .groupBy(col("__run") +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .drop("__run")
 
@@ -91,18 +92,28 @@ object DedupRollup {
     * prefer [[runningAgg]] — it stays in whole-stage codegen.
     */
   def iterateGroups(df: DataFrame, groupKeys: Seq[String], order: Seq[Column],
+      outSchema: org.apache.spark.sql.types.StructType)(
       fold: (Option[Row], Row) => Row): DataFrame = {
     val schema = df.schema
     val keyIdx = groupKeys.map(schema.fieldIndex)
+    // Secondary sort: one shuffle co-locates each group, then a partition-
+    // local sort makes groups contiguous AND ordered. A groupByKey here
+    // would re-shuffle and destroy the order — mapPartitions with group-
+    // boundary detection is the order-preserving (and cheaper) lowering.
     val sorted = df.repartition(groupKeys.map(col): _*)
       .sortWithinPartitions((groupKeys.map(col) ++ order): _*)
-    implicit val rowEnc = Encoders.row(schema)
-    implicit val keyEnc = Encoders.kryo[Seq[Any]]
-    sorted.groupByKey(r => keyIdx.map(r.get))
-      .flatMapGroups { (_, rows) =>
-        var prev: Option[Row] = None
-        rows.map { r => val out = fold(prev, r); prev = Some(out); out }
-      }(rowEnc)
+    implicit val rowEnc = Encoders.row(outSchema)
+    sorted.mapPartitions { rows =>
+      var prevKey: Seq[Any] = null
+      var prev: Option[Row] = None
+      rows.map { r =>
+        val k = keyIdx.map(r.get)
+        if (k != prevKey) { prev = None; prevKey = k }
+        val out = fold(prev, r)
+        prev = Some(out)
+        out
+      }
+    }(rowEnc)
   }
 
   /** Running aggregate over order within groups — the codegen-friendly

@@ -89,13 +89,15 @@ object Joins {
 
   /** DENORMALIZE(GROUP) (TAKdenormalizegroup :1068): join then nest ALL
     * matches as a child-rowset column — `groupBy(left).agg(collect_list)`.
-    * The LHS columns are preserved; matches land in `childCol`.
+    * The LHS columns are preserved; matches land in `childCol`. Left rows
+    * with no match get an EMPTY child rowset (collect_list skips the nulls
+    * produced by the outer join — `rhsKey` marks a real match).
     */
   def denormalizeGroup(l: DataFrame, r: DataFrame, cond: Column,
-      childCol: String): DataFrame = {
+      childCol: String, rhsKey: Column): DataFrame = {
     val rCols = r.columns.map(r(_))
     l.join(r, cond, "left_outer")
       .groupBy(l.columns.map(l(_)): _*)
-      .agg(collect_list(struct(rCols: _*)).as(childCol))
+      .agg(collect_list(when(rhsKey.isNotNull, struct(rCols: _*))).as(childCol))
   }
 }

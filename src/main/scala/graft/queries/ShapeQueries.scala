@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{Distribute, Shape}
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries.{sumD, sumDSql}
+
+/** Reshaping / multi-input / distribution ops (SURVEY §2.8-2.10) plus the
+  * streaming-window analogs run in batch mode (§2.12).
+  */
+object ShapeQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- NORMALIZE fan-out with COUNTER (TAKnormalize :907) --------------
+    QueryDef("q60_normalize",
+      """SELECT r_regionkey, g.counter FROM region,
+        |  (SELECT UNNEST(generate_series(1, 3)) AS counter) g
+        |ORDER BY r_regionkey, counter""".stripMargin) { (s, dir) =>
+      Shape.normalize(Tables.region(s, dir).select(col("r_regionkey")),
+          lit(3), "counter")
+        .select(col("r_regionkey"), col("counter").cast("long").as("counter"))
+        .orderBy(col("r_regionkey"), col("counter"))
+    },
+
+    // ---- NORMALIZE child explode (TAKnormalizechild :910) ----------------
+    QueryDef("q61_normalize_child",
+      """SELECT o_orderkey, UNNEST([o_orderstatus, o_orderpriority]) AS tag
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey, tag""".stripMargin) { (s, dir) =>
+      Shape.normalizeChild(
+        Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"),
+            array(col("o_orderstatus"), col("o_orderpriority")).as("child")),
+        "child", "tag")
+        .orderBy(col("o_orderkey"), col("tag"))
+    },
+
+    // ---- FUNNEL + MERGE(SORTED, DEDUP) (TAKfunnel :903 / TAKmerge :937) --
+    QueryDef("q62_funnel_merge",
+      """SELECT o_orderkey, o_orderpriority FROM (
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 250000
+        |  UNION
+        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > 200000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      Shape.merge(
+        Seq(
+          o.filter(col("o_totalprice") > 250000)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+          o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+            .select(col("o_orderkey"), col("o_orderpriority"))),
+        Seq(col("o_orderkey")), dedup = true)
+    },
+
+    // ---- NONEMPTY (TAKnonempty :1008) ------------------------------------
+    QueryDef("q63_nonempty",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      Shape.nonempty(Seq(
+        Tables.region(s, dir).filter(col("r_regionkey") < 0)
+          .select(col("r_regionkey"), col("r_name")),
+        Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))))
+        .orderBy(col("r_regionkey"))
+    },
+
+    // ---- COMBINE: positional zip (TAKcombine :981) -----------------------
+    QueryDef("q64_combine",
+      """WITH a AS (SELECT n_nationkey, n_name,
+        |    ROW_NUMBER() OVER (ORDER BY n_nationkey) AS __pos FROM nation),
+        |b AS (SELECT n_nationkey AS by_region_key,
+        |    ROW_NUMBER() OVER (ORDER BY n_regionkey, n_nationkey) AS __pos FROM nation)
+        |SELECT a.n_nationkey, a.n_name, b.by_region_key
+        |FROM a JOIN b ON a.__pos = b.__pos
+        |ORDER BY a.n_nationkey""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir)
+      Shape.combine(
+        n.select(col("n_nationkey"), col("n_name")),
+        Seq(col("n_nationkey")),
+        n.select(col("n_nationkey").as("by_region_key"), col("n_regionkey")),
+        Seq(col("n_regionkey"), col("by_region_key")))
+        .select(col("n_nationkey"), col("n_name"), col("by_region_key"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ---- PROJECT with COUNTER (TAKcountproject :917) ---------------------
+    QueryDef("q65_count_project",
+      """SELECT s_suppkey, s_name,
+        |  ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS counter
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      Shape.countProject(
+        Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        Seq(col("s_acctbal").desc, col("s_suppkey")), "counter")
+        .select(col("s_suppkey"), col("s_name"), col("counter").cast("long").as("counter"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // ---- DISTRIBUTE + LOCAL op (TAKhashdistribute :905): co-locate by key
+    // then per-partition dedup == global dedup (proves the partitioning
+    // contract the reference compiles into LOCAL activities) ---------------
+    QueryDef("q66_distribute_local",
+      """SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+        |ORDER BY o_custkey, o_orderstatus""".stripMargin) { (s, dir) =>
+      val d = Distribute.byHash(
+        Tables.orders(s, dir).select(col("o_custkey"), col("o_orderstatus")),
+        Seq(col("o_custkey")))
+      // LOCAL dedup: correct only because rows are co-located by key
+      d.mapPartitions(it => {
+        val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+        it.filter(r => seen.add((r.get(0), r.get(1))))
+      })(org.apache.spark.sql.Encoders.row(d.schema))
+        .orderBy(col("o_custkey"), col("o_orderstatus"))
+    },
+
+    // ---- tumbling window over events (§2.12; batch mode of the
+    // Structured Streaming lowering) ---------------------------------------
+    QueryDef("q67_tumbling_window",
+      s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         |  COUNT(*) AS n, ${sumDSql("value", "sum_value")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"), sumD(col("value"), "sum_value"))
+        .select(col("w.start").as("bucket"), col("n"), col("sum_value"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- session window per user, 5-minute gap (§2.12) -------------------
+    QueryDef("q68_session_window",
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w >= INTERVAL '5 minutes'
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT user_id, ts, SUM(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM d)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+        |FROM r GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    }
+  )
+}
