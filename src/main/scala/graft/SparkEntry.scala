@@ -15,7 +15,9 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++
     graft.queries.JoinQueries.defs ++
     graft.queries.OrderedQueries.defs ++
-    graft.queries.ShapeQueries.defs
+    graft.queries.ShapeQueries.defs ++
+    graft.queries.TextQueries.defs ++
+    graft.queries.EmbeddingQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

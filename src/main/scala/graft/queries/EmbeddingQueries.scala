@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.text.Embeddings
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table: brute-force exact cosine
+  * top-k (baseline) and random-hyperplane LSH bucketing (the scale path).
+  * Decimal-exact accumulation keeps scores bit-identical to the oracle.
+  */
+object EmbeddingQueries {
+
+  /** Oracle fragment: exploded vectors + exact norms. */
+  private val VecCte =
+    """cx AS (SELECT vec_id AS c_id,
+      |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+      |cn AS (SELECT c_id, sqrt(CAST(SUM(CAST(
+      |    CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)) AS c_norm
+      |  FROM cx GROUP BY c_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- brute-force exact cosine top-5 for 20 query vectors -------------
+    QueryDef("q90_cosine_knn",
+      s"""WITH $VecCte,
+         |qx AS (SELECT c_id AS q_id, v, pos FROM cx WHERE c_id < 20),
+         |qn AS (SELECT c_id AS q_id, c_norm AS q_norm FROM cn WHERE c_id < 20),
+         |dots AS (
+         |  SELECT q_id, c_id, CAST(SUM(CAST(
+         |    CAST(qx.v AS DOUBLE) * CAST(cx.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM qx JOIN cx USING (pos) WHERE q_id <> c_id
+         |  GROUP BY q_id, c_id),
+         |scored AS (
+         |  SELECT q_id, c_id, dot / (q_norm * c_norm) AS cos
+         |  FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id))
+         |SELECT q_id, c_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      Embeddings.cosineTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), 5)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- random-hyperplane LSH buckets (8 sign bits per vector) ----------
+    QueryDef("q91_rp_lsh", {
+      val sums = (0 until 8).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d$p""".stripMargin
+      }.mkString(",\n  ")
+      val bucket = (0 until 8).map(p =>
+        s"CASE WHEN d$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      s"""WITH ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  $sums
+         |  FROM ex GROUP BY vec_id)
+         |SELECT vec_id, CAST($bucket AS BIGINT) AS bucket
+         |FROM s ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      Embeddings.rpLshBucket(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), 8)
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- bucketed ANN: exact cosine top-3 WITHIN each LSH bucket ---------
+    QueryDef("q92_ann_bucketed", {
+      val sums = (0 until 8).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d$p""".stripMargin
+      }.mkString(",\n  ")
+      val bucket = (0 until 8).map(p =>
+        s"CASE WHEN d$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      s"""WITH $VecCte,
+         |ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  $sums
+         |  FROM ex GROUP BY vec_id),
+         |bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket FROM s),
+         |pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |scored AS (
+         |  SELECT d.q_id, d.c_id, d.dot / (qn.c_norm * cn.c_norm) AS cos
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id)
+         |SELECT q_id, c_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val bk = Embeddings.rpLshBucket(emb, col("vec_id"), col("embedding"), 8)
+      val withB = emb.join(bk, "vec_id")
+      val q = withB.select(col("vec_id").as("qv_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+      val c = withB.select(col("vec_id").as("cv_id"), col("embedding").as("c_emb"),
+        col("bucket").as("bucket_c"))
+      val pairs = q.join(c, col("bucket") === col("bucket_c") &&
+        col("qv_id") =!= col("cv_id"))
+      Embeddings.cosinePairsTopK(pairs, col("qv_id"), col("cv_id"),
+          col("q_emb"), col("c_emb"), 3)
+        .orderBy(col("q_id"), col("rank"))
+    }
+  )
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline: exact dedup, quality scoring, language ID,
+  * token counting, fingerprinting, shingling, MinHash+LSH near-dup
+  * candidates, exact Jaccard verification, SimHash + hamming near-dup.
+  * All md5-based so the DuckDB oracle reproduces hashes exactly.
+  */
+object TextQueries {
+
+  /** Shared oracle CTEs: tokenized words with positions + 3-shingles. */
+  private val WordsCte =
+    """base AS (SELECT doc_id, trim(text) AS t FROM documents),
+      |wp AS (
+      |  SELECT doc_id,
+      |    UNNEST(string_split_regex(t, '\s+')) AS word,
+      |    UNNEST(range(len(string_split_regex(t, '\s+')))) AS pos
+      |  FROM base),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    word || ' ' || LEAD(word,1) OVER w || ' ' || LEAD(word,2) OVER w AS shingle
+      |  FROM wp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL))""".stripMargin
+
+  private val MinhashCte =
+    s"""$WordsCte,
+       |m AS (
+       |  SELECT doc_id, s.i,
+       |    MIN(md5(CAST(s.i AS VARCHAR) || '|' || shingle)) AS h
+       |  FROM sh CROSS JOIN (SELECT UNNEST(range(8)) AS i) s
+       |  GROUP BY doc_id, s.i),
+       |bands AS (
+       |  SELECT doc_id, i // 2 AS band, md5(STRING_AGG(h, '' ORDER BY i)) AS bk
+       |  FROM m GROUP BY doc_id, i // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
+    TextOps.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: content-hash clusters, keep min doc_id -------------
+    QueryDef("q80_dedup_exact",
+      """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("fp"))
+    },
+
+    // ---- quality scoring signals -----------------------------------------
+    QueryDef("q81_quality",
+      """WITH d AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / CAST(len(ws) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |    / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- language ID (stopword-ratio heuristic) vs labeled lang ----------
+    QueryDef("q82_langid",
+      """WITH d AS (SELECT lang,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |p AS (SELECT lang,
+        |  CASE WHEN len(ws) > 0 AND
+        |    CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is','that','it','for'))) AS DOUBLE)
+        |      / CAST(len(ws) AS DOUBLE) >= 0.03
+        |  THEN 'en' ELSE 'und' END AS pred FROM d)
+        |SELECT lang, pred, COUNT(*) AS n FROM p
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), TextOps.langIdEn(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    },
+
+    // ---- BPE-ish token counting ------------------------------------------
+    QueryDef("q83_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- content fingerprint ---------------------------------------------
+    QueryDef("q84_fingerprint",
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- word 3-shingling (the n-gram substrate) -------------------------
+    QueryDef("q85_shingle_stats",
+      s"""WITH $WordsCte
+         |SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      docShingles(s, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- MinHash (8 seeds) + LSH (4 bands × 2) candidate pairs -----------
+    QueryDef("q86_minhash_lsh",
+      s"""WITH $MinhashCte
+         |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+      TextOps.lshCandidates(
+        TextOps.lshBands(TextOps.minhash(docShingles(s, dir), 8), 2))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- exact n-gram Jaccard over the LSH candidates --------------------
+    QueryDef("q87_jaccard",
+      s"""WITH $MinhashCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE) AS jac
+         |FROM cand c
+         |LEFT JOIN i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN sz sa ON sa.doc_id = c.doc_a
+         |JOIN sz sb ON sb.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, dir) =>
+      val sh = docShingles(s, dir)
+      val cand = TextOps.lshCandidates(
+        TextOps.lshBands(TextOps.minhash(sh, 8), 2))
+      TextOps.jaccard(cand, sh)
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- SimHash (16-bit, frequency-weighted) ----------------------------
+    QueryDef("q88_simhash", {
+      val bitSums = (0 until 16).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+      val fp = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM tok),
+         |agg AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+         |FROM agg ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      TextOps.simhash16(Tables.documents(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SimHash near-dup pairs: hamming distance <= 3 -------------------
+    QueryDef("q89_simhash_neardup", {
+      val bitSums = (0 until 16).map(j =>
+        s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
+      val fp = (0 until 16).map(j =>
+        s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM tok),
+         |agg AS (SELECT doc_id,
+         |  $bitSums
+         |  FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM agg)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }) { (s, dir) =>
+      val sh = TextOps.simhash16(Tables.documents(s, dir), col("doc_id"), col("text"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  )
+}

@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for training-data pipelines:
+  * tokenization, word-shingling, MinHash signatures + LSH banding, exact
+  * n-gram Jaccard verification, SimHash, language-ID heuristics, quality
+  * scoring, fingerprinting.
+  *
+  * All hashing is md5-based so results are engine-portable (the DuckDB
+  * oracle computes the identical value); the ECL-native FNV hashes
+  * (graft.functions.Fnv1a) are the faster non-portable alternative.
+  *
+  * Scale notes: every op here is a scan + groupBy/join on derived keys —
+  * no global order required anywhere, so everything shuffles on content
+  * keys and parallelizes linearly. MinHash+LSH is the 100 TB near-dup
+  * path: candidate generation touches only band-bucket collisions
+  * (O(docs × bands) shuffle rows), and exact Jaccard runs on candidates
+  * only — never all pairs.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the portable baseline). */
+  def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => length(w) > 0)
+
+  /** BPE-ish token counting: letter runs / digit runs / single symbols. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|\\S"), lit(0)))
+
+  /** (id, pos, word) — one row per token, position 0-based. */
+  def wordsWithPos(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), posexplode(words(text)).as(Seq("pos", "word")))
+
+  /** DISTINCT word k-shingles per document via window lead — one shuffle on
+    * doc_id, no array blowup. Output: (doc_id, shingle).
+    */
+  def shingles(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = (0 until k).map {
+      case 0 => col("word")
+      case i => lead(col("word"), i).over(w)
+    }
+    wordsWithPos(df, id, text)
+      .withColumn("shingle", concat_ws(" ", parts: _*))
+      // a full shingle has exactly k-1 internal spaces (leads at the tail
+      // of a doc come back null and concat_ws drops them)
+      .filter(size(split(col("shingle"), " ")) === k)
+      .select(col("doc_id"), col("shingle")).distinct()
+  }
+
+  /** MinHash signature: for seed i in [0, numHashes), the lexicographic min
+    * of md5("<i>|" + shingle) over the doc's shingle set. Output:
+    * (doc_id, i, h). Partial aggregation makes this one shuffle of
+    * numHashes rows per doc.
+    */
+  def minhash(shingles: DataFrame, numHashes: Int): DataFrame =
+    shingles
+      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min(md5(concat(col("i").cast("string"), lit("|"), col("shingle"))))
+        .as("h"))
+
+  /** LSH banding: group the signature into bands of `rowsPerBand` seeds,
+    * band key = md5 of the in-seed-order concat. Output: (doc_id, band, bk).
+    */
+  def lshBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.withColumn("band", floor(col("i") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("h")))),
+          x => x.getField("h")), "")).as("bk"))
+
+  /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The
+    * self-join is on (band, bk) — bucket-local, never all-pairs.
+    */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("bk"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band").as("band_b"), col("bk").as("bk_b"),
+      col("doc_id").as("doc_b"))
+    a.join(b, a("band") === b("band_b") && a("bk") === b("bk_b") &&
+        a("doc_a") < b("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for given candidate pairs:
+    * |A∩B| / |A|+|B|-|A∩B|. Joins on shingle content — candidates only.
+    */
+  def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shingles.select(col("doc_id").as("sb_doc"), col("shingle").as("shingle_b"))
+    val inter = pairs.join(sa, "doc_a")
+      .join(sb, col("doc_b") === col("sb_doc") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  }
+
+  /** Portable 16-bit word hash: first 4 hex chars of md5. */
+  def hash16(c: Column): Column = conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+
+  /** SimHash (16-bit, frequency-weighted): bit j of the fingerprint is 1
+    * iff sum over word occurrences of ±1 (per bit j of hash16(word)) is
+    * positive. One groupBy(doc) of 16 conditional sums — single shuffle.
+    */
+  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(words(text)).as("word"))
+      .withColumn("h", hash16(col("word")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val fp = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Default English stopword sample used by the language-ID heuristic. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+
+  /** Stopword-ratio language ID: 'en' iff ratio of stopword tokens ≥ thresh. */
+  def langIdEn(text: Column, thresh: Double = 0.03): Column = {
+    val ws = words(text)
+    val stops = filter(ws, w => w.isInCollection(EnStopwords))
+    when(size(ws) > 0 &&
+      size(stops).cast("double") / size(ws).cast("double") >= thresh, "en")
+      .otherwise("und")
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * punctuation ratio — the standard pretraining-filter features.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val ws = words(text)
+    val nTok = size(ws)
+    val nChar = length(text)
+    val nPunct = nChar - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))
+    val nStop = size(filter(ws, w => w.isInCollection(EnStopwords)))
+    Seq(
+      nTok.cast("long").as("n_tokens"),
+      (length(regexp_replace(text, "\\s", "")).cast("double") /
+        nTok.cast("double")).as("mean_token_len"),
+      (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+      (nPunct.cast("double") / nChar.cast("double")).as("punct_ratio"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}
