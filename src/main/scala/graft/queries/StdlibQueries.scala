@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.EclFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The scalar function surface (SURVEY §2.11): Std.Str, Std.Date (integer-
+  * coded Date_t), Std.Math, regex trio, conditionals, truncating casts,
+  * HASH32/64. Trig/exp/ln are covered by ScalaTest self-tests instead of
+  * oracles — their libm results differ across engines in the last ulp.
+  */
+object StdlibQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Std.Str family (`ecllibrary/std/Str.ecl`) -----------------------
+    QueryDef("q100_str_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo, reverse(p_type) AS rev,
+        |  rpad(substr(p_name, 3, 8), 8, ' ') AS ecl_substr,
+        |  CAST(strpos(p_name, 'a') AS INTEGER) AS find_a,
+        |  CAST(len(regexp_extract_all(p_name, 'a')) AS INTEGER) AS count_a,
+        |  repeat(p_brand, 2) AS rep,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS trans,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS INTEGER) AS lev,
+        |  starts_with(p_name, 'b') AS sw,
+        |  (p_type LIKE '%d') AS ew,
+        |  to_base64(CAST(p_brand AS BLOB)) AS b64,
+        |  trim(p_name) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        reverse(col("p_type")).as("rev"),
+        EclFunctions.eclSubstring(col("p_name"), 3, 10).as("ecl_substr"),
+        instr(col("p_name"), "a").as("find_a"),
+        EclFunctions.findCount(col("p_name"), "a").as("count_a"),
+        repeat(col("p_brand"), 2).as("rep"),
+        translate(col("p_type"), "AEIOU", "aeiou").as("trans"),
+        lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+        levenshtein(col("p_brand"), lit("Brand#11")).as("lev"),
+        col("p_name").startsWith("b").as("sw"),
+        col("p_type").endsWith("d").as("ew"),
+        base64(encode(col("p_brand"), "UTF-8")).as("b64"),
+        trim(col("p_name")).as("trimmed"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- Std.Date: integer-coded Date_t + calendar functions -------------
+    QueryDef("q101_date_funcs",
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+        |    + dayofmonth(o_orderdate) AS INTEGER) AS date_t,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+        |    OR year(o_orderdate) % 400 = 0 AS leap
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val od = col("o_orderdate")
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          EclFunctions.toDateT(od).as("date_t"),
+          year(od).as("y"), month(od).as("m"), dayofmonth(od).as("d"),
+          (weekday(od) + 1).cast("int").as("iso_dow"),
+          weekofyear(od).cast("int").as("iso_week"),
+          quarter(od).as("q"),
+          datediff(to_date(od), lit("1995-01-01").cast("date")).cast("long").as("days_since"),
+          add_months(to_date(od), 2).as("plus2m"),
+          last_day(to_date(od)).as("eom"),
+          EclFunctions.isLeapYear(year(od)).as("leap"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Std.Math (cross-engine-exact subset) ----------------------------
+    QueryDef("q102_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice * -1) AS ab,
+        |  sqrt(l_quantity) AS sq,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  fmod(l_extendedprice, 7.0) AS fm,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS rnd,
+        |  l_quantity * l_quantity AS sqr,
+        |  CAST(l_quantity AS BIGINT) % 7 AS md
+        |FROM lineitem WHERE l_orderkey <= 3000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_orderkey") <= 3000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_extendedprice") * -1).as("ab"),
+          sqrt(col("l_quantity")).as("sq"),
+          floor(col("l_extendedprice")).as("fl"),
+          ceil(col("l_extendedprice")).as("ce"),
+          (col("l_extendedprice") % 7.0).as("fm"),
+          round(col("l_extendedprice").cast(DecimalType(18, 2)), 1).cast("double").as("rnd"),
+          (col("l_quantity") * col("l_quantity")).as("sqr"),
+          (col("l_quantity").cast("long") % 7).as("md"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- REGEXFIND / REGEXREPLACE / REGEXFINDSET (no_regex_* :519-521) ---
+    QueryDef("q103_regex",
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '[0-9]+') AS pri_num,
+        |  regexp_replace(o_orderpriority, '[0-9]-', '', 'g') AS pri_name,
+        |  CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]+')) AS INTEGER) AS n_words
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          regexp_extract(col("o_orderpriority"), "[0-9]+", 0).as("pri_num"),
+          regexp_replace(col("o_orderpriority"), "[0-9]-", "").as("pri_name"),
+          size(regexp_extract_all(col("o_orderpriority"), lit("[A-Z]+"), lit(0)))
+            .as("n_words"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- truncating casts (rtlCastInt family; ECL casts truncate) --------
+    QueryDef("q104_casts",
+      """SELECT c_custkey,
+        |  CAST(trunc(c_acctbal) AS INTEGER) AS bal_int,
+        |  CAST(c_custkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS bal_str,
+        |  CAST('42' AS INTEGER) + c_nationkey AS parsed
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"),
+        col("c_acctbal").cast("int").as("bal_int"),
+        col("c_custkey").cast("string").as("key_str"),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast("string").as("bal_str"),
+        (lit("42").cast("int") + col("c_nationkey")).as("parsed"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- conditionals: IF/CASE/MAP/CHOOSE (no_if/case/map/choose) --------
+    QueryDef("q105_conditionals",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big'
+        |       WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open'
+        |       ELSE 'other' END AS status_name,
+        |  (['low','med','high'])[CAST(substr(o_orderpriority,1,1) AS INTEGER) % 3 + 1] AS chosen
+        |FROM orders WHERE o_orderkey <= 5000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 5000)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small").as("bucket"),
+          when(col("o_orderstatus") === "F", "final")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other").as("status_name"),
+          element_at(array(lit("low"), lit("med"), lit("high")),
+            (substring(col("o_orderpriority"), 1, 1).cast("int") % 3 + 1))
+            .as("chosen"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- HASH32/HASH64: ECL FNV-1a via native codegen Expression.
+    // No portable SQL analog → rows-only driver check; exact vectors are
+    // asserted in Fnv1aSpec. ------------------------------------------------
+    QueryDef.noOracle("q106_ecl_hash") { (s, dir) =>
+      Tables.nation(s, dir).select(col("n_nationkey"),
+        EclFunctions.hash32(col("n_name")).as("h32"),
+        EclFunctions.hash64(col("n_name")).as("h64"))
+        .orderBy(col("n_nationkey"))
+    }
+  )
+}
