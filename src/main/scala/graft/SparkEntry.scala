@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.ShapeQueries.defs ++
     graft.queries.TextQueries.defs ++
     graft.queries.EmbeddingQueries.defs ++
-    graft.queries.StdlibQueries.defs
+    graft.queries.StdlibQueries.defs ++
+    graft.queries.IoQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import graft.sources.{IndexedTable, Sources}
+import graft.workflow.Workflow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.queries.CoreQueries.{sumD, sumDSql}
+
+/** Sources/sinks, INDEX/FETCH, workflow services (PERSIST/DICTIONARY/LOOP),
+  * PIPE, superfiles, multimodal binary plumbing (SURVEY §2.1-2.2, §2.10,
+  * §2.13). Scratch writes go under target/graft_io (inside the repo,
+  * gitignored); every query still verifies against the DuckDB oracle on
+  * the ORIGINAL tables — the roundtrip must be lossless.
+  */
+object IoQueries {
+
+  private def ioDir(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"/root/repo/target/graft_io/$tag"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- CSV write + declared-schema read roundtrip ----------------------
+    QueryDef("q110_csv_roundtrip",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/nation_csv"
+      Sources.csvWrite(Tables.nation(s, dir), path)
+      Sources.csvRead(s, path, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ---- JSON write + declared-schema read roundtrip (incl. double) ------
+    QueryDef("q111_json_roundtrip",
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/customer_json"
+      Sources.jsonWrite(Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")), path)
+      Sources.jsonRead(s, path, StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_acctbal", DoubleType))))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- XML write + from_xml read roundtrip -----------------------------
+    QueryDef("q112_xml_roundtrip",
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/nation_xml"
+      Sources.xmlWrite(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name")), path)
+      Sources.xmlRead(s, path, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType))))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ---- INDEX build + keyed read (pushed key-range filter) --------------
+    QueryDef("q113_index_read",
+      s"""SELECT l_partkey, COUNT(*) AS n, ${sumDSql("l_quantity", "sum_qty")}
+         |FROM lineitem WHERE l_partkey BETWEEN 100 AND 120
+         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/lineitem_idx"
+      IndexedTable.build(Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity")), Seq("l_partkey"), path)
+      IndexedTable.keyedRead(s, path,
+        col("l_partkey").between(100, 120))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sumD(col("l_quantity"), "sum_qty"))
+        .orderBy(col("l_partkey"))
+    },
+
+    // ---- KEYED JOIN against the index (half-keyed) -----------------------
+    QueryDef("q114_keyed_join",
+      s"""SELECT p_partkey, COUNT(*) AS n
+         |FROM part JOIN lineitem ON l_partkey = p_partkey
+         |WHERE p_size = 10 GROUP BY p_partkey ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/lineitem_idx2"
+      IndexedTable.build(Tables.lineitem(s, dir)
+        .select(col("l_partkey")), Seq("l_partkey"), path)
+      val probe = Tables.part(s, dir).filter(col("p_size") === 10)
+      IndexedTable.keyedJoin(probe, s, path,
+        col("p_partkey") === col("l_partkey"))
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- FETCH by filepos from a full-keyed index ------------------------
+    QueryDef("q115_fetch",
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = s"${ioDir(dir)}/orders_base"
+      val idx = s"${ioDir(dir)}/orders_idx"
+      IndexedTable.buildWithFilepos(Tables.orders(s, dir), Seq("o_orderkey"),
+        base, idx)
+      IndexedTable.fetch(s, base, idx, col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- PERSIST: materialize once, rebuild iff the plan changes ---------
+    QueryDef("q116_persist",
+      """SELECT c_nationkey, COUNT(*) AS n_cust, n_name
+        |FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |GROUP BY c_nationkey, n_name ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+      val agg = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val persisted = Workflow.persist(agg, s"${ioDir(dir)}/persist", "cust_by_nation")
+      persisted.join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_nationkey"), col("n_cust"), col("n_name"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // ---- DICTIONARY lookup (map-literal column) --------------------------
+    QueryDef("q117_dictionary",
+      """SELECT n_nationkey, r_name AS region_name
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val dict = Workflow.dictionary(Tables.region(s, dir),
+        col("r_regionkey"), col("r_name"))
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          Workflow.dictLookup(dict, col("n_regionkey")).as("region_name"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // ---- LOOP: 3 iterations of an exact-decimal transform ----------------
+    QueryDef("q118_loop",
+      """SELECT c_custkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 8 AS DOUBLE) AS bal8
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val start = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+      Workflow.loopN(start, 3) { (d, _) =>
+        d.withColumn("bal", col("bal") * 2)
+      }
+        .select(col("c_custkey"), col("bal").cast("double").as("bal8"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- PIPE through an external process (identity cat) -----------------
+    QueryDef("q119_pipe",
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      Sources.pipeThrough(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name")), "cat")
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        .orderBy(col("nk"))
+    },
+
+    // ---- workunit result write + read (named view) -----------------------
+    QueryDef("q120_workunit",
+      s"""SELECT o_orderpriority, ${sumDSql("o_totalprice", "sum_price")}
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(sumD(col("o_totalprice"), "sum_price"))
+        .createOrReplaceTempView("wu_result")
+      s.table("wu_result").orderBy(col("o_orderpriority"))
+    },
+
+    // ---- superfile: union of files as one dataset ------------------------
+    QueryDef("q121_superfile",
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val p1 = s"${ioDir(dir)}/orders_part1"
+      val p2 = s"${ioDir(dir)}/orders_part2"
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0).write.mode("overwrite").parquet(p1)
+      o.filter(col("o_orderkey") % 2 =!= 0).write.mode("overwrite").parquet(p2)
+      Sources.superfile(s, Seq(p1, p2))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // ---- multimodal binary plumbing: decode-stub over blob column --------
+    QueryDef("q122_multimodal",
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+        |  CAST(ascii(substr(text, length(text), 1)) AS INTEGER) AS last_byte,
+        |  CAST((octet_length(CAST(text AS BLOB)) + 255) // 256 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.decodeImageStub(blobs)
+        .orderBy(col("doc_id"))
+    }
+  )
+}

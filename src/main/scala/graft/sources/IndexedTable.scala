@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** INDEX / BUILD / keyed read / KEYED JOIN / FETCH (SURVEY §2.1, §2.4,
+  * §2.10). The reference persists a B-tree of key+payload
+  * (`system/jhtree/ctfile.hpp:32`) probed via `IKeyManager`
+  * (`system/jhtree/jhtree.hpp:247`); our index is range-partitioned,
+  * in-partition-sorted Parquet: row-group min/max stats give the keyed
+  * pruning (data skipping), partition ranges give the B-tree's fan-out.
+  *
+  * FETCH (TAKfetch :926) retrieves base-file records by file position; the
+  * filepos surrogate here is an explicit `__filepos` column assigned at
+  * build time (row_number over the key order — stable and join-able).
+  */
+object IndexedTable {
+
+  /** BUILD(index) (TAKindexwrite :923): range-partition by key, sort within
+    * partitions, write Parquet. `payload` columns ride along (a payload
+    * index); omit for key-only.
+    */
+  def build(df: DataFrame, keys: Seq[String], path: String,
+      numPartitions: Int = 0): Unit = {
+    val keyed = if (numPartitions > 0)
+      df.repartitionByRange(numPartitions, keys.map(col): _*)
+    else df.repartitionByRange(keys.map(col): _*)
+    keyed.sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** BUILD with filepos: also writes the base table annotated with
+    * `__filepos` plus a key→filepos index (half-keyed pattern).
+    */
+  def buildWithFilepos(df: DataFrame, keys: Seq[String], basePath: String,
+      indexPath: String): Unit = {
+    val w = Window.orderBy(keys.map(col): _*)
+    val withPos = df.withColumn("__filepos", row_number().over(w).cast("long"))
+    withPos.write.mode("overwrite").parquet(basePath)
+    withPos.select((keys.map(col) :+ col("__filepos")): _*)
+      .repartitionByRange(keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** INDEX read with keyed filter (TAKindexread :963): the predicate is
+    * pushed to the Parquet scan — row-group stats skip non-matching groups
+    * exactly like the reference's key-range extraction
+    * (`ecl/hql/hqlfilter.hpp:111`).
+    */
+  def keyedRead(spark: SparkSession, path: String, pred: Column): DataFrame =
+    spark.read.parquet(path).filter(pred)
+
+  /** KEYED JOIN (TAKkeyedjoin :1046, half-keyed): LHS rows probe the index.
+    * Catalyst plans SMJ/BHJ; the index's sortedness + stats give pruning.
+    */
+  def keyedJoin(lhs: DataFrame, spark: SparkSession, indexPath: String,
+      cond: Column, typ: String = "inner"): DataFrame =
+    lhs.join(spark.read.parquet(indexPath), cond, typ)
+
+  /** FETCH (TAKfetch :926): full-keyed pattern — probe the index for
+    * filepos, then retrieve base records by position.
+    */
+  def fetch(spark: SparkSession, basePath: String, indexPath: String,
+      keyPred: Column): DataFrame = {
+    val pos = spark.read.parquet(indexPath).filter(keyPred)
+      .select(col("__filepos"))
+    spark.read.parquet(basePath)
+      .join(pos, "__filepos")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.workflow
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workflow services (SURVEY §2.13): PERSIST, STORED, SEQUENTIAL/WHEN
+  * handlers, LOOP/GRAPH iteration, DICTIONARY.
+  */
+object Workflow {
+
+  /** PERSIST('name') (`WFModePersist` `common/workunit/workunit.hpp:591`):
+    * materialize once, rebuild only when the plan changes. The reference
+    * invalidates by CRC of the generated ECL (`PersistVersion`
+    * `common/workunit/workflow.hpp:62`); we fingerprint the canonicalized
+    * optimized plan — same idea, plan-level.
+    */
+  def persist(df: DataFrame, store: String, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val fp = java.lang.Integer.toHexString(
+      df.queryExecution.optimizedPlan.canonicalized.semanticHash())
+    val path = s"$store/$name-$fp"
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    if (!marker.exists()) df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** STORED('name') (`no_stored` hqlexpr.hpp:287): externally-settable
+    * parameters with defaults — a config map resolved at plan-build time.
+    */
+  final case class Stored(params: Map[String, String]) {
+    def apply(name: String, default: String): String =
+      params.getOrElse(name, default)
+    def long(name: String, default: Long): Long =
+      params.get(name).map(_.toLong).getOrElse(default)
+  }
+
+  /** SEQUENTIAL(actions) / SUCCESS/FAILURE handlers (WFType*
+    * workunit.hpp:578-580): driver-side orchestration with per-item
+    * error handling.
+    */
+  def sequential(actions: Seq[() => Unit], onFailure: Throwable => Unit =
+      t => throw t): Unit =
+    actions.foreach { a => try a() catch { case t: Throwable => onFailure(t) } }
+
+  /** WHEN(ds, action): run a side-effect when the dataset is first
+    * evaluated (TAKwhen_dataset :1027). The DF is cached so the trigger
+    * fires once.
+    */
+  def when_(df: DataFrame, action: DataFrame => Unit): DataFrame = {
+    val cached = df.cache()
+    action(cached)
+    cached
+  }
+
+  /** LOOP(ds, n, body) (TAKloopcount :987): driver-side iteration;
+    * localCheckpoint every few rounds truncates lineage so plans don't
+    * grow exponentially (`LFparallel` flags :2671 are Spark's scheduler's
+    * concern).
+    */
+  def loopN(df: DataFrame, n: Int, checkpointEvery: Int = 4)(
+      body: (DataFrame, Int) => DataFrame): DataFrame = {
+    var cur = df
+    for (i <- 1 to n) {
+      cur = body(cur, i)
+      if (i % checkpointEvery == 0) cur = cur.localCheckpoint()
+    }
+    cur
+  }
+
+  /** GRAPH(ds, n, body) (TAKgraphloop :995): body sees ALL prior iteration
+    * results (TAKgraphloopresultread :996).
+    */
+  def graphN(df: DataFrame, n: Int)(
+      body: (Vector[DataFrame], Int) => DataFrame): Vector[DataFrame] = {
+    var results = Vector(df)
+    for (i <- 1 to n)
+      results = results :+ body(results, i).localCheckpoint()
+    results
+  }
+
+  /** DICTIONARY (type_dictionary=46 rtlconst.hpp:72): hash lookup built
+    * from a dataset. Small dicts become a map-literal Column (codegen'd
+    * element_at); big dicts should use a broadcast join instead.
+    */
+  def dictionary(df: DataFrame, key: Column, value: Column): Map[String, String] =
+    df.select(key.cast("string"), value.cast("string")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+
+  /** key IN dict / dict[key] lookup as a literal MapType column. */
+  def dictLookup(dict: Map[String, String], key: Column): Column =
+    if (dict.isEmpty) lit(null)
+    else element_at(
+      map(dict.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+      key.cast("string"))
+}
