@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming (SURVEY §2.12). The reference has no continuous executor —
+  * its real-time story is triggered batch (CRON/WHEN/NOTIFY,
+  * `ecl/schedulectrl/`) plus a Kafka plugin pulling bounded batches with
+  * explicit offsets (`plugins/kafka/kafka.ecllib:97,199`). Structured
+  * Streaming is a strict superset: micro-batch triggers ≈ CRON workflow,
+  * the Kafka source manages offsets in the checkpoint, and we add
+  * watermarked tumbling/sliding/session windows (beyond-reference).
+  *
+  * The same transformations run in batch mode — StreamingSpec asserts
+  * stream-vs-batch result equality on the events table.
+  */
+object Streams {
+
+  /** File-based micro-batch source with a DECLARED schema (schema-on-read
+    * like every reference dataset; no inference on streams).
+    */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Kafka source with managed offsets (the `KafkaConsumer.GetMessages` +
+    * `SetMessageOffsets` capability, kafka.ecllib:97,199 — offsets live in
+    * the checkpoint instead of ECL code).
+    */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String,
+      startingOffsets: String = "earliest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Watermarked tumbling-window aggregate — works on both stream and
+    * batch DataFrames (the batch path is the oracle).
+    */
+  def tumblingCounts(events: DataFrame, tsCol: String, width: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+             else events
+    wm.groupBy(window(col(tsCol), width).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+          .cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("n"), col("sum_value"))
+  }
+
+  /** Per-user session windows (gap-based) — stream/batch symmetric. */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+             else events
+    wm.groupBy(col("user_id"), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n"))
+  }
+}

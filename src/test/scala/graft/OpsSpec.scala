@@ -1,0 +1,134 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Operator semantics on small in-memory data — the edge cases the oracle
+  * queries can't isolate (ATMOST vs truncate, KEEP determinism, ITERATE
+  * non-associative folds, LIMIT-as-guard).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ATMOST drops ALL matches for keys over the limit — not a truncate") {
+    val r = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val kept = Joins.atmostRhs(r, Seq("k"), 1)
+    assert(kept.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("keepN keeps the first n matches per left row, deterministically") {
+    val l = Seq(1, 2).toDF("k")
+    val r = Seq((1, 30), (1, 10), (1, 20), (2, 5)).toDF("rk", "v")
+    val j = Joins.join(l, r, col("k") === col("rk"), Joins.Inner)
+    val kept = Joins.keepN(j, Seq(col("k")), Seq(col("v")), 2)
+      .select(col("k"), col("v")).as[(Int, Int)].collect().toSet
+    assert(kept == Set((1, 10), (1, 20), (2, 5)))
+  }
+
+  test("lookupJoinFirst takes the FIRST rhs row per key (non-MANY LOOKUP)") {
+    val l = Seq(1, 2).toDF("k")
+    val r = Seq((1, "b"), (1, "a"), (2, "c")).toDF("rk", "v")
+    val out = Joins.lookupJoinFirst(l, r, Seq("rk"), Seq(col("v")),
+      col("k") === col("rk")).select(col("k"), col("v"))
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "c")))
+  }
+
+  test("limitGuard passes under the bound and throws over it") {
+    val df = Seq(1, 2, 3).toDF("x")
+    assert(Sorting.limitGuard(df, 5).count() == 3)
+    intercept[IllegalStateException] { Sorting.limitGuard(df, 2) }
+    assert(Sorting.limitSkip(df, 2).count() == 0)
+  }
+
+  test("choosesets honors per-category quotas with first-match routing") {
+    val df = Seq(1, 2, 3, 4, 5, 6, 7, 8).toDF("x")
+    val out = Sorting.choosesets(df,
+      Seq((col("x") % 2 === 0, 2), (col("x") > 0, 3)), Seq(col("x")))
+      .as[Int].collect().toSet
+    // evens: first 2 (2,4); remaining odd rows match cond2: first 3 (1,3,5)
+    assert(out == Set(2, 4, 1, 3, 5))
+  }
+
+  test("sample/enth are deterministic and evenly spaced") {
+    val df = (1 to 100).toDF("x")
+    val s = Sorting.sample(df, 10, 3, Seq(col("x"))).as[Int].collect().toSeq
+    assert(s == (3 to 100 by 10).toSeq)
+    val e = Sorting.enth(df, 1, 50, Seq(col("x"))).as[Int].collect().toSeq
+    assert(e.size == 2)
+  }
+
+  test("quantile emits the n-quantile boundary rows") {
+    val df = (1 to 100).toDF("x")
+    val q = Sorting.quantile(df, 4, Seq(col("x")))
+      .select(col("quantile"), col("x")).as[(Int, Int)].collect().toSet
+    assert(q == Set((1, 25), (2, 50), (3, 75)))
+  }
+
+  test("dedupAdjacent removes only adjacent duplicates (order matters)") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("pos", "k")
+    val out = DedupRollup.dedupAdjacent(df, Seq(col("k")), Seq(col("pos")))
+      .select(col("pos")).as[Int].collect().toSeq.sorted
+    assert(out == Seq(1, 3, 4)) // the 'a' at pos 4 survives: not adjacent
+  }
+
+  test("rollupRuns folds each maximal run once") {
+    val df = Seq((1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "a", 1))
+      .toDF("pos", "k", "v")
+    val out = DedupRollup.rollupRuns(df, Seq(col("k")), Seq(col("pos")),
+      Seq(sum(col("v")).as("sv"), count(lit(1)).as("n")))
+      .select(col("k"), col("sv"), col("n")).as[(String, Long, Long)]
+      .collect().toSet
+    assert(out == Set(("a", 30L, 2L), ("b", 5L, 1L), ("a", 1L, 1L)))
+  }
+
+  test("iterateGroups runs a non-associative fold in sorted order per group") {
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "x"))
+      .toDF("g", "pos", "s")
+    val outSchema = StructType(Seq(
+      StructField("g", IntegerType), StructField("acc", StringType)))
+    val out = DedupRollup.iterateGroups(df, Seq("g"), Seq(col("pos")),
+      outSchema) { (prev, r) =>
+      val acc = prev.map(_.getString(1)).getOrElse("") + r.getString(2)
+      Row(r.getInt(0), acc)
+    }
+    val last = out.groupBy(col("g")).agg(max(length(col("acc"))).as("n"),
+        max(col("acc")).as("acc"))
+      .select(col("g"), col("acc")).as[(Int, String)].collect().toSet
+    assert(last == Set((1, "abc"), (2, "x")))
+  }
+
+  test("combine zips positionally") {
+    val a = Seq("x", "y", "z").toDF("s")
+    val b = Seq(30, 10, 20).toDF("v")
+    val out = Shape.combine(a, Seq(col("s")), b, Seq(col("v")))
+      .as[(String, Int)].collect().toSet
+    // a sorted: x,y,z ; b sorted: 10,20,30
+    assert(out == Set(("x", 10), ("y", 20), ("z", 30)))
+  }
+
+  test("normalize emits n rows per input with 1-based COUNTER") {
+    val df = Seq("r").toDF("s")
+    val out = Shape.normalize(df, lit(3), "c").select(col("c"))
+      .as[Int].collect().toSeq.sorted
+    assert(out == Seq(1, 2, 3))
+  }
+
+  test("nonempty picks the first non-empty input lazily") {
+    val empty = Seq.empty[Int].toDF("x")
+    val full = Seq(1, 2).toDF("x")
+    assert(Shape.nonempty(Seq(empty, full)).count() == 2)
+    assert(Shape.nonempty(Seq(empty, empty)).count() == 0)
+  }
+
+  test("distribute co-locates keys (LOCAL ops see whole key groups)") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
+    val parts = Distribute.byHash(df, Seq(col("k")), Some(4))
+      .select(col("k"), spark_partition_id().as("p"))
+      .distinct().groupBy(col("k")).count()
+      .filter(col("count") > 1).count()
+    assert(parts == 0) // every key lives in exactly one partition
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streams
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming lowering (SURVEY §2.12): the same windowed
+  * transforms produce identical results on a file micro-batch stream and
+  * the batch DataFrame (the oracle).
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** FileStreamSource wants a directory — stage the single parquet file. */
+  private lazy val streamDir: String = {
+    val dir = new java.io.File("/root/repo/target/graft_io/stream_events")
+    dir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"${dir.getAbsolutePath}/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dir.getAbsolutePath
+  }
+
+  test("tumbling window: stream (AvailableNow) == batch on events") {
+    val batch = Tables.events(spark, sf)
+    val expected = Streams.tumblingCounts(batch, "ts", "1 hour")
+      .orderBy(col("bucket")).collect().toSeq
+
+    val stream = Streams.fileSource(spark, streamDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+    // apply the same nanos→micros conversion the batch loader does
+    val streamTs = stream.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+    val q = Streams.tumblingCounts(streamTs, "ts", "1 hour")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("tumbling_test").orderBy(col("bucket")).collect().toSeq
+    assert(got == expected)
+  }
+
+  test("session windows: stream == batch per user") {
+    val batch = Tables.events(spark, sf)
+      .filter(col("user_id") < 20)
+    val expected = Streams.sessionCounts(batch, "ts", "5 minutes")
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+
+    val stream = Streams.fileSource(spark, streamDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("user_id") < 20)
+    val q = Streams.sessionCounts(stream, "ts", "5 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("session_test")
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    assert(got == expected)
+  }
+}

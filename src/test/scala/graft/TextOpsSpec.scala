@@ -1,0 +1,94 @@
+package graft
+
+import graft.text.{Embeddings, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Dedup/similarity semantics on synthetic docs with known relationships. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (4L, "completely different words entirely unrelated text here now")
+  ).toDF("doc_id", "text")
+
+  test("shingles produces k-token windows") {
+    val sh = TextOps.shingles(docs.filter(col("doc_id") === 1), col("doc_id"),
+      col("text"), 3)
+    val set = sh.select(col("shingle")).as[String].collect().toSet
+    assert(set.contains("the quick brown"))
+    assert(set.contains("over the lazy"))
+    assert(set.forall(_.split(" ").length == 3))
+    assert(set.size == 7) // 9 tokens → 7 windows, all distinct here
+  }
+
+  test("minhash+LSH flags near-dups and exact dups, not unrelated docs") {
+    val sh = TextOps.shingles(docs, col("doc_id"), col("text"), 3)
+    val cand = TextOps.lshCandidates(
+      TextOps.lshBands(TextOps.minhash(sh, 8), 2))
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 3L))) // exact dup always collides
+    assert(!cand.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccard: exact dup = 1.0; near-dup high; computed only for pairs") {
+    val sh = TextOps.shingles(docs, col("doc_id"), col("text"), 3)
+    val pairs = Seq((1L, 3L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val m = TextOps.jaccard(pairs, sh)
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_a")),
+        r.getLong(r.fieldIndex("doc_b"))) -> r.getDouble(r.fieldIndex("jac")))
+      .toMap
+    assert(m((1L, 3L)) == 1.0)
+    assert(m((1L, 2L)) > 0.5 && m((1L, 2L)) < 1.0)
+  }
+
+  test("simhash: identical texts collide; unrelated text differs") {
+    val sh = TextOps.simhash16(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(3L))
+    assert(sh(1L) != sh(4L))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val d = Seq((1L, "Hello  World"), (2L, " hello world "), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fp = d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langIdEn: english detected via stopwords, non-english → und") {
+    val d = Seq((1L, "the cat sat on the mat and it is happy"),
+      (2L, "zzz qqq www rrr ttt yyy uuu")).toDF("doc_id", "text")
+    val out = d.select(col("doc_id"), TextOps.langIdEn(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "und")
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // same direction as 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.cosineTopK(vecs.filter(col("vec_id") === 0), vecs,
+      col("vec_id"), col("vec_id"), col("embedding"), col("embedding"), 2)
+      .orderBy(col("rank")).as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(1L, 2L))
+  }
+
+  test("rpLshBucket: identical vectors share a bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("vec_id", "embedding")
+    val b = Embeddings.rpLshBucket(vecs, col("vec_id"), col("embedding"), 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // opposite vector flips every sign bit
+  }
+}

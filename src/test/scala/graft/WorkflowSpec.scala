@@ -1,0 +1,66 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.workflow.Workflow
+import org.apache.spark.sql.functions._
+
+class WorkflowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("persist materializes once and reuses while the plan is unchanged") {
+    val store = "/root/repo/target/graft_io/test_persist"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(store))
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val p1 = Workflow.persist(df, store, "t")
+    assert(p1.count() == 2)
+    val dirs1 = new java.io.File(store).list().toSet
+    val p2 = Workflow.persist(Seq((1, "a"), (2, "b")).toDF("k", "v"), store, "t")
+    assert(new java.io.File(store).list().toSet == dirs1) // no rebuild
+    // a DIFFERENT plan gets a different fingerprint → new materialization
+    Workflow.persist(df.filter(col("k") === 1), store, "t")
+    assert(new java.io.File(store).list().size == dirs1.size + 1)
+  }
+
+  test("loopN iterates the body n times with checkpointing") {
+    val df = Seq(1, 2).toDF("x")
+    val out = Workflow.loopN(df, 5, checkpointEvery = 2) { (d, _) =>
+      d.withColumn("x", col("x") * 2)
+    }.as[Int].collect().toSet
+    assert(out == Set(32, 64))
+  }
+
+  test("graphN exposes all prior iteration results to the body") {
+    val df = Seq(1).toDF("x")
+    val results = Workflow.graphN(df, 3) { (prior, _) =>
+      // each iteration = union of everything so far (sizes 1,2,4 → total 8)
+      prior.reduce(_ unionAll _)
+    }
+    assert(results.map(_.count()).toSeq == Seq(1, 1, 2, 4))
+  }
+
+  test("dictionary lookup resolves via map-literal column") {
+    val dict = Workflow.dictionary(
+      Seq((0, "AFRICA"), (1, "AMERICA")).toDF("k", "v"), col("k"), col("v"))
+    val out = Seq(0, 1, 7).toDF("k")
+      .select(Workflow.dictLookup(dict, col("k")).as("name"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("AFRICA"), Some("AMERICA"), None))
+  }
+
+  test("multimodal decode stub + frame sampling preserve plumbing shape") {
+    val blobs = Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+    val meta = Multimodal.decodeImageStub(blobs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(meta(1L) == (600L, 3L)) // 600 bytes → 3 frames of 256
+    assert(meta(2L) == (2L, 1L))
+    val frames = Multimodal.sampleFrames(blobs, "doc_id", "blob", 2)
+      .filter(col("doc_id") === 1).select(col("frame_idx"))
+      .as[Long].collect().toSet
+    assert(frames == Set(0L, 2L)) // every 2nd of frames 0,1,2
+  }
+}
