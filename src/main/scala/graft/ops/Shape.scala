@@ -15,6 +15,14 @@ object Shape {
   /** ds1 + ds2 (TAKfunnel :903) — concatenation. */
   def funnel(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ unionAll _)
 
+  /** TAKsplit (:892): fan a stream out to N consumers. Spark recomputes
+    * shared lineage per action, so the split analog is an explicit persist —
+    * the one optimizer capability Catalyst does NOT provide (SURVEY §4.1
+    * CSE row). Use on any subplan consumed more than once.
+    */
+  def split(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** MERGE(ds1, ds2, SORTED(keys) [, DEDUP]) (TAKmerge :937): ordered merge
     * of sorted inputs. In a declarative plan union+orderBy yields the same
     * ordered stream; Catalyst reuses the inputs' sortedness where possible.

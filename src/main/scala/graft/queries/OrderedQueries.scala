@@ -109,20 +109,24 @@ object OrderedQueries {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      // exact decimal(.,6) accumulation carried as long micro-units — the
+      // fold stays primitive (no per-row BigDecimal) yet matches the
+      // oracle's DECIMAL(25,6) window sum bit-for-bit
       val in = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"),
-          col("value").cast(DecimalType(25, 6)).as("value"))
+          (col("value").cast(DecimalType(25, 6)) * 1000000).cast("long")
+            .as("micros"))
       val outSchema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("event_id", LongType),
-        StructField("cum", DecimalType(25, 6))))
+        StructField("cum_micros", LongType)))
       DedupRollup.iterateGroups(in, Seq("user_id"),
           Seq(col("ts"), col("event_id")), outSchema) { (prev, r) =>
-        val prior = prev.map(_.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO)
-        Row(r.getLong(0), r.getLong(1), prior.add(r.getDecimal(3)))
+        val prior = prev.map(_.getLong(2)).getOrElse(0L)
+        Row(r.getLong(0), r.getLong(1), prior + r.getLong(3))
       }
         .select(col("user_id"), col("event_id"),
-          col("cum").cast("double").as("running_value"))
+          (col("cum_micros").cast("double") / 1e6).as("running_value"))
         .orderBy(col("user_id"), col("event_id"))
     },
 

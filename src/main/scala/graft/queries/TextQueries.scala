@@ -125,8 +125,10 @@ object TextQueries {
     QueryDef("q86_minhash_lsh",
       s"""WITH $MinhashCte
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      TextOps.lshCandidates(
+      // TAKsplit analog: bands feed both sides of the bucket self-join
+      val bands = graft.ops.Shape.split(
         TextOps.lshBands(TextOps.minhash(docShingles(s, dir), 8), 2))
+      TextOps.lshCandidates(bands)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -148,9 +150,13 @@ object TextQueries {
          |JOIN sz sa ON sa.doc_id = c.doc_a
          |JOIN sz sb ON sb.doc_id = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, dir) =>
-      val sh = docShingles(s, dir)
-      val cand = TextOps.lshCandidates(
+      // TAKsplit analogs: shingles feed minhash AND the jaccard refine;
+      // bands feed both sides of the bucket join; candidates feed the
+      // intersection join AND the final projection
+      val sh = graft.ops.Shape.split(docShingles(s, dir))
+      val bands = graft.ops.Shape.split(
         TextOps.lshBands(TextOps.minhash(sh, 8), 2))
+      val cand = graft.ops.Shape.split(TextOps.lshCandidates(bands))
       TextOps.jaccard(cand, sh)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))

@@ -34,21 +34,21 @@ object TextOps {
   def wordsWithPos(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), posexplode(words(text)).as(Seq("pos", "word")))
 
-  /** DISTINCT word k-shingles per document via window lead — one shuffle on
-    * doc_id, no array blowup. Output: (doc_id, shingle).
+  /** DISTINCT word k-shingles per document. Built with array `transform`
+    * over the token array — pure whole-stage codegen, NO window and no
+    * shuffle until the final distinct (a windowed lead() formulation costs
+    * a doc_id shuffle + sort and benched 4× slower). Output:
+    * (doc_id, shingle).
     */
   def shingles(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until k).map {
-      case 0 => col("word")
-      case i => lead(col("word"), i).over(w)
-    }
-    wordsWithPos(df, id, text)
-      .withColumn("shingle", concat_ws(" ", parts: _*))
-      // a full shingle has exactly k-1 internal spaces (leads at the tail
-      // of a doc come back null and concat_ws drops them)
-      .filter(size(split(col("shingle"), " ")) === k)
-      .select(col("doc_id"), col("shingle")).distinct()
+    val ws = words(text)
+    df.select(id.as("doc_id"), ws.as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__w")) - k), i =>
+          concat_ws(" ", (0 until k).map(j =>
+            element_at(col("__w"), i + j + 1)): _*))).as("shingle"))
+      .distinct()
   }
 
   /** MinHash signature: for seed i in [0, numHashes), the lexicographic min
