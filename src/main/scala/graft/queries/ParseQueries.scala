@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.model.GraftFrame
+import graft.sources.{KeyDiff, Soapcall}
+import graft.text.Parse
+import org.apache.spark.sql.functions._
+
+/** PARSE, grouped-dataset model semantics, KEYDIFF/KEYPATCH, SOAPCALL
+  * (stub transport) — SURVEY §2.7, §2.10.
+  */
+object ParseQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- PARSE: regex pattern over a text column, row per match ----------
+    QueryDef("q130_parse",
+      """SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z]{6,}')) AS m
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, m""".stripMargin) { (s, dir) =>
+      Parse.parse(
+        Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")),
+        col("text"), Parse.Re("[a-z]{6,}"), "m")
+        .select(col("doc_id"), col("m"))
+        .orderBy(col("doc_id"), col("m"))
+    },
+
+    // ---- PARSE with capture groups (MATCHTEXT(rule) analog) --------------
+    QueryDef("q131_parse_groups",
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1) AS pri,
+        |  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2) AS label
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Parse.parseGroups(
+        Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        col("o_orderpriority"),
+        Parse.Re("([0-9])-([A-Z]+)"),
+        Map("pri" -> 1, "label" -> 2))
+        .select(col("o_orderkey"), col("pri"), col("label"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- GROUPED model: GROUP → grouped TOPN → DEGROUP (the §7.4
+    // grouped-fidelity choke point, exercised through GraftFrame) ----------
+    QueryDef("q132_grouped_model",
+      """SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 2
+        |ORDER BY c_nationkey, bal DESC, c_custkey""".stripMargin) { (s, dir) =>
+      GraftFrame(Tables.customer(s, dir)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")))
+        .group("c_nationkey")
+        .topn(2, col("c_acctbal").desc, col("c_custkey"))
+        .degroup
+        .df
+        .select(col("c_nationkey"), col("c_custkey"),
+          col("c_acctbal").cast("double").as("bal"))
+        .orderBy(col("c_nationkey"), col("bal").desc, col("c_custkey"))
+    },
+
+    // ---- KEYDIFF + KEYPATCH roundtrip: patch(old, diff(old,new)) == new --
+    QueryDef("q133_keydiff_patch",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+        |       ELSE o_totalprice END AS price
+        |FROM orders WHERE o_orderkey <= 30000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val old = o.filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val neu = o.filter(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("price"))
+      val delta = KeyDiff.diff(old, neu, Seq("o_orderkey"))
+      KeyDiff.patch(old, delta, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- SOAPCALL with deterministic stub transport (zero-egress env;
+    // the mapPartitions pool/retry plumbing is the thing under test) -------
+    QueryDef("q134_soapcall",
+      """SELECT o_orderkey, reverse(o_orderpriority) AS response
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Soapcall.callPerRow(
+        Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        Soapcall.Config("stub://svc", parallelism = 4), "o_orderpriority",
+        "response")((_, payload) => payload.reverse)
+        .select(col("o_orderkey"), col("response"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.model.GraftFrame
+import graft.sources.{KeyDiff, Soapcall}
+import graft.text.Parse
+import org.apache.spark.sql.functions._
+
+/** Grouped-dataset model, KEYDIFF/KEYPATCH, PARSE combinators, SOAPCALL. */
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraftFrame: the same op means global vs per-group by plan state") {
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 5), (2, 50)).toDF("g", "v")
+    // ungrouped TOPN: global top-2
+    val globalTop = GraftFrame(df).topn(2, col("v").desc).df
+      .select(col("v")).as[Int].collect().toSet
+    assert(globalTop == Set(50, 30))
+    // grouped TOPN: top-2 per group
+    val groupedTop = GraftFrame(df).group("g").topn(2, col("v").desc).df
+      .select(col("g"), col("v")).as[(Int, Int)].collect().toSet
+    assert(groupedTop == Set((1, 30), (1, 20), (2, 50), (2, 5)))
+    // grouped aggregate vs global aggregate
+    val gAgg = GraftFrame(df).group("g").aggregate(sum(col("v")).as("s")).df
+      .as[(Int, Long)].collect().toSet
+    assert(gAgg == Set((1, 60L), (2, 55L)))
+    val total = GraftFrame(df).aggregate(sum(col("v")).as("s")).df
+      .as[Long].head()
+    assert(total == 115L)
+  }
+
+  test("GraftFrame: regroup requires matching keys and unions groups") {
+    val a = GraftFrame(Seq((1, 1)).toDF("g", "v")).group("g")
+    val b = GraftFrame(Seq((1, 2)).toDF("g", "v")).group("g")
+    assert(a.regroup(b).df.count() == 2)
+    intercept[IllegalArgumentException] {
+      a.regroup(GraftFrame(Seq((1, 2)).toDF("g", "v")).group("v"))
+    }
+  }
+
+  test("KeyDiff.diff labels I/D/U and patch reproduces the new table") {
+    val old = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val neu = Seq((2, "b"), (3, "C"), (4, "d")).toDF("k", "v")
+    val delta = KeyDiff.diff(old, neu, Seq("k"))
+    val ops = delta.select(col("k"), col("__op")).as[(Int, String)]
+      .collect().toSet
+    assert(ops == Set((1, "D"), (3, "U"), (4, "I")))
+    val patched = KeyDiff.patch(old, delta, Seq("k"))
+      .as[(Int, String)].collect().toSet
+    assert(patched == neu.as[(Int, String)].collect().toSet)
+  }
+
+  test("Parse combinators compose to regex and emit a row per match") {
+    val df = Seq((1, "call 555-1234 or 555-9876 now")).toDF("id", "t")
+    val phone = Parse.Seq2(Parse.Re("[0-9]{3}"), Parse.Lit("-"),
+      Parse.Re("[0-9]{4}"))
+    val out = Parse.parse(df, col("t"), phone, "m")
+      .select(col("m")).as[String].collect().toSet
+    assert(out == Set("555-1234", "555-9876"))
+    val opt = Parse.Or(Parse.Lit("call"), Parse.Lit("now"))
+    assert(Parse.parse(df, col("t"), opt, "m").count() == 2)
+  }
+
+  test("Soapcall retries transient failures and preserves row order fields") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
+    // transport fails on first attempt per payload, succeeds on retry
+    val out = Soapcall.callPerRow(df,
+      Soapcall.Config("stub://", parallelism = 2, retries = 2),
+      "payload", "resp") { (_, p) =>
+      // deterministic per-JVM-static failure injection
+      if (SoapFailOnce.shouldFail(p)) throw new RuntimeException("transient")
+      p.toUpperCase
+    }
+    val got = out.select(col("id"), col("resp")).as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, "X"), (2L, "Y"), (3L, "Z")))
+  }
+}
+
+/** Executor-side failure injector: fails exactly once per payload. */
+object SoapFailOnce {
+  private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def shouldFail(p: String): Boolean = seen.add(p)
+}

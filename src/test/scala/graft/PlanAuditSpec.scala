@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan audits: the 100 TB contract is in the PLAN, not the row counts —
+  * filters must reach the parquet scan, projections must prune the read
+  * schema, small dims must broadcast, TOPN must not globally sort
+  * (SURVEY §4, the builder's scale checklist).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$plan")
+    // read schema pruned to the 2 referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"projection not pruned:\n$plan")
+  }
+
+  test("TOPN plans as TakeOrderedAndProject, not a global sort") {
+    val df = graft.ops.Sorting.topn(
+      Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice")),
+      10, Seq(col("o_totalprice").desc))
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("star join broadcasts the dims (no shuffle of the fact table)") {
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    val joined = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand")).count()
+    val plan = executed(joined)
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n$plan")
+  }
+
+  test("partial aggregation happens map-side before the shuffle") {
+    val df = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    val plan = executed(df)
+    // two HashAggregate stages around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"plan:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipeline") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("x"))
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    val plan = executed(df)
+    assert(plan.contains("*(1) Project") && plan.contains("*(1) Filter"),
+      s"pipeline not fused into one codegen stage:\n$plan")
+  }
+
+  test("index read prunes row groups via pushed key-range predicate") {
+    val dir = "/root/repo/target/graft_io/audit_idx"
+    graft.sources.IndexedTable.build(
+      Tables.lineitem(spark, sf).select(col("l_partkey"), col("l_quantity")),
+      Seq("l_partkey"), dir)
+    val read = graft.sources.IndexedTable.keyedRead(spark, dir,
+      col("l_partkey").between(100, 120))
+    val plan = formatted(read)
+    assert(plan.contains("GreaterThanOrEqual(l_partkey,100)") &&
+      plan.contains("LessThanOrEqual(l_partkey,120)"), s"plan:\n$plan")
+  }
+}
