@@ -50,6 +50,35 @@ object Streams {
       .select(col("w.start").as("bucket"), col("n"), col("sum_value"))
   }
 
+  /** Custom stateful scan over a stream — the streaming analog of
+    * ITERATE/PROCESS (SURVEY §2.7→§2.12): per-key carried state via
+    * `flatMapGroupsWithState`. Emits one row per event with the running
+    * per-user event count and cumulative value (micros-exact).
+    */
+  def runningPerUser(events: DataFrame): org.apache.spark.sql.Dataset[
+      (Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val typed = events.select(
+      col("user_id").cast("long"), col("event_id").cast("long"),
+      (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
+        1000000).cast("long").as("micros"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (n, cum) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, eventId, micros) =>
+            n += 1; cum += micros
+            (user, eventId, n, cum)
+          }
+          state.update((n, cum))
+          out.iterator
+      }
+  }
+
   /** Per-user session windows (gap-based) — stream/batch symmetric. */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,
       watermark: String = "10 minutes"): DataFrame = {

@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("flatMapGroupsWithState running scan == batch window sum") {
+    import spark.implicits._
+    val batch = Tables.events(spark, sf).filter(col("user_id") < 10)
+    val expected = batch.select(col("user_id"), col("event_id"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
+          1000000).cast("long"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("event_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cum"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val stream = Streams.fileSource(spark, streamDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("user_id") < 10)
+    val q = Streams.runningPerUser(stream)
+      .toDF("user_id", "event_id", "n", "cum")
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("state_test")
+      .select(col("user_id"), col("event_id"), col("cum"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("session windows: stream == batch per user") {
     val batch = Tables.events(spark, sf)
       .filter(col("user_id") < 20)
