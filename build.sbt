@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 80+ codegen'd queries in one JVM overflow the default 240m code cache,
+  // silently disabling the JIT — CPU-bound stages then run interpreted.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
+  // 80+ queries enqueue hundreds of generated classes for compilation; with
+  // few compiler threads the queue backs up and hot loops run interpreted
+  // (25× observed). More C1/C2 threads drain the queue promptly.
+  "-XX:CICompilerCount=12",
 )
