@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.EmbeddingQueries.defs ++
     graft.queries.StdlibQueries.defs ++
     graft.queries.IoQueries.defs ++
-    graft.queries.ParseQueries.defs
+    graft.queries.ParseQueries.defs ++
+    graft.queries.StatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
