@@ -36,6 +36,33 @@ object Distribute {
       sortKeys: Seq[Column]): DataFrame =
     df.repartition(keys: _*).sortWithinPartitions(sortKeys: _*)
 
+  /** NWAYDISTRIBUTE (TAKnwaydistribute :1086, helper `include(row,
+    * targetNode)` :1974): predicate-routed distribution — each row goes to
+    * the partition(s) named by `targetExpr` (0-based). Needs an exact
+    * partitioner (hash repartition would scramble the mapping), so this is
+    * one of the few RDD drops. With `replicateAll` (SDFisall :1969) every
+    * row goes to ALL partitions.
+    */
+  def nwayRouted(df: DataFrame, targetExpr: Column, numPartitions: Int,
+      replicateAll: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val withTarget =
+      if (replicateAll)
+        df.withColumn("__t", explode(sequence(lit(0), lit(numPartitions - 1))))
+      else
+        df.withColumn("__t", pmod(targetExpr.cast("int"), lit(numPartitions)))
+    val nParts = numPartitions
+    val routed = withTarget.rdd
+      .map(r => (r.getInt(r.fieldIndex("__t")), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = nParts
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
+    spark.createDataFrame(routed, withTarget.schema).drop("__t")
+  }
+
   /** Salt a skewed key: append a random-ish but DETERMINISTIC salt derived
     * from other columns, spreading hot keys over `buckets` partitions.
     * Join the salted fact against a salt-exploded dimension.

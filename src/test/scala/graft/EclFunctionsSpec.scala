@@ -58,4 +58,16 @@ class EclFunctionsSpec extends SparkSpec {
     assert(df.select(findCount(col("s"), ".")).head.getInt(0) == 2)
     assert(df.select(findCount(col("s"), "a")).head.getInt(0) == 3)
   }
+
+  test("SQL registration exposes the ECL layer to spark.sql") {
+    graft.functions.Register.all(spark)
+    val r = spark.sql(
+      "SELECT ecl_hash32('foobar') AS h32, ecl_hash64('a') AS h64, " +
+      "ecl_clean_spaces('  a   b ') AS cs, " +
+      "ecl_date_t(DATE'1995-03-17') AS dt").head
+    assert(r.getInt(0) == 0xbf9cf968)
+    assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
+    assert(r.getString(2) == "a b")
+    assert(r.getInt(3) == 19950317)
+  }
 }

@@ -123,6 +123,18 @@ class OpsSpec extends SparkSpec {
     assert(Shape.nonempty(Seq(empty, empty)).count() == 0)
   }
 
+  test("nwayRouted sends each row exactly to its target partition") {
+    val df = (0 until 40).map(i => (i, i % 4)).toDF("v", "target")
+    val routed = Distribute.nwayRouted(df, col("target"), 4)
+    val placement = routed
+      .select(col("target"), spark_partition_id().as("p"))
+      .distinct().as[(Int, Int)].collect().toSet
+    assert(placement == Set((0, 0), (1, 1), (2, 2), (3, 3)))
+    // replicate-all: every partition holds every row (SDFisall)
+    val repl = Distribute.nwayRouted(df, col("target"), 3, replicateAll = true)
+    assert(repl.count() == 120)
+  }
+
   test("distribute co-locates keys (LOCAL ops see whole key groups)") {
     val df = (1 to 100).map(i => (i % 7, i)).toDF("k", "v")
     val parts = Distribute.byHash(df, Seq(col("k")), Some(4))
