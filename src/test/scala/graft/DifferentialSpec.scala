@@ -1,0 +1,84 @@
+package graft
+
+import graft.agg.Aggregators
+import graft.ops.{DedupRollup, Sorting}
+import org.apache.spark.sql.functions._
+
+/** Differential self-testing (SURVEY §5): where one capability has two
+  * independent lowerings, they must agree on real data — the same
+  * cross-checking idea as the reference's hthor/thor/roxie triple runs.
+  */
+class DifferentialSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DEDUP BEST: window lowering == typed-Aggregator lowering") {
+    val c = Tables.customer(spark, sf)
+    val viaWindow = DedupRollup.dedupBest(
+      c.select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_nationkey")),
+      Seq(col("c_acctbal").desc, col("c_custkey")))
+      .select(col("c_nationkey"), col("c_custkey"))
+      .as[(Int, Long)].collect().toSet
+    val best = udaf(Aggregators.BestByScore)
+    val viaAgg = c.groupBy(col("c_nationkey"))
+      // BestByScore ties by smaller id; mirror the window's (bal desc,
+      // custkey asc) order by negating nothing — score=bal, id=custkey
+      .agg(best(col("c_acctbal"), col("c_custkey")).as("c_custkey"))
+      .as[(Int, Long)].collect().toSet
+    assert(viaWindow == viaAgg)
+  }
+
+  test("ITERATE cumsum: mapPartitions fold == window running aggregate") {
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
+          1000000).cast("long").as("micros"))
+    val viaWindow = DedupRollup.runningAgg(e, Seq(col("user_id")),
+        Seq(col("ts"), col("event_id")), sum(col("micros")), "cum")
+      .select(col("user_id"), col("event_id"), col("cum"))
+      .as[(Long, Long, Long)].collect().toSet
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cum",
+        org.apache.spark.sql.types.LongType)))
+    val viaFold = DedupRollup.iterateGroups(e, Seq("user_id"),
+        Seq(col("ts"), col("event_id")), outSchema) { (prev, r) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+        prev.map(_.getLong(2)).getOrElse(0L) + r.getLong(3))
+    }.as[(Long, Long, Long)].collect().toSet
+    assert(viaWindow == viaFold)
+  }
+
+  test("DEDUP ALL: dropDuplicates == groupBy-min identity selection") {
+    val o = Tables.orders(spark, sf)
+    val a = DedupRollup.dedupAll(
+      o.select(col("o_custkey"), col("o_orderstatus")),
+      Seq("o_custkey", "o_orderstatus")).count()
+    val b = o.groupBy(col("o_custkey"), col("o_orderstatus")).count().count()
+    assert(a == b)
+  }
+
+  test("TOPN: TakeOrderedAndProject == sort-then-limit") {
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_totalprice"))
+    val fast = Sorting.topn(o, 25,
+      Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .as[(Long, Double)].collect().toSeq
+    val slow = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .collect().take(25).map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fast == slow)
+  }
+
+  test("SAMPLE formula == explicit position filter") {
+    val c = Tables.customer(spark, sf).select(col("c_custkey"))
+    val viaOp = Sorting.sample(c, 7, 3, Seq(col("c_custkey")))
+      .as[Long].collect().toSet
+    val keys = c.orderBy(col("c_custkey")).as[Long].collect()
+    val manual = keys.zipWithIndex
+      .filter { case (_, i) => (i + 1 - 3) % 7 == 0 && (i + 1) >= 3 }
+      .map(_._1).toSet
+    assert(viaOp == manual)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{EclFunctions, Fnv1a}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property tests for the ECL semantics layer (SURVEY §5 adoption:
+  * "property tests for semantics-layer functions mirroring the rtl unit
+  * tests"). Generated inputs run through real Spark plans in batches;
+  * plain ScalaCheck Gen sampling (the scalatest bridge artifact is not in
+  * the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val asciiStr = Gen.listOf(Gen.choose(' ', '~')).map(_.mkString)
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("fnv1a is prefix-composable: hash(a+b) folds from hash(a)") {
+    samples(Gen.zip(asciiStr, asciiStr), 200).foreach { case (a, b) =>
+      var h = Fnv1a.hash32(a.getBytes("UTF-8"))
+      b.getBytes("UTF-8").foreach(x => h = (h ^ (x & 0xff)) * Fnv1a.Prime32)
+      assert(h == Fnv1a.hash32((a + b).getBytes("UTF-8")))
+    }
+  }
+
+  test("eclSubstring always returns exactly the requested width") {
+    val cases = for {
+      s <- Gen.listOfN(8, Gen.alphaChar).map(_.mkString)
+      a <- Gen.choose(1, 12); len <- Gen.choose(1, 6)
+    } yield (s, a, a + len - 1)
+    val sample = Gen.listOfN(60, cases).sample.get
+    val df = sample.map(_._1).toDF("s")
+    sample.groupBy(c => (c._2, c._3)).foreach { case ((a, b), _) =>
+      val widths = df.select(length(EclFunctions.eclSubstring(col("s"), a, b)))
+        .as[Int].collect()
+      assert(widths.forall(_ == b - a + 1), s"[$a..$b] widths: ${widths.toSet}")
+    }
+  }
+
+  test("eclStrEq is blind to trailing spaces but not leading ones") {
+    val words = Gen.listOfN(40, Gen.alphaStr.suchThat(_.nonEmpty)).sample.get
+    val df = words.map(w => (w, w + "   ", " " + w)).toDF("w", "wt", "wl")
+    val r = df.select(
+      EclFunctions.eclStrEq(col("w"), col("wt")).as("t"),
+      EclFunctions.eclStrEq(col("w"), col("wl")).as("l")).collect()
+    assert(r.forall(_.getBoolean(0)))
+    assert(r.forall(!_.getBoolean(1)))
+  }
+
+  test("toFixedString is idempotent at the same width and always width-n") {
+    val strs = Gen.listOfN(50, asciiStr).sample.get
+    val df = strs.toDF("s")
+    val once = df.select(EclFunctions.toFixedString(col("s"), 10).as("f"))
+    val twice = once.select(EclFunctions.toFixedString(col("f"), 10).as("f"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+    assert(once.select(length(col("f"))).as[Int].collect().forall(_ == 10))
+  }
+
+  test("Date_t roundtrips through fromDateT for arbitrary valid dates") {
+    val dates = for {
+      y <- Gen.choose(1970, 2100); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+    } yield y * 10000 + m * 100 + d
+    val sample = Gen.listOfN(80, dates).sample.get
+    val df = sample.toDF("dt")
+    val back = df.select(EclFunctions.toDateT(
+      EclFunctions.fromDateT(col("dt"))).as("rt")).as[Int].collect()
+    assert(back.toSeq == sample)
+  }
+}
