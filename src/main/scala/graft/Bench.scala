@@ -54,6 +54,11 @@ object Bench {
     // generated classes flooding the JIT queue, first executions can run
     // partially interpreted (25× observed) — the second run measures the
     // engine, not the JVM's compile backlog.
+    import java.lang.management.ManagementFactory
+    import scala.jdk.CollectionConverters._
+    def poolUsage(nameFrag: String): Long =
+      ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains(nameFrag)).map(_.getUsage.getUsed).sum
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = names.map { case (name, fn) =>
       def once(): Double = {
@@ -64,12 +69,22 @@ object Bench {
       val t1 = once()
       // only retry slow first runs — bounds total wall time while still
       // filtering out compile-backlog / noisy-neighbor outliers
-      name -> (if (t1 > 5.0) math.min(t1, once()) else t1)
+      val t = if (t1 > 5.0) math.min(t1, once()) else t1
+      System.err.println(f"[bench] $name%-24s $t%8.2f s  codecache=${poolUsage("CodeHeap") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
+      // generated classes are per-query garbage once the query completes;
+      // collecting lets the JVM unload them and reclaim code cache before
+      // it fills and flushing starts evicting HOT methods (25× observed
+      // on late-alphabet queries in long runs)
+      System.gc()
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal times keep the whole JSON inside the driver's log-tail
+    // window — this line is the machine-read deliverable, nothing may
+    // print after it (build.sbt sets showSuccess := false for sbt)
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
