@@ -12,25 +12,37 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: per-group variants shuffle once on the group key and then
   * run embarrassingly parallel (window functions / sorted `flatMapGroups`).
-  * Whole-dataset ordered scans are inherently sequential — the run-id
-  * sessionization trick (`sum(changeFlag) over order`) keeps ROLLUP/DEDUP
-  * parallel after a single global sort, which is how they stay viable at
-  * 100 TB. Only a truly global ITERATE (carried state with no group key)
-  * degrades to a single-partition pass (SURVEY §7.4).
+  * Whole-dataset ordered scans stay parallel via [[Positions.scanSorted]]
+  * (range-partitioned sort + broadcast boundary state), which is how
+  * ROLLUP/DEDUP remain viable at 100 TB. Only a truly global ITERATE
+  * (carried state with no group key) degrades to a sequential pass
+  * (SURVEY §7.4).
   */
 object DedupRollup {
 
   /** DEDUP(ds, cond) on sorted input: remove ADJACENT rows whose keys equal
     * the previous row's (helper flags `HDFwholerecord/compareall` :1526).
-    * Lowered via lag() over the defining order — one shuffle for the sort.
+    * Scale-safe lowering ([[Positions.scanSorted]]): range-partitioned sort,
+    * then each partition compares against the previous partition's last key
+    * (broadcast boundary) — fully parallel, and the very first row is never
+    * a duplicate (there is no predecessor to equal).
     */
   def dedupAdjacent(df: DataFrame, keys: Seq[Column],
       order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    val sameAsPrev = keys.map(k => lag(k, 1).over(w) <=> k)
-      .reduce(_ && _)
-    df.withColumn("__dup", coalesce(sameAsPrev, lit(false)))
-      .filter(!col("__dup")).drop("__dup")
+    val (proj, keyCols) = Positions.withKeyCols(df, keys, "__dk")
+    val keyIdx = keyCols.map(proj.schema.fieldIndex)
+    Positions.scanSorted(proj, order, proj.schema)(
+      Positions.keyRunSummary(keyIdx))(
+      (Option.empty[Seq[Any]], 0L))(Positions.advanceKeyRun) {
+      case ((prevKeys, _), rows) =>
+        var prev = prevKeys
+        rows.filter { r =>
+          val k = keyIdx.map(r.get)
+          val keep = !prev.contains(k)
+          prev = Some(k)
+          keep
+        }
+    }.drop(keyCols: _*)
   }
 
   /** DEDUP(ds, key, ALL) / hash dedup (TAKhashdedup :906): compare all rows
@@ -56,18 +68,32 @@ object DedupRollup {
     dedupKeepN(df, keys, best, 1)
 
   /** Assign a run id to each maximal run of adjacent rows with equal keys —
-    * the sessionization primitive under ROLLUP and adjacent-DEDUP: runId =
-    * cumulative count of key-changes over the order. Parallel after one sort.
+    * the sessionization primitive under ROLLUP and adjacent-DEDUP. Scale-safe
+    * ([[Positions.scanSorted]]): pass 1 summarizes each sorted partition
+    * (boundary keys + internal run count), the driver folds the summaries
+    * into per-partition run-id offsets, pass 2 numbers the runs — parallel
+    * end to end, no single-partition window.
     */
   def runIds(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       runCol: String): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    val changed = keys.map(k => !(lag(k, 1).over(w) <=> k))
-      .reduce(_ || _)
-    df.withColumn("__chg", when(coalesce(changed, lit(true)), 1).otherwise(0))
-      .withColumn(runCol, sum(col("__chg")).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .drop("__chg")
+    val (proj, keyCols) = Positions.withKeyCols(df, keys, "__rk")
+    val keyIdx = keyCols.map(proj.schema.fieldIndex)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      proj.schema.fields :+ org.apache.spark.sql.types.StructField(
+        runCol, org.apache.spark.sql.types.LongType, nullable = false))
+    Positions.scanSorted(proj, order, outSchema)(
+      Positions.keyRunSummary(keyIdx))(
+      (Option.empty[Seq[Any]], 0L))(Positions.advanceKeyRun) {
+      case ((prevKeys, runsBefore), rows) =>
+        var prev = prevKeys
+        var run = runsBefore
+        rows.map { r =>
+          val k = keyIdx.map(r.get)
+          if (!prev.contains(k)) run += 1
+          prev = Some(k)
+          Row.fromSeq(r.toSeq :+ run)
+        }
+    }.drop(keyCols: _*)
   }
 
   /** ROLLUP(ds, cond, t(L,R)) where the transform is an associative fold

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.reflect.ClassTag
+
+/** Scale-safe global-order primitives.
+  *
+  * The reference's positional operators (SAMPLE/ENTH/QUANTILE/ds[n],
+  * PROJECT COUNTER, COMBINE, adjacent DEDUP/ROLLUP, filepos assignment —
+  * `rtl/include/eclhelper.hpp:1616,1622,1399,917,981,1535,1520`) all need a
+  * deterministic global row order. The naive Spark lowering —
+  * `row_number().over(Window.orderBy(...))` with no partitionBy — moves the
+  * ENTIRE dataset to one partition (Spark logs a warning), which is serial
+  * death at 100 TB.
+  *
+  * The scale-safe shape used here is the reference's own: a range-partitioned
+  * sort (sampled split points, same strategy as `thorlcr/msort/tsortm.cpp`)
+  * followed by a TWO-PASS per-partition scan:
+  *
+  *  - pass 1 computes a tiny per-partition summary (row count, boundary keys)
+  *    — one row per partition collected to the driver;
+  *  - the driver folds summaries in partition order into each partition's
+  *    initial state (cumulative offset, previous partition's last key);
+  *  - pass 2 re-scans each partition with its initial state broadcast.
+  *
+  * Both passes share the same shuffle stage (same RDD lineage), so the sort
+  * shuffle is written once; only the post-shuffle scan runs twice. Every
+  * stage is parallel across the cluster; driver traffic is O(#partitions).
+  */
+object Positions {
+
+  private def sortedByRange(df: DataFrame, order: Seq[Column]): DataFrame =
+    df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+
+  /** Generic two-pass ordered scan: `summarize` each sorted partition,
+    * fold summaries on the driver with `advance` (giving the state each
+    * partition starts from), then `emit` rows with that state.
+    */
+  def scanSorted[S: ClassTag, T: ClassTag](df: DataFrame, order: Seq[Column],
+      outSchema: StructType)(
+      summarize: Iterator[Row] => S)(
+      initial: T)(
+      advance: (T, S) => T)(
+      emit: (T, Iterator[Row]) => Iterator[Row]): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = sortedByRange(df, order).rdd
+    val summaries = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, summarize(it))))
+      .collect().sortBy(_._1).map(_._2)
+    // inits(i) = state accumulated over partitions 0..i-1
+    val inits = summaries.scanLeft(initial)(advance)
+    val bc = spark.sparkContext.broadcast(inits)
+    val out = rdd.mapPartitionsWithIndex((i, it) => emit(bc.value(i), it))
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** df sorted by `order` with a 1-based global position column appended —
+    * the scale-safe `row_number() OVER (ORDER BY ...)`: per-partition counts
+    * become cumulative offsets; position = offset + local index.
+    */
+  def withGlobalPosition(df: DataFrame, order: Seq[Column],
+      posCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(posCol, LongType, nullable = false))
+    scanSorted(df, order, outSchema)(
+      it => { var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n })(
+      0L)(_ + _) { (offset, rows) =>
+      var i = offset
+      rows.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }
+  }
+
+  /** Per-partition boundary summary for key-adjacency scans. */
+  private[ops] final case class KeyRun(
+      first: Option[Seq[Any]], last: Option[Seq[Any]], runs: Long)
+
+  private[ops] def keyRunSummary(keyIdx: Seq[Int])(
+      it: Iterator[Row]): KeyRun = {
+    var first: Seq[Any] = null
+    var last: Seq[Any] = null
+    var runs = 0L
+    while (it.hasNext) {
+      val k = keyIdx.map(it.next().get)
+      if (first == null) first = k
+      if (last == null || k != last) runs += 1
+      last = k
+    }
+    KeyRun(Option(first), Option(last), runs)
+  }
+
+  /** State carried into a partition by the key-adjacency fold: the last key
+    * of the preceding non-empty partition and the number of runs before it.
+    */
+  private[ops] def advanceKeyRun(state: (Option[Seq[Any]], Long),
+      s: KeyRun): (Option[Seq[Any]], Long) =
+    s.first match {
+      case None => state
+      case Some(f) =>
+        val continues = state._1.contains(f)
+        (s.last, state._2 + s.runs - (if (continues) 1 else 0))
+    }
+
+  /** Materialize key expressions as temp columns so pass-2 row lambdas can
+    * read them by index; returns (projected df, temp names).
+    */
+  private[ops] def withKeyCols(df: DataFrame, keys: Seq[Column],
+      prefix: String): (DataFrame, Seq[String]) = {
+    val names = keys.indices.map(i => s"$prefix$i")
+    (keys.zip(names).foldLeft(df) { case (d, (k, n)) => d.withColumn(n, k) },
+      names)
+  }
+}

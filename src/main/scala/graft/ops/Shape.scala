@@ -26,11 +26,26 @@ object Shape {
   /** MERGE(ds1, ds2, SORTED(keys) [, DEDUP]) (TAKmerge :937): ordered merge
     * of sorted inputs. In a declarative plan union+orderBy yields the same
     * ordered stream; Catalyst reuses the inputs' sortedness where possible.
+    *
+    * DEDUP collapses rows equal under the MERGE KEY comparator — not whole
+    * rows (the reference's CStreamMerger dedups via the sort-key compare,
+    * `IHThorMergeArg` :1639): key-equal rows with different payloads must
+    * still collapse to one survivor. `dedupKeys` names the key columns;
+    * the survivor is deterministic — the first row under `tiebreak` order
+    * (MERGE reads inputs in argument order, so callers pass an input-rank
+    * tiebreak to reproduce "first input wins").
     */
   def merge(dfs: Seq[DataFrame], keys: Seq[Column],
-      dedup: Boolean = false): DataFrame = {
+      dedup: Boolean = false, dedupKeys: Seq[String] = Nil,
+      tiebreak: Seq[Column] = Nil): DataFrame = {
     val u = funnel(dfs)
-    val d = if (dedup) u.dropDuplicates() else u
+    val d = if (!dedup) u else {
+      val kn = if (dedupKeys.nonEmpty) dedupKeys else u.columns.toSeq
+      val pick: Seq[Column] = if (tiebreak.nonEmpty) tiebreak else kn.map(col)
+      val w = Window.partitionBy(kn.map(col): _*).orderBy(pick: _*)
+      u.withColumn("__mrn", row_number().over(w))
+        .filter(col("__mrn") === 1).drop("__mrn")
+    }
     d.orderBy(keys: _*)
   }
 
@@ -42,15 +57,14 @@ object Shape {
     dfs.find(!_.isEmpty).getOrElse(dfs.last.limit(0))
 
   /** COMBINE(ds1, ds2, t(L,R)) (TAKcombine :981): POSITIONAL zip of two
-    * equal-length datasets. Spark has no ordered zip at the SQL layer;
-    * both sides get a row_number over their defining order and join on it.
-    * (An RDD zipPartitions path would avoid the shuffle but requires equal
-    * partitioning — the window form is the portable default.)
+    * equal-length datasets. Each side gets a scale-safe global position
+    * ([[Positions.withGlobalPosition]] — range-partitioned sort + broadcast
+    * offsets, never a single-partition window) and the sides equi-join on it.
     */
   def combine(l: DataFrame, lOrder: Seq[Column], r: DataFrame,
       rOrder: Seq[Column]): DataFrame = {
-    val lw = l.withColumn("__pos", row_number().over(Window.orderBy(lOrder: _*)))
-    val rw = r.withColumn("__pos", row_number().over(Window.orderBy(rOrder: _*)))
+    val lw = Positions.withGlobalPosition(l, lOrder, "__pos")
+    val rw = Positions.withGlobalPosition(r, rOrder, "__pos")
     lw.join(rw, "__pos").drop("__pos")
   }
 
@@ -68,9 +82,10 @@ object Shape {
     df.withColumn(as, explode(col(childCol))).drop(childCol)
 
   /** PROJECT(ds, t(LEFT, COUNTER)) (TAKcountproject :917): transform sees the
-    * 1-based global row position over `order`.
+    * 1-based global row position over `order` (scale-safe two-pass position,
+    * see [[Positions]]).
     */
   def countProject(df: DataFrame, order: Seq[Column],
       counterCol: String): DataFrame =
-    df.withColumn(counterCol, row_number().over(Window.orderBy(order: _*)))
+    Positions.withGlobalPosition(df, order, counterCol)
 }

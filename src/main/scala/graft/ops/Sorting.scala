@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * `thorlcr/msort/tsortm.cpp:227` master). TOPN lowers to
   * `orderBy.limit(n)` which Catalyst executes as TakeOrderedAndProject —
   * per-partition heaps + driver merge, no global shuffle. The positional ops
-  * (SAMPLE/ENTH) require a defined ordering; they compute `row_number` over
-  * an explicit sort — at 100 TB callers should prefer the per-group variants
-  * or key-derived deterministic predicates (`hash(key) % n`) which need no
-  * global order.
+  * (SAMPLE/ENTH/QUANTILE/ds[n]) require a defined global order; they use
+  * [[Positions.withGlobalPosition]] — a range-partitioned sort plus
+  * broadcast per-partition offsets — so every stage stays parallel (never a
+  * single-partition window).
   */
 object Sorting {
 
@@ -92,23 +92,19 @@ object Sorting {
     * 1-based) over the given order. Unlike df.sample this is exactly
     * reproducible (helper `getProportion/getSampleNumber` eclhelper.hpp:1616).
     */
-  def sample(df: DataFrame, n: Int, which: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+  def sample(df: DataFrame, n: Int, which: Int, order: Seq[Column]): DataFrame =
+    Positions.withGlobalPosition(df, order, "__rn")
       .filter((col("__rn") - which) % n === 0)
       .drop("__rn")
-  }
 
   /** ENTH(ds, num, den [, which]) — evenly-spaced num-out-of-den selection
     * (helper eclhelper.hpp:1622). Row r (1-based) is kept iff
     * (r * num) % den < num, matching the reference's even-spacing arithmetic.
     */
-  def enth(df: DataFrame, num: Long, den: Long, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+  def enth(df: DataFrame, num: Long, den: Long, order: Seq[Column]): DataFrame =
+    Positions.withGlobalPosition(df, order, "__rn")
       .filter((col("__rn") * num) % den < num)
       .drop("__rn")
-  }
 
   /** QUANTILE(ds, n, keys) — the n-quantile boundary rows: for i in 1..n-1
     * the row at position ceil(i * N / n) of the sort order (exact variant;
@@ -116,25 +112,22 @@ object Sorting {
     * with the division index.
     */
   def quantile(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(keys: _*)
-    val withRn = df
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__cnt", count(lit(1)).over(
-        Window.partitionBy()))
-    withRn
+    // total count is a cheap partial-agg job on the unsorted input; the
+    // boundary-row selection then filters on broadcast positions — no
+    // whole-dataset count window, no single-partition sort
+    val total = df.count()
+    Positions.withGlobalPosition(df, keys, "__rn")
       .withColumn("quantile",
         explode(sequence(lit(1), lit(n - 1))))
-      .filter(col("__rn") === ceil(col("quantile") * col("__cnt") / n))
-      .drop("__rn", "__cnt")
+      .filter(col("__rn") === ceil(col("quantile") * total / n))
+      .drop("__rn")
   }
 
   /** ds[n] — select the nth row (1-based) of the given order
     * (TAKselectn eclhelper.hpp:912).
     */
-  def selectNth(df: DataFrame, n: Int, order: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+  def selectNth(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    Positions.withGlobalPosition(df, order, "__rn")
       .filter(col("__rn") === n)
       .drop("__rn")
-  }
 }

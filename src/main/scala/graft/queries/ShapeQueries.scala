@@ -36,22 +36,34 @@ object ShapeQueries {
         .orderBy(col("o_orderkey"), col("tag"))
     },
 
-    // ---- FUNNEL + MERGE(SORTED, DEDUP) (TAKfunnel :903 / TAKmerge :937) --
+    // ---- FUNNEL + MERGE(SORTED, DEDUP) (TAKfunnel :903 / TAKmerge :937).
+    // DEDUP collapses rows equal under the MERGE KEY (not whole rows): the
+    // two inputs carry DIFFERENT payloads for overlapping keys, and the
+    // first input's row must survive (input-rank tiebreak) — the honest
+    // reference semantics (CStreamMerger dedups via the sort-key compare) --
     QueryDef("q62_funnel_merge",
-      """SELECT o_orderkey, o_orderpriority FROM (
-        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 250000
-        |  UNION
-        |  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
-        |    AND o_totalprice > 200000)
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_totalprice > 250000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'B-SIDE' AS o_orderpriority, 2 AS src
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+        |SELECT o_orderkey, o_orderpriority FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn
+        |  FROM u) WHERE rn = 1
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       val o = Tables.orders(s, dir)
       Shape.merge(
         Seq(
           o.filter(col("o_totalprice") > 250000)
-            .select(col("o_orderkey"), col("o_orderpriority")),
+            .select(col("o_orderkey"), col("o_orderpriority"), lit(1).as("src")),
           o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
-            .select(col("o_orderkey"), col("o_orderpriority"))),
-        Seq(col("o_orderkey")), dedup = true)
+            .select(col("o_orderkey"), lit("B-SIDE").as("o_orderpriority"),
+              lit(2).as("src"))),
+        Seq(col("o_orderkey")), dedup = true,
+        dedupKeys = Seq("o_orderkey"), tiebreak = Seq(col("src")))
+        .drop("src")
     },
 
     // ---- NONEMPTY (TAKnonempty :1008) ------------------------------------

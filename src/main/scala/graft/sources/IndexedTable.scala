@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** INDEX / BUILD / keyed read / KEYED JOIN / FETCH (SURVEY §2.1, §2.4,
@@ -35,8 +34,10 @@ object IndexedTable {
     */
   def buildWithFilepos(df: DataFrame, keys: Seq[String], basePath: String,
       indexPath: String): Unit = {
-    val w = Window.orderBy(keys.map(col): _*)
-    val withPos = df.withColumn("__filepos", row_number().over(w).cast("long"))
+    // scale-safe filepos assignment: range-partitioned sort + broadcast
+    // per-partition offsets (never a single-partition window)
+    val withPos = graft.ops.Positions.withGlobalPosition(
+      df, keys.map(col), "__filepos")
     withPos.write.mode("overwrite").parquet(basePath)
     withPos.select((keys.map(col) :+ col("__filepos")): _*)
       .repartitionByRange(keys.map(col): _*)

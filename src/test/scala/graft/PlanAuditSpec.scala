@@ -65,6 +65,25 @@ class PlanAuditSpec extends SparkSpec {
       s"pipeline not fused into one codegen stage:\n$plan")
   }
 
+  test("positional ops never plan a single-partition window") {
+    // SAMPLE/ENTH/ds[n]/COUNTER/dedupAdjacent/runIds lower through
+    // Positions.scanSorted (range sort + broadcast offsets); a bare
+    // Window.orderBy would move the whole dataset to ONE partition
+    val c = Tables.customer(spark, sf).select(col("c_custkey"), col("c_name"))
+    val plans = Seq(
+      "sample" -> graft.ops.Sorting.sample(c, 10, 2, Seq(col("c_custkey"))),
+      "countProject" -> graft.ops.Shape.countProject(c,
+        Seq(col("c_custkey")), "counter"),
+      "dedupAdjacent" -> graft.ops.DedupRollup.dedupAdjacent(c,
+        Seq(col("c_name")), Seq(col("c_name"), col("c_custkey"))),
+      "runIds" -> graft.ops.DedupRollup.runIds(c,
+        Seq(col("c_name")), Seq(col("c_name"), col("c_custkey")), "run"))
+    plans.foreach { case (name, df) =>
+      val plan = executed(df)
+      assert(!plan.contains("Window"), s"$name plans a window:\n$plan")
+    }
+  }
+
   test("index read prunes row groups via pushed key-range predicate") {
     val dir = "/root/repo/target/graft_io/audit_idx"
     graft.sources.IndexedTable.build(
