@@ -56,9 +56,12 @@ object Bench {
     // engine, not the JVM's compile backlog.
     import java.lang.management.ManagementFactory
     import scala.jdk.CollectionConverters._
-    def poolUsage(nameFrag: String): Long =
+    // segmented code cache names pools "CodeHeap '...'"; with
+    // -XX:-SegmentedCodeCache there is a single "CodeCache" pool
+    def poolUsage(nameFrags: String*): Long =
       ManagementFactory.getMemoryPoolMXBeans.asScala
-        .filter(_.getName.contains(nameFrag)).map(_.getUsage.getUsed).sum
+        .filter(p => nameFrags.exists(p.getName.contains))
+        .map(_.getUsage.getUsed).sum
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = names.map { case (name, fn) =>
       def once(): Double = {
@@ -70,7 +73,7 @@ object Bench {
       // only retry slow first runs — bounds total wall time while still
       // filtering out compile-backlog / noisy-neighbor outliers
       val t = if (t1 > 5.0) math.min(t1, once()) else t1
-      System.err.println(f"[bench] $name%-24s $t%8.2f s  codecache=${poolUsage("CodeHeap") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
+      System.err.println(f"[bench] $name%-24s $t%8.2f s  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
       // generated classes are per-query garbage once the query completes;
       // collecting lets the JVM unload them and reclaim code cache before
       // it fills and flushing starts evicting HOT methods (25× observed
@@ -80,11 +83,15 @@ object Bench {
     }
     // 3-decimal times keep the whole JSON inside the driver's log-tail
     // window — this line is the machine-read deliverable, nothing may
-    // print after it (build.sbt sets showSuccess := false for sbt)
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // print after it (build.sbt sets showSuccess := false for sbt).
+    // Locale.ROOT: the f-interpolator uses the default locale, which in
+    // comma-decimal locales would emit invalid JSON ("q01":1,234)
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -82,7 +82,7 @@ object EclFunctions {
   import org.apache.spark.sql.GraftBridge
 
   def hash32(c: Column): Column =
-    GraftBridge.column(Fnv1a32(GraftBridge.expression(c.cast("string"))))
+    GraftBridge.column(EclHash32(GraftBridge.expression(c.cast("string"))))
   def hash64(c: Column): Column =
-    GraftBridge.column(Fnv1a64(GraftBridge.expression(c.cast("string"))))
+    GraftBridge.column(EclHash64(GraftBridge.expression(c.cast("string"))))
 }

@@ -13,10 +13,15 @@ object Register {
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // explicit cast to string: the expressions hash UTF-8 bytes, so a raw
+    // non-string argument (ecl_hash32(42)) must be stringified first —
+    // matching EclFunctions.hash32/64's column path
     reg.createOrReplaceTempFunction("ecl_hash32",
-      exprs => Fnv1a32(exprs.head), "scala_udf")
+      exprs => EclHash32(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.StringType)), "scala_udf")
     reg.createOrReplaceTempFunction("ecl_hash64",
-      exprs => Fnv1a64(exprs.head), "scala_udf")
+      exprs => EclHash64(org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.StringType)), "scala_udf")
     spark.udf.register("ecl_clean_spaces",
       (s: String) => if (s == null) null
         else s.trim.replaceAll("\\s+", " "))

@@ -160,10 +160,39 @@ object StdlibQueries {
         .orderBy(col("o_orderkey"))
     },
 
-    // ---- HASH32/HASH64: ECL FNV-1a via native codegen Expression.
-    // No portable SQL analog → rows-only driver check; exact vectors are
-    // asserted in Fnv1aSpec. ------------------------------------------------
-    QueryDef.noOracle("q106_ecl_hash") { (s, dir) =>
+    // ---- HASH32/HASH64: reference FNV-1 (multiply-then-xor, trailing-space
+    // trim — eclrtl.cpp APPLY_FNV32/64 + rtlHash32VStr) via native codegen
+    // Expression. Oracle reimplements FNV-1 in DuckDB with list_reduce over
+    // codepoints (ASCII input) — wraparound multiply done in HUGEINT, state
+    // kept as signed BIGINT to mirror JVM long overflow. Exact vectors are
+    // additionally asserted in EclHashSpec. ---------------------------------
+    QueryDef("q106_ecl_hash", {
+      // unsigned-64 wraparound multiply of the signed-BIGINT state h:
+      // lift to HUGEINT (+2^64 if negative), multiply, mod 2^64
+      val mul64 =
+        """((CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT
+          |       ELSE CAST(h AS HUGEINT) END) * 1099511628211)
+          |  % 18446744073709551616::HUGEINT""".stripMargin
+      s"""WITH b AS (
+         |  SELECT n_nationkey,
+         |    list_transform(list_filter(string_split(rtrim(n_name), ''), c -> c <> ''),
+         |      c -> CAST(unicode(c) AS BIGINT)) AS bytes
+         |  FROM nation)
+         |SELECT n_nationkey,
+         |  CAST(CASE WHEN h32 >= 2147483648 THEN h32 - 4294967296 ELSE h32 END
+         |    AS INTEGER) AS h32,
+         |  h64
+         |FROM (
+         |  SELECT n_nationkey,
+         |    list_reduce(list_concat([CAST(2166136261 AS BIGINT)], bytes),
+         |      (h, x) -> xor((h * 16777619) % 4294967296, x)) AS h32,
+         |    list_reduce(list_concat([CAST(-3750763034362895579 AS BIGINT)], bytes),
+         |      (h, x) -> xor(CAST(CASE WHEN $mul64 >= 9223372036854775808::HUGEINT
+         |                              THEN $mul64 - 18446744073709551616::HUGEINT
+         |                              ELSE $mul64 END AS BIGINT), x)) AS h64
+         |  FROM b)
+         |ORDER BY n_nationkey""".stripMargin
+    }) { (s, dir) =>
       Tables.nation(s, dir).select(col("n_nationkey"),
         EclFunctions.hash32(col("n_name")).as("h32"),
         EclFunctions.hash64(col("n_name")).as("h64"))

@@ -30,9 +30,16 @@ object Soapcall {
       timeoutMs: Long = 30000)
 
   /** SOAPCALL(ds, url, svc, t) dataset→dataset: each row's `payload` column
-    * is POSTed; the response lands in `responseCol`. Retries with backoff;
-    * per-partition parallelism is bounded by a work queue (not one thread
-    * per row).
+    * is POSTed; the response lands in `responseCol`.
+    *
+    * Scale/robustness contract:
+    *  - BOUNDED in-flight window: at most `cfg.parallelism` requests ahead
+    *    of the consumer (never the whole partition buffered);
+    *  - the pool is owned by the TASK (`TaskContext` completion listener),
+    *    so a downstream `limit()` that stops consuming cannot leak threads;
+    *  - `cfg.timeoutMs` bounds each ATTEMPT; retries each get a fresh
+    *    deadline plus backoff (the reference's per-call timeout semantics,
+    *    `thorsoapcall.cpp` WSCMode workers).
     */
   def callPerRow(df: DataFrame, cfg: Config, payloadCol: String,
       responseCol: String)(transport: Transport): DataFrame = {
@@ -42,29 +49,45 @@ object Soapcall {
     df.mapPartitions { rows =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.parallelism)
       implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futures = rows.map { r =>
-        val payload = r.getString(payloadIdx)
-        (r, scala.concurrent.Future {
-          var attempt = 0
-          var result: String = null
-          var lastErr: Throwable = null
-          while (result == null && attempt <= cfg.retries) {
-            try result = transport(cfg.url, payload)
-            catch { case t: Throwable => lastErr = t; attempt += 1
-              Thread.sleep(math.min(1000L << attempt, 8000L)) }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+
+      def oneAttempt(payload: String): Future[String] =
+        Future(transport(cfg.url, payload))
+      // happy path is pipelined (first attempt pre-submitted); retries run
+      // on the consumer thread with a fresh per-attempt deadline
+      def awaitWithRetry(payload: String, first: Future[String]): String = {
+        var f = first
+        var attempt = 0
+        while (attempt < Int.MaxValue) {
+          try return Await.result(f, Duration(cfg.timeoutMs, "ms"))
+          catch { case t: Throwable =>
+            if (attempt >= cfg.retries) throw t
+            attempt += 1
+            Thread.sleep(math.min(250L << attempt, 4000L))
+            f = oneAttempt(payload)
           }
-          if (result == null) throw lastErr
-          result
-        })
-      }.toVector // materialize to submit all work before awaiting
-      val out = futures.iterator.map { case (r, f) =>
-        val resp = scala.concurrent.Await.result(f,
-          scala.concurrent.duration.Duration(cfg.timeoutMs, "ms"))
-        Row.fromSeq(r.toSeq :+ resp)
+        }
+        throw new IllegalStateException("unreachable")
       }
+
+      val inflight =
+        scala.collection.mutable.Queue.empty[(Row, String, Future[String])]
       new Iterator[Row] {
-        def hasNext: Boolean = { val h = out.hasNext; if (!h) pool.shutdown(); h }
-        def next(): Row = out.next()
+        private def fill(): Unit =
+          while (inflight.size < cfg.parallelism && rows.hasNext) {
+            val r = rows.next()
+            val p = r.getString(payloadIdx)
+            inflight.enqueue((r, p, oneAttempt(p)))
+          }
+        def hasNext: Boolean = { fill(); inflight.nonEmpty }
+        def next(): Row = {
+          fill()
+          val (r, p, f) = inflight.dequeue()
+          Row.fromSeq(r.toSeq :+ awaitWithRetry(p, f))
+        }
       }
     }(Encoders.row(outSchema))
   }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   *
   * All hashing is md5-based so results are engine-portable (the DuckDB
   * oracle computes the identical value); the ECL-native FNV hashes
-  * (graft.functions.Fnv1a) are the faster non-portable alternative.
+  * (graft.functions.EclHash) are the faster non-portable alternative.
   *
   * Scale notes: every op here is a scan + groupBy/join on derived keys —
   * no global order required anywhere, so everything shuffles on content

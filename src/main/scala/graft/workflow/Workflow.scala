@@ -19,8 +19,11 @@ object Workflow {
     val fp = java.lang.Integer.toHexString(
       df.queryExecution.optimizedPlan.canonicalized.semanticHash())
     val path = s"$store/$name-$fp"
-    val marker = new java.io.File(s"$path/_SUCCESS")
-    if (!marker.exists()) df.write.mode("overwrite").parquet(path)
+    // Hadoop FileSystem API, not java.io.File: the persist store lives on
+    // whatever filesystem the URI names (HDFS/S3/local) in a cluster deploy
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{EclFunctions, Fnv1a}
+import graft.functions.{EclFunctions, EclHash}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
@@ -18,11 +18,14 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
-  test("fnv1a is prefix-composable: hash(a+b) folds from hash(a)") {
+  test("fnv1 is prefix-composable: hash(a+b) folds from hash(a)") {
     samples(Gen.zip(asciiStr, asciiStr), 200).foreach { case (a, b) =>
-      var h = Fnv1a.hash32(a.getBytes("UTF-8"))
-      b.getBytes("UTF-8").foreach(x => h = (h ^ (x & 0xff)) * Fnv1a.Prime32)
-      assert(h == Fnv1a.hash32((a + b).getBytes("UTF-8")))
+      val ab = a.getBytes("UTF-8")
+      var h = EclHash.hash32(ab, ab.length)
+      // FNV-1: multiply FIRST, then xor (APPLY_FNV32, eclrtl.cpp:3906)
+      b.getBytes("UTF-8").foreach(x => h = (h * EclHash.Prime32) ^ (x & 0xff))
+      val full = (a + b).getBytes("UTF-8")
+      assert(h == EclHash.hash32(full, full.length))
     }
   }
 

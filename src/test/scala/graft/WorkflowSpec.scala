@@ -25,6 +25,23 @@ class WorkflowSpec extends SparkSpec {
     assert(new java.io.File(store).list().size == dirs1.size + 1)
   }
 
+  test("persist store accepts filesystem URIs (Hadoop FileSystem, not java.io)") {
+    val store = "file:///root/repo/target/graft_io/test_persist_uri"
+    val local = "/root/repo/target/graft_io/test_persist_uri"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(local))
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    assert(Workflow.persist(df, store, "t").count() == 2)
+    val dirs1 = new java.io.File(local).list().toSet
+    assert(dirs1.nonEmpty)
+    // same plan through the URI store → marker seen → no rebuild
+    Workflow.persist(Seq((1, "a"), (2, "b")).toDF("k", "v"), store, "t")
+    assert(new java.io.File(local).list().toSet == dirs1)
+  }
+
   test("loopN iterates the body n times with checkpointing") {
     val df = Seq(1, 2).toDF("x")
     val out = Workflow.loopN(df, 5, checkpointEvery = 2) { (d, _) =>
