@@ -31,13 +31,15 @@ object DedupRollup {
       order: Seq[Column]): DataFrame = {
     val (proj, keyCols) = Positions.withKeyCols(df, keys, "__dk")
     val keyIdx = keyCols.map(proj.schema.fieldIndex)
-    Positions.scanSorted(proj, order, proj.schema)(
+    // keys appended to the sort: rows tied under `order` settle in the same
+    // key-adjacency in BOTH scan passes (see Positions.scanSorted contract)
+    Positions.scanSorted(proj, order ++ keyCols.map(col), proj.schema)(
       Positions.keyRunSummary(keyIdx))(
       (Option.empty[Seq[Any]], 0L))(Positions.advanceKeyRun) {
       case ((prevKeys, _), rows) =>
         var prev = prevKeys
         rows.filter { r =>
-          val k = keyIdx.map(r.get)
+          val k = Positions.keyOf(r, keyIdx)
           val keep = !prev.contains(k)
           prev = Some(k)
           keep
@@ -81,14 +83,14 @@ object DedupRollup {
     val outSchema = org.apache.spark.sql.types.StructType(
       proj.schema.fields :+ org.apache.spark.sql.types.StructField(
         runCol, org.apache.spark.sql.types.LongType, nullable = false))
-    Positions.scanSorted(proj, order, outSchema)(
+    Positions.scanSorted(proj, order ++ keyCols.map(col), outSchema)(
       Positions.keyRunSummary(keyIdx))(
       (Option.empty[Seq[Any]], 0L))(Positions.advanceKeyRun) {
       case ((prevKeys, runsBefore), rows) =>
         var prev = prevKeys
         var run = runsBefore
         rows.map { r =>
-          val k = keyIdx.map(r.get)
+          val k = Positions.keyOf(r, keyIdx)
           if (!prev.contains(k)) run += 1
           prev = Some(k)
           Row.fromSeq(r.toSeq :+ run)
@@ -133,7 +135,7 @@ object DedupRollup {
       var prevKey: Seq[Any] = null
       var prev: Option[Row] = None
       rows.map { r =>
-        val k = keyIdx.map(r.get)
+        val k = Positions.keyOf(r, keyIdx)
         if (k != prevKey) { prev = None; prevKey = k }
         val out = fold(prev, r)
         prev = Some(out)

@@ -37,6 +37,15 @@ object Positions {
   /** Generic two-pass ordered scan: `summarize` each sorted partition,
     * fold summaries on the driver with `advance` (giving the state each
     * partition starts from), then `emit` rows with that state.
+    *
+    * Determinism contract: both passes share one RDD lineage (one shuffle
+    * write, deterministic range bounds), but shuffle-read block order can
+    * differ between the two post-shuffle sorts, so rows TIED under `order`
+    * may settle differently in pass 2 than in pass 1. Callers whose
+    * summaries depend on more than the row count (key-adjacency scans)
+    * must pass an `order` that pins everything the summary reads — the
+    * key-scan entry points below append the key columns to the sort for
+    * exactly this reason.
     */
   def scanSorted[S: ClassTag, T: ClassTag](df: DataFrame, order: Seq[Column],
       outSchema: StructType)(
@@ -72,6 +81,21 @@ object Positions {
     }
   }
 
+  /** Normalize a key value for Scala equality: `Row.get` returns
+    * `Array[Byte]` for BinaryType, whose `equals` is reference identity —
+    * raw arrays in a key Seq would make every binary key compare distinct.
+    * Wrapping in an immutable ArraySeq restores content equality (Spark's
+    * own null-safe semantic equality for binary compares bytes).
+    */
+  private[ops] def normKey(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case other => other
+  }
+
+  /** Read the key tuple of one row (normalized for value equality). */
+  private[ops] def keyOf(r: Row, keyIdx: Seq[Int]): Seq[Any] =
+    keyIdx.map(i => normKey(r.get(i)))
+
   /** Per-partition boundary summary for key-adjacency scans. */
   private[ops] final case class KeyRun(
       first: Option[Seq[Any]], last: Option[Seq[Any]], runs: Long)
@@ -82,7 +106,10 @@ object Positions {
     var last: Seq[Any] = null
     var runs = 0L
     while (it.hasNext) {
-      val k = keyIdx.map(it.next().get)
+      // evaluate the row ONCE, then index it (a keyIdx.map(r.get) over a
+      // shared it.next() prefix would consume one row per key column)
+      val r = it.next()
+      val k = keyOf(r, keyIdx)
       if (first == null) first = k
       if (last == null || k != last) runs += 1
       last = k

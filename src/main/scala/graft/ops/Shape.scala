@@ -41,7 +41,15 @@ object Shape {
     val u = funnel(dfs)
     val d = if (!dedup) u else {
       val kn = if (dedupKeys.nonEmpty) dedupKeys else u.columns.toSeq
-      val pick: Seq[Column] = if (tiebreak.nonEmpty) tiebreak else kn.map(col)
+      // default tiebreak: the non-key columns — ordering by the partition
+      // keys alone is constant within the window, so row_number()=1 would
+      // pick a run-to-run nondeterministic survivor among key-equal rows
+      // with different payloads
+      val rest = u.columns.filterNot(kn.contains).map(col).toSeq
+      val pick: Seq[Column] =
+        if (tiebreak.nonEmpty) tiebreak
+        else if (rest.nonEmpty) rest
+        else kn.map(col)
       val w = Window.partitionBy(kn.map(col): _*).orderBy(pick: _*)
       u.withColumn("__mrn", row_number().over(w))
         .filter(col("__mrn") === 1).drop("__mrn")

@@ -47,24 +47,32 @@ object Soapcall {
       StructField(responseCol, StringType))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
+      import java.util.concurrent.{Callable, ExecutionException, Future => JFuture, TimeUnit}
       val pool = java.util.concurrent.Executors.newFixedThreadPool(cfg.parallelism)
-      implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
 
-      def oneAttempt(payload: String): Future[String] =
-        Future(transport(cfg.url, payload))
+      def oneAttempt(payload: String): JFuture[String] =
+        pool.submit(new Callable[String] {
+          def call(): String = transport(cfg.url, payload)
+        })
       // happy path is pipelined (first attempt pre-submitted); retries run
-      // on the consumer thread with a fresh per-attempt deadline
-      def awaitWithRetry(payload: String, first: Future[String]): String = {
+      // on the consumer thread with a fresh per-attempt deadline. A failed
+      // or timed-out attempt is cancel(true)'d so a hung transport call is
+      // interrupted and its pool thread freed — otherwise a few dead
+      // endpoints would turn every worker into a zombie and starve retries
+      // out of their own deadline while queued.
+      def awaitWithRetry(payload: String, first: JFuture[String]): String = {
         var f = first
         var attempt = 0
         while (attempt < Int.MaxValue) {
-          try return Await.result(f, Duration(cfg.timeoutMs, "ms"))
+          try return f.get(cfg.timeoutMs, TimeUnit.MILLISECONDS)
           catch { case t: Throwable =>
-            if (attempt >= cfg.retries) throw t
+            f.cancel(true)
+            if (attempt >= cfg.retries) throw (t match {
+              case e: ExecutionException if e.getCause != null => e.getCause
+              case e => e
+            })
             attempt += 1
             Thread.sleep(math.min(250L << attempt, 4000L))
             f = oneAttempt(payload)
@@ -74,7 +82,7 @@ object Soapcall {
       }
 
       val inflight =
-        scala.collection.mutable.Queue.empty[(Row, String, Future[String])]
+        scala.collection.mutable.Queue.empty[(Row, String, JFuture[String])]
       new Iterator[Row] {
         private def fill(): Unit =
           while (inflight.size < cfg.parallelism && rows.hasNext) {
