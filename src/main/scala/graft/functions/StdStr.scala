@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Pattern/filter/separator arguments are literal Strings (as in ECL, where
   * they are almost always compile-time constants) — this lets us translate
   * wildcards/character classes to regexes at plan-build time instead of per
-  * row. Edge-case semantics mirror `ecllibrary/teststd/str/*.ecl` and are
+  * row. Edge-case semantics mirror the `ecllibrary/teststd/str` tests and are
   * asserted in StdStrSpec.
   */
 object StdStr {
@@ -213,7 +213,7 @@ object StdStr {
 
   /** Std.Str.FindWord (`Str.ecl:390`): whole-word membership. */
   def findWord(src: Column, word: Column, ignoreCase: Boolean = false): Column =
-    if (ignoreCase) array_contains(transform(wsWords(src), lower), lower(word))
+    if (ignoreCase) array_contains(transform(wsWords(src), lower(_)), lower(word))
     else array_contains(wsWords(src), word)
 
   /** Std.Str.EditDistanceWithinRadius (`Str.ecl:326`); EditDistance itself
