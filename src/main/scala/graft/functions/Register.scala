@@ -1,6 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface registration: expose the ECL function layer to
   * `spark.sql(...)` so published/ad-hoc SQL queries can call it (the
@@ -11,8 +13,60 @@ import org.apache.spark.sql.SparkSession
   */
 object Register {
 
+  /** StdStr's pattern/separator args are plan-time literals (as in ECL);
+    * fold the argument expression to recover them at registration time.
+    */
+  private def litStr(e: Expression): String = e.eval() match {
+    case null              => ""
+    case s: UTF8String     => s.toString
+    case other             => other.toString
+  }
+  private def litInt(e: Expression): Int = e.eval() match {
+    case n: Number => n.intValue
+    case other     => other.toString.toInt
+  }
+  private def litBool(e: Expression): Boolean = e.eval() match {
+    case b: java.lang.Boolean => b.booleanValue
+    case other                => other.toString.toBoolean
+  }
+  private def c(e: Expression): Column = GraftBridge.column(e)
+
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+
+    // Std.Str surface for spark.sql(...): composed built-in Columns, so the
+    // SQL path codegens identically to the Column path.
+    def registerColumnFn(name: String)(build: Seq[Expression] => Column): Unit =
+      reg.createOrReplaceTempFunction(name,
+        exprs => GraftBridge.resolvedExpression(build(exprs)), "scala_udf")
+
+    registerColumnFn("std_str_wildmatch") { e =>
+      StdStr.wildMatch(c(e(0)), litStr(e(1)), if (e.size > 2) litBool(e(2)) else false)
+    }
+    registerColumnFn("std_str_contains") { e =>
+      StdStr.strContains(c(e(0)), litStr(e(1)), if (e.size > 2) litBool(e(2)) else false)
+    }
+    registerColumnFn("std_str_extract") { e =>
+      StdStr.extract(c(e(0)), litInt(e(1)))
+    }
+    registerColumnFn("std_str_count_words") { e =>
+      StdStr.countWords(c(e(0)), litStr(e(1)), if (e.size > 2) litBool(e(2)) else false)
+    }
+    registerColumnFn("std_str_get_nth_word") { e =>
+      StdStr.getNthWord(c(e(0)), litInt(e(1)))
+    }
+    registerColumnFn("std_str_find_replace") { e =>
+      StdStr.findReplace(c(e(0)), litStr(e(1)), litStr(e(2)))
+    }
+    registerColumnFn("std_str_to_capital_case") { e => StdStr.toCapitalCase(c(e(0))) }
+    registerColumnFn("std_str_to_title_case") { e => StdStr.toTitleCase(c(e(0))) }
+    registerColumnFn("std_str_common_prefix") { e => StdStr.commonPrefix(c(e(0)), c(e(1))) }
+    registerColumnFn("std_str_edit_distance_within_radius") { e =>
+      StdStr.editDistanceWithinRadius(c(e(0)), c(e(1)), litInt(e(2)))
+    }
+    registerColumnFn("std_str_equal_ignore_case") { e =>
+      StdStr.equalIgnoreCase(c(e(0)), c(e(1)))
+    }
     // explicit cast to string: the expressions hash UTF-8 bytes, so a raw
     // non-string argument (ecl_hash32(42)) must be stringified first —
     // matching EclFunctions.hash32/64's column path

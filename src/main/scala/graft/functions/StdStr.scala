@@ -230,9 +230,12 @@ object StdStr {
   def fromHexPairs(hexPairs: Column): Column = unhex(hexPairs)
 
   /** Std.Str.EncodeBase64 (`Str.ecl:440`): optional MIME line folding
-    * (LF every 76 chars) to match the reference's stream encoder. */
+    * (LF every 76 chars) to match the reference's stream encoder. Spark's
+    * own `base64` may emit CRLF MIME chunking — normalize to unchunked
+    * first so the folding (and its absence) is ours.
+    */
   def encodeBase64(data: Column, insertLF: Boolean = true): Column = {
-    val b = base64(data)
+    val b = regexp_replace(base64(data), "[\\r\\n]", "")
     if (!insertLF) b
     else rtrim(regexp_replace(b, "(.{76})", "$1\n"), "\n")
   }

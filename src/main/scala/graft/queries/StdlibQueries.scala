@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.EclFunctions
+import graft.functions.{EclFunctions, StdStr}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -44,6 +44,100 @@ object StdlibQueries {
         col("p_type").endsWith("d").as("ew"),
         base64(encode(col("p_brand"), "UTF-8")).as("b64"),
         trim(col("p_name")).as("trimmed"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- Std.Str breadth (graft.functions.StdStr): matching/compare ------
+    QueryDef("q107_str_match",
+      """SELECT p_partkey,
+        |  (p_name LIKE '%green%') AS has_green,
+        |  regexp_full_match(p_name, 's.ow.*') AS snow,
+        |  (length(p_name) - length(replace(p_name, 'a', '')) >= 2) AS two_a,
+        |  (lower(rtrim(p_brand)) = 'brand#11') AS eqic,
+        |  CAST(CASE WHEN lower(rtrim(p_brand)) < 'brand#23' THEN -1
+        |            WHEN lower(rtrim(p_brand)) > 'brand#23' THEN 1
+        |            ELSE 0 END AS INTEGER) AS cmpic,
+        |  starts_with(p_name, 'bl') AS sw,
+        |  ends_with(rtrim(p_name), 'red') AS ew,
+        |  CASE WHEN ends_with(rtrim(p_type), 'STEEL')
+        |       THEN substr(rtrim(p_type), 1, length(rtrim(p_type)) - 5)
+        |       ELSE p_type END AS nosfx,
+        |  replace(p_type, 'BRUSHED', 'B.') AS fr,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS subin,
+        |  regexp_replace(p_name, '[^aeiou ]', '#', 'g') AS subex
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        StdStr.wildMatch(col("p_name"), "*green*", ignoreCase = false).as("has_green"),
+        StdStr.wildMatch(col("p_name"), "s?ow*", ignoreCase = false).as("snow"),
+        StdStr.strContains(col("p_name"), "aa", ignoreCase = false).as("two_a"),
+        StdStr.equalIgnoreCase(col("p_brand"), lit("brand#11 ")).as("eqic"),
+        StdStr.compareIgnoreCase(col("p_brand"), lit("BRAND#23")).cast("int").as("cmpic"),
+        StdStr.startsWith(col("p_name"), lit("bl ")).as("sw"),
+        StdStr.endsWith(col("p_name"), lit("red ")).as("ew"),
+        StdStr.removeSuffix(col("p_type"), lit("STEEL")).as("nosfx"),
+        StdStr.findReplace(col("p_type"), "BRUSHED", "B.").as("fr"),
+        StdStr.substituteIncluded(col("p_name"), "aeiou", "_").as("subin"),
+        StdStr.substituteExcluded(col("p_name"), "aeiou ", "#").as("subex"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- Std.Str breadth: word family -------------------------------------
+    QueryDef("q108_str_words",
+      """SELECT p_partkey,
+        |  CAST(CASE WHEN length(p_name) = 0 THEN 0
+        |       ELSE len(list_filter(string_split(p_name, ' '), x -> x <> ''))
+        |       END AS INTEGER) AS nwords,
+        |  CAST(len(list_filter(regexp_split_to_array(p_name, '\s+'),
+        |       x -> x <> '')) AS INTEGER) AS wc,
+        |  coalesce(list_filter(regexp_split_to_array(p_name, '\s+'),
+        |       x -> x <> '')[2], '') AS w2,
+        |  regexp_replace(p_name, '^\s*\S+\s*', '') AS no1,
+        |  regexp_replace(p_name, '^\s*\S+\s*$|\S+\s*$', '') AS nolast,
+        |  regexp_replace(p_name, '^((?:\s*\S+){2}\s+)\S+\s*', '\1') AS no3,
+        |  list_contains(list_filter(regexp_split_to_array(p_name, '\s+'),
+        |       x -> x <> ''), 'green') AS hasgreen,
+        |  coalesce(string_split(translate(p_name, ' ', ','), ',')[3], '') AS ex3,
+        |  concat_ws(',', string_split(translate(p_name, ' ', ','), ',')[1],
+        |       string_split(translate(p_name, ' ', ','), ',')[3]) AS exm,
+        |  array_to_string(list_filter(string_split(p_name, ' '),
+        |       x -> x <> ''), '|') AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val commas = translate(col("p_name"), " ", ",")
+      Tables.part(s, dir).select(col("p_partkey"),
+        StdStr.countWords(col("p_name"), " ").cast("int").as("nwords"),
+        StdStr.wordCount(col("p_name")).cast("int").as("wc"),
+        StdStr.getNthWord(col("p_name"), 2).as("w2"),
+        StdStr.excludeFirstWord(col("p_name")).as("no1"),
+        StdStr.excludeLastWord(col("p_name")).as("nolast"),
+        StdStr.excludeNthWord(col("p_name"), 3).as("no3"),
+        StdStr.findWord(col("p_name"), lit("green")).as("hasgreen"),
+        StdStr.extract(commas, 3).as("ex3"),
+        StdStr.extractMultiple(commas, 0x5L).as("exm"),
+        StdStr.combineWords(StdStr.splitWords(col("p_name"), " "), "|").as("joined"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- Std.Str breadth: case conversion + renderings --------------------
+    QueryDef("q109_str_case",
+      """SELECT p_partkey,
+        |  array_to_string(list_transform(string_split(p_name, ' '),
+        |    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS cap,
+        |  array_to_string(list_transform(string_split(upper(p_name), ' '),
+        |    w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS title,
+        |  hex(CAST(p_brand AS BLOB)) AS hexed,
+        |  p_brand AS hex_rt,
+        |  (levenshtein(rtrim(p_brand), 'Brand#11') <= 2) AS near_b11,
+        |  rtrim(regexp_replace(to_base64(CAST(repeat(p_name, 3) AS BLOB)),
+        |    '(.{76})', '\1' || chr(10), 'g'), chr(10)) AS b64_mime
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        StdStr.toCapitalCase(col("p_name")).as("cap"),
+        StdStr.toTitleCase(upper(col("p_name"))).as("title"),
+        StdStr.toHexPairs(encode(col("p_brand"), "UTF-8")).as("hexed"),
+        decode(StdStr.fromHexPairs(StdStr.toHexPairs(encode(col("p_brand"), "UTF-8"))),
+          "UTF-8").as("hex_rt"),
+        StdStr.editDistanceWithinRadius(col("p_brand"), lit("Brand#11"), 2).as("near_b11"),
+        StdStr.encodeBase64(encode(repeat(col("p_name"), 3), "UTF-8")).as("b64_mime"))
         .orderBy(col("p_partkey"))
     },
 

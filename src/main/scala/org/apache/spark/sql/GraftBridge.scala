@@ -11,6 +11,13 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a catalyst Expression —
+    * required when handing a composed Column to a FunctionRegistry builder,
+    * where the lazy ColumnNodeExpression wrapper would never get resolved.
+    */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Build a DataFrame from a logical plan (Dataset.ofRows is private[sql]). */
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
