@@ -37,12 +37,15 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
     copy(df = df.unionByName(other.df))
   }
 
-  /** SORT: global when ungrouped; within-group otherwise (order within a
-    * group is a window sort keyed by the group — no global exchange).
+  /** SORT: global when ungrouped. Grouped SORT only promises order WITHIN
+    * each group, so it lowers to hash-repartition on the group keys +
+    * per-partition sort — no global range exchange (the reference's grouped
+    * sort is likewise a local per-group sort, not a Thor global sort).
     */
   def sort(keys: Column*): GraftFrame =
     if (!grouped) copy(df = df.orderBy(keys: _*))
-    else copy(df = df.orderBy(keyCols ++ keys: _*))
+    else copy(df = df.repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols ++ keys: _*))
 
   /** DEDUP(keys) adjacent-after-sort semantics: per group when grouped. */
   def dedup(keys: Column*): GraftFrame =
@@ -67,15 +70,18 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
       keyCols ++ order, aggs))
   }
 
-  /** ITERATE: per-group running fold via window (associative case). */
-  def runningSum(c: Column, order: Seq[Column], as: String): GraftFrame = {
-    val w = if (grouped)
-      Window.partitionBy(keyCols: _*).orderBy(order: _*)
+  /** ITERATE: per-group running fold via window (associative case). The
+    * window is safe only when grouped (partitioned by the group keys);
+    * ungrouped global running sums route through the two-pass
+    * [[graft.ops.Positions.runningSumSorted]] scan — a bare
+    * `Window.orderBy` would serialize the whole dataset onto one partition.
+    */
+  def runningSum(c: Column, order: Seq[Column], as: String): GraftFrame =
+    if (grouped) {
+      val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0)
-    else Window.orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    copy(df = df.withColumn(as, sum(c).over(w)))
-  }
+      copy(df = df.withColumn(as, sum(c).over(w)))
+    } else copy(df = graft.ops.Positions.runningSumSorted(df, c, order, as))
 
   /** CHOOSEN per group (grouped FIRSTN) or global limit. */
   def choosen(n: Int, order: Seq[Column]): GraftFrame =

@@ -81,6 +81,57 @@ object Positions {
     }
   }
 
+  /** Scale-safe global running sum (ungrouped ITERATE/PROCESS with an
+    * associative accumulator): the two-pass scan replaces the
+    * `sum().over(Window.orderBy(...))` lowering, which moves the whole
+    * dataset to ONE partition. Pass 1 sums each sorted partition; the
+    * fold turns those into per-partition starting offsets; pass 2 emits
+    * the prefix sums. Accumulates exactly: integrals in Long, decimals in
+    * BigDecimal (result widened +10 precision digits like Spark's SUM),
+    * everything else in Double. Nulls count as zero. `order` must be a
+    * total order (append a tiebreak column if needed) — ties may settle
+    * differently between the two passes otherwise.
+    */
+  def runningSumSorted(df: DataFrame, value: Column, order: Seq[Column],
+      as: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (castTo, outDt): (DataType, DataType) =
+      df.select(value).schema.head.dataType match {
+        case d: DecimalType =>
+          (d, DecimalType(math.min(38, d.precision + 10), d.scale))
+        case ByteType | ShortType | IntegerType | LongType =>
+          (LongType, LongType)
+        case _ => (DoubleType, DoubleType)
+      }
+    val tmp = "__graft_rs_v"
+    val wv = df.withColumn(tmp, value.cast(castTo))
+    val vi = wv.schema.fieldIndex(tmp)
+    val outSchema = StructType(df.schema.fields :+
+      StructField(as, outDt, nullable = false))
+    val zero: Any = outDt match {
+      case _: DecimalType => java.math.BigDecimal.ZERO
+      case LongType       => 0L
+      case _              => 0.0
+    }
+    def plus(a: Any, b: Any): Any = (a, b) match {
+      case (x: Long, y: Long)     => x + y
+      case (x: Double, y: Double) => x + y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+    }
+    def valueOf(r: Row): Any =
+      if (r.isNullAt(vi)) zero
+      else r.get(vi) match {
+        case d: BigDecimal => d.bigDecimal
+        case x             => x
+      }
+    scanSorted[Any, Any](wv, order, outSchema)(
+      it => it.foldLeft(zero)((acc, r) => plus(acc, valueOf(r))))(
+      zero)(plus) { (offset, rows) =>
+      var acc = offset
+      rows.map { r => acc = plus(acc, valueOf(r)); Row.fromSeq(r.toSeq.init :+ acc) }
+    }
+  }
+
   /** Normalize a key value for Scala equality: `Row.get` returns
     * `Array[Byte]` for BinaryType, whose `equals` is reference identity —
     * raw arrays in a key Seq would make every binary key compare distinct.

@@ -174,6 +174,26 @@ object OrderedQueries {
             array_sort(collect_list(struct(col("c_custkey"), col("c_name")))),
             x => x.getField("c_name")), ",").as("names"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // ---- ungrouped ITERATE: GLOBAL running sum via the two-pass scan -----
+    // (Positions.runningSumSorted — no single-partition window; exact
+    // decimal accumulation, one final cast to double on both sides)
+    QueryDef("q49_global_running_sum",
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+        |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING)
+        |    AS DOUBLE) AS running_total
+        |FROM orders WHERE o_orderkey <= 20000
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val in = Tables.orders(s, dir).filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.model.GraftFrame(in)
+        .runningSum(col("o_totalprice").cast(DecimalType(25, 6)),
+          Seq(col("o_orderkey")), "rs")
+        .df
+        .select(col("o_orderkey"), col("rs").cast("double").as("running_total"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

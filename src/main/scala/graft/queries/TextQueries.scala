@@ -202,14 +202,10 @@ object TextQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     }) { (s, dir) =>
+      // banded candidate generation (TextOps.simhashNearDup): equality join
+      // on (band, key) — the oracle's all-pairs SQL is the SPEC, not the plan
       val sh = TextOps.simhash16(Tables.documents(s, dir), col("doc_id"), col("text"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("hamming",
-          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      TextOps.simhashNearDup(sh)
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )

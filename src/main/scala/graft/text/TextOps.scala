@@ -129,6 +129,48 @@ object TextOps {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Scale-safe SimHash near-dup pairs: band the fingerprint into `bands`
+    * contiguous bit groups and equality-join on (band, key). Pigeonhole:
+    * `maxHamming` differing bits can touch at most `maxHamming` bands, so
+    * whenever `maxHamming < bands` every qualifying pair matches exactly in
+    * at least one band — full recall with candidates drawn only from
+    * band-bucket collisions (shuffle keyed on (band, key)), never an
+    * all-pairs product. Pairs colliding in several bands are deduped
+    * before the exact hamming verify.
+    *
+    * With 16-bit fingerprints there are only 2^4 keys per band, so bucket
+    * sizes grow linearly with corpus size; at real scale use a wider
+    * fingerprint (e.g. 64-bit, 4×16-bit bands) — the banding here is
+    * width-agnostic.
+    */
+  def simhashNearDup(sh: DataFrame, nBits: Int = 16, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "need maxHamming < bands for full recall")
+    val bitsPerBand = nBits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * bitsPerBand).bitwiseAND(lit(mask)).as("key"))
+    }
+    // both join sides consume the banded frame — persist it once (TAKsplit)
+    val banded = graft.ops.Shape.split(
+      sh.select(col("doc_id"), col("simhash"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key")))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Default English stopword sample used by the language-ID heuristic. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")

@@ -28,6 +28,19 @@ class ModelSpec extends SparkSpec {
     assert(total == 115L)
   }
 
+  test("GraftFrame: ungrouped runningSum is an exact global prefix sum") {
+    val df = spark.range(1, 101).toDF("v").repartition(4)
+    val out = GraftFrame(df).runningSum(col("v"), Seq(col("v")), "rs").df
+    val got = out.orderBy("v").collect().map(_.getLong(1)).toSeq
+    assert(got == (1 to 100).map(n => n.toLong * (n + 1) / 2))
+    // decimal accumulation widens precision and stays exact
+    val dec = Seq("0.1", "0.2", "0.3").toDF("s")
+      .select(col("s").cast("decimal(10,1)").as("d")).repartition(2)
+    val drs = GraftFrame(dec).runningSum(col("d"), Seq(col("d")), "rs").df
+    assert(drs.orderBy("d").collect().map(_.getDecimal(1).toPlainString).toSeq
+      == Seq("0.1", "0.3", "0.6"))
+  }
+
   test("GraftFrame: regroup requires matching keys and unions groups") {
     val a = GraftFrame(Seq((1, 1)).toDF("g", "v")).group("g")
     val b = GraftFrame(Seq((1, 2)).toDF("g", "v")).group("g")

@@ -77,11 +77,33 @@ class PlanAuditSpec extends SparkSpec {
       "dedupAdjacent" -> graft.ops.DedupRollup.dedupAdjacent(c,
         Seq(col("c_name")), Seq(col("c_name"), col("c_custkey"))),
       "runIds" -> graft.ops.DedupRollup.runIds(c,
-        Seq(col("c_name")), Seq(col("c_name"), col("c_custkey")), "run"))
+        Seq(col("c_name")), Seq(col("c_name"), col("c_custkey")), "run"),
+      "runningSum" -> graft.model.GraftFrame(c)
+        .runningSum(col("c_custkey"), Seq(col("c_custkey")), "rs").df)
     plans.foreach { case (name, df) =>
       val plan = executed(df)
       assert(!plan.contains("Window"), s"$name plans a window:\n$plan")
     }
+  }
+
+  test("grouped sort hash-partitions on group keys, no global range exchange") {
+    val gf = graft.model.GraftFrame(
+      Tables.orders(spark, sf).select(col("o_orderstatus"), col("o_totalprice")))
+      .group("o_orderstatus").sort(col("o_totalprice"))
+    val plan = executed(gf.df)
+    assert(!plan.contains("rangepartitioning"),
+      s"grouped sort forced a global range exchange:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"plan:\n$plan")
+  }
+
+  test("simhash near-dup joins on band keys, never a cartesian product") {
+    val sh = graft.text.TextOps.simhash16(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    val df = graft.text.TextOps.simhashNearDup(sh)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"near-dup candidates not from band-bucket equality join:\n$plan")
   }
 
   test("index read prunes row groups via pushed key-range predicate") {
