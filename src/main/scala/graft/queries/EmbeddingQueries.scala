@@ -116,6 +116,60 @@ object EmbeddingQueries {
       Embeddings.cosinePairsTopK(pairs, col("qv_id"), col("cv_id"),
           col("q_emb"), col("c_emb"), 3)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- multi-table ANN: 2 independent LSH tables (OR-amplified recall),
+    // candidates from ANY table's bucket collision, exact top-3 refine ------
+    QueryDef("q93_ann_multitable", {
+      def sumsFor(t: Int) = (0 until 6).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('t${t}_p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d${t}_$p""".stripMargin
+      }.mkString(",\n  ")
+      def bucketFor(t: Int) = (0 until 6).map(p =>
+        s"CASE WHEN d${t}_$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      s"""WITH $VecCte,
+         |ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  ${sumsFor(0)},
+         |  ${sumsFor(1)}
+         |  FROM ex GROUP BY vec_id),
+         |bk AS (
+         |  SELECT vec_id, 0 AS tbl, CAST(${bucketFor(0)} AS BIGINT) AS bucket FROM s
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS tbl, CAST(${bucketFor(1)} AS BIGINT) AS bucket FROM s),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id <> b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |scored AS (
+         |  SELECT d.q_id, d.c_id, d.dot / (qn.c_norm * cn.c_norm) AS cos
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id)
+         |SELECT q_id, c_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val bk = Embeddings.rpLshBucketTables(emb,
+        col("vec_id"), col("embedding"), numPlanes = 6, numTables = 2)
+      val pairs = Embeddings.annCandidatePairs(bk)
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+        .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      Embeddings.cosinePairsTopK(pairs, col("q_id"), col("c_id"),
+          col("q_emb"), col("c_emb"), 3)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 }

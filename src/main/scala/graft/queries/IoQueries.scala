@@ -133,6 +133,27 @@ object IoQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // ---- DICTIONARY big-dict path: broadcast join, no driver collect -----
+    QueryDef("q117b_dictionary_join",
+      """SELECT c_custkey, n.n_name AS nation_name, (r.r_regionkey IS NOT NULL) AS known
+        |FROM customer c
+        |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |LEFT JOIN region r ON r.r_regionkey = c.c_nationkey
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // maxLiteralRows=1 forces the join lowering even for a tiny dict, so
+      // the oracle exercises the big-dict code path end-to-end
+      val nationDict = Workflow.dictionaryAuto(Tables.nation(s, dir),
+        col("n_nationkey"), col("n_name"), maxLiteralRows = 1)
+      val regionDict = Workflow.dictionaryAuto(Tables.region(s, dir),
+        col("r_regionkey"), col("r_name"), maxLiteralRows = 1)
+      val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val withNation = Workflow.dictGet(base, nationDict,
+        col("c_nationkey"), "nation_name")
+      Workflow.dictContains(withNation, regionDict, col("c_nationkey"), "known")
+        .select(col("c_custkey"), col("nation_name"), col("known"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- LOOP: 3 iterations of an exact-decimal transform ----------------
     QueryDef("q118_loop",
       """SELECT c_custkey,

@@ -109,10 +109,11 @@ object Embeddings {
   }
 
   /** Deterministic ±1 hyperplane component for (plane, pos): +1 iff the
-    * first hex digit of md5("p<plane>_<pos>") is even.
+    * first hex digit of md5("<salt>p<plane>_<pos>") is even. `salt`
+    * namespaces independent hash tables (multi-table amplification).
     */
-  def planeSign(plane: Int, pos: Column): Column = {
-    val digit = conv(substring(md5(concat(lit(s"p${plane}_"),
+  def planeSign(plane: Int, pos: Column, salt: String = ""): Column = {
+    val digit = conv(substring(md5(concat(lit(s"${salt}p${plane}_"),
       pos.cast("string"))), 1, 1), 16, 10).cast("int")
     when(digit % 2 === 0, 1).otherwise(-1)
   }
@@ -133,5 +134,44 @@ object Embeddings {
     }.reduce(_ + _)
     ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
       .select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** Multi-table RP-LSH (OR-amplification, the recall knob the single-table
+    * path lacks): `numTables` independent plane sets — table t salts its
+    * hyperplanes with "t<t>_" — give each vector one bucket per table.
+    * A qualifying neighbor is found if the pair collides in ANY table:
+    * recall 1-(1-p^b)^R instead of p^b. Still one explode + one groupBy;
+    * shuffle size = numTables rows per vector. Output: (vec_id, tbl,
+    * bucket).
+    */
+  def rpLshBucketTables(df: DataFrame, id: Column, vec: Column,
+      numPlanes: Int, numTables: Int): DataFrame = {
+    val ex = explodeVec(df, id, vec, "vec_id")
+    val sums = for (t <- 0 until numTables; p <- 0 until numPlanes) yield
+      sum((col("v").cast("double") *
+        planeSign(p, col("pos"), s"t${t}_").cast("double"))
+        .cast(DecimalType(30, 12))).as(s"d${t}_$p")
+    val tables = (0 until numTables).map { t =>
+      val bucket = (0 until numPlanes).map { p =>
+        when(col(s"d${t}_$p") > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+  }
+
+  /** Candidate pairs that share a bucket in at least one table, deduped —
+    * the OR of the per-table collision sets. Equality join on (tbl,
+    * bucket); the bucketed frame feeds both sides, so it is persisted.
+    */
+  def annCandidatePairs(buckets: DataFrame): DataFrame = {
+    val bk = graft.ops.Shape.split(buckets)
+    val a = bk.select(col("tbl"), col("bucket"), col("vec_id").as("q_id"))
+    val b = bk.select(col("tbl"), col("bucket"), col("vec_id").as("c_id"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
   }
 }

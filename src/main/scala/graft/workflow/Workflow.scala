@@ -96,4 +96,60 @@ object Workflow {
       map(dict.toSeq.sortBy(_._1)
         .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
       key.cast("string"))
+
+  /** A DICTIONARY that never has to fit on the driver. The reference's
+    * dictionaries are distributed structures (`rtl/include/eclhelper.hpp:
+    * 2913`) — only the literal-map fast path may collect, and only after
+    * proving the dict is small.
+    */
+  final case class GraftDict private[workflow] (
+      kv: DataFrame, literal: Option[Map[String, String]],
+      broadcastable: Boolean)
+
+  /** Build a dictionary with a size-adaptive lookup plan: ≤ maxLiteralRows
+    * → driver map literal (codegen'd element_at, zero joins); ≤
+    * maxBroadcastRows → broadcast hash join; bigger → plain equi-join
+    * (AQE picks the shuffle strategy). Duplicate keys keep one arbitrary
+    * row, matching a hash-dictionary build.
+    */
+  def dictionaryAuto(df: DataFrame, key: Column, value: Column,
+      maxLiteralRows: Long = 4096, maxBroadcastRows: Long = 2L * 1000 * 1000)
+      : GraftDict = {
+    val kv = df.select(key.cast("string").as("__dict_key"),
+        value.cast("string").as("__dict_val"))
+      .dropDuplicates("__dict_key")
+    // probe with an early-stopping limit; only collect when provably small
+    val probeCap = math.min(maxLiteralRows + 1, Int.MaxValue.toLong).toInt
+    val probe = kv.limit(probeCap).collect()
+    if (probe.length < probeCap)
+      GraftDict(kv, Some(probe.map(r => r.getString(0) -> r.getString(1)).toMap),
+        broadcastable = true)
+    else
+      GraftDict(kv, None, broadcastable = kv.count() <= maxBroadcastRows)
+  }
+
+  /** dict[key] → value column appended as `as` (null when absent) —
+    * literal map, broadcast join, or shuffle join per the dict's size class.
+    */
+  def dictGet(df: DataFrame, dict: GraftDict, key: Column, as: String)
+      : DataFrame =
+    dict.literal match {
+      case Some(m) => df.withColumn(as, dictLookup(m, key))
+      case None =>
+        val kv = if (dict.broadcastable) broadcast(dict.kv) else dict.kv
+        df.join(kv, key.cast("string") === col("__dict_key"), "left")
+          .withColumnRenamed("__dict_val", as)
+          .drop("__dict_key")
+    }
+
+  /** key IN dict, same plan selection as [[dictGet]]. */
+  def dictContains(df: DataFrame, dict: GraftDict, key: Column, as: String)
+      : DataFrame =
+    dict.literal match {
+      case Some(m) =>
+        df.withColumn(as, dictLookup(m, key).isNotNull)
+      case None =>
+        dictGet(df, dict, key, "__dict_hit")
+          .withColumn(as, col("__dict_hit").isNotNull).drop("__dict_hit")
+    }
 }

@@ -68,6 +68,29 @@ class WorkflowSpec extends SparkSpec {
     assert(out == Seq(Some("AFRICA"), Some("AMERICA"), None))
   }
 
+  test("dictionaryAuto picks literal vs join lowering by dict size") {
+    val src = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA")).toDF("k", "v")
+    val rows = Seq(0, 2, 7).toDF("k")
+    // small: literal map path, no join in the plan
+    val small = Workflow.dictionaryAuto(src, col("k"), col("v"))
+    assert(small.literal.isDefined)
+    val litOut = Workflow.dictGet(rows, small, col("k"), "name")
+    assert(!litOut.queryExecution.executedPlan.toString.contains("Join"))
+    // big (forced): broadcast-join path, row count and values preserved
+    val big = Workflow.dictionaryAuto(src, col("k"), col("v"), maxLiteralRows = 1)
+    assert(big.literal.isEmpty && big.broadcastable)
+    val joinOut = Workflow.dictGet(rows, big, col("k"), "name")
+    assert(joinOut.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val expect = Seq(0 -> Some("AFRICA"), 2 -> Some("ASIA"), 7 -> None)
+    for (out <- Seq(litOut, joinOut))
+      assert(out.select(col("k"), col("name")).as[(Int, Option[String])]
+        .collect().toSeq.sortBy(_._1) == expect)
+    // contains mirrors the same lowering
+    assert(Workflow.dictContains(rows, big, col("k"), "hit")
+      .select(col("k"), col("hit")).as[(Int, Boolean)].collect().toSeq
+      .sortBy(_._1) == Seq(0 -> true, 2 -> true, 7 -> false))
+  }
+
   test("multimodal decode stub + frame sampling preserve plumbing shape") {
     val blobs = Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
