@@ -67,6 +67,33 @@ object Register {
     registerColumnFn("std_str_equal_ignore_case") { e =>
       StdStr.equalIgnoreCase(c(e(0)), c(e(1)))
     }
+
+    // Std.Date surface (Date_t yyyymmdd ints)
+    registerColumnFn("std_date_adjust_date") { e =>
+      StdDate.adjustDate(c(e(0)), c(e(1)), c(e(2)), c(e(3)))
+    }
+    registerColumnFn("std_date_adjust_calendar") { e =>
+      StdDate.adjustCalendar(c(e(0)), c(e(1)), c(e(2)), c(e(3)))
+    }
+    registerColumnFn("std_date_days_between") { e =>
+      StdDate.daysBetween(c(e(0)), c(e(1)))
+    }
+    registerColumnFn("std_date_months_between") { e =>
+      StdDate.monthsBetween(c(e(0)), c(e(1)), if (e.size > 2) litBool(e(2)) else false)
+    }
+    registerColumnFn("std_date_years_between") { e =>
+      StdDate.yearsBetween(c(e(0)), c(e(1)))
+    }
+    registerColumnFn("std_date_day_of_week") { e => StdDate.dayOfWeek(c(e(0))) }
+    registerColumnFn("std_date_iso_week_date") { e =>
+      StdDate.isoWeekDate(c(e(0)), if (e.size > 1) litBool(e(1)) else false)
+    }
+    registerColumnFn("std_date_to_string") { e =>
+      StdDate.dateToString(c(e(0)), litStr(e(1)))
+    }
+    registerColumnFn("std_date_from_string") { e =>
+      StdDate.fromStringToDate(c(e(0)), litStr(e(1)))
+    }
     // explicit cast to string: the expressions hash UTF-8 bytes, so a raw
     // non-string argument (ecl_hash32(42)) must be stringified first —
     // matching EclFunctions.hash32/64's column path

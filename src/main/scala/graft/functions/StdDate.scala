@@ -1,0 +1,296 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Std.Date surface (ref `ecllibrary/std/Date.ecl`) over the integer-coded
+  * types: Date_t = yyyymmdd, Time_t = hhmmss, Days_t = day count,
+  * Seconds_t = unix seconds (UTC). Everything is composed built-in Column
+  * arithmetic — part extraction never round-trips through DateType, and the
+  * calendar conversions ride Spark's proleptic-Gregorian date functions,
+  * which match the reference's Fliegel–van-Flandern day arithmetic
+  * (`Date.ecl:247` counts 1 Jan 1AD = day 1). Behavior vectors are asserted
+  * in StdDateSpec, ported from `ecllibrary/teststd/Date/TestDate.ecl`.
+  */
+object StdDate {
+
+  // ---- part extraction (pure integer arithmetic, Date.ecl:66-116) --------
+
+  def yearT(d: Column): Column = floor(d / 10000).cast("int")
+  def monthT(d: Column): Column = (floor(d / 100) % 100).cast("int")
+  def dayT(d: Column): Column = (d % 100).cast("int")
+  def hourT(t: Column): Column = floor(t / 10000).cast("int")
+  def minuteT(t: Column): Column = (floor(t / 100) % 100).cast("int")
+  def secondT(t: Column): Column = (t % 100).cast("int")
+
+  /** DateFromParts (Date.ecl:128). */
+  def dateFromParts(y: Column, m: Column, d: Column): Column =
+    ((y * 100 + m) * 100 + d).cast("int")
+
+  /** TimeFromParts (Date.ecl:140). */
+  def timeFromParts(h: Column, m: Column, s: Column): Column =
+    ((h * 100 + m) * 100 + s).cast("int")
+
+  // ---- Date_t <-> DateType codecs -----------------------------------------
+
+  /** Date_t → native DateType (delegates to the shared codec). */
+  def fromDateT(d: Column): Column = EclFunctions.fromDateT(d)
+
+  /** DateType/timestamp → Date_t. */
+  def toDateT(c: Column): Column = EclFunctions.toDateT(c)
+
+  // ---- leap years (Date.ecl:220-230,374) ----------------------------------
+
+  def isLeapYear(y: Column): Column = EclFunctions.isLeapYear(y)
+  def isDateLeapYear(d: Column): Column = isLeapYear(yearT(d))
+  def isJulianLeapYear(y: Column): Column = y % 4 === 0
+
+  // ---- day-count epochs (Date.ecl:247-481) --------------------------------
+
+  private val Day1 = to_date(lit("0001-01-01"))
+  private val Day1900 = to_date(lit("1900-01-01"))
+
+  /** FromGregorianDate: days since 31 Dec 1BC, 1 Jan 1AD = 1 (Date.ecl:310).
+    * Spark's DateType is proleptic Gregorian — same calendar as the
+    * reference's formula.
+    */
+  def fromGregorianDate(d: Column): Column =
+    (datediff(fromDateT(d), Day1) + 1).cast("int")
+
+  /** ToGregorianDate: inverse of [[fromGregorianDate]] (Date.ecl:321). */
+  def toGregorianDate(days: Column): Column =
+    toDateT(date_add(Day1, (days - 1).cast("int")))
+
+  /** ToDaysSince1900 (Date.ecl:471). */
+  def toDaysSince1900(d: Column): Column =
+    datediff(fromDateT(d), Day1900).cast("int")
+
+  /** FromDaysSince1900 (Date.ecl:481). */
+  def fromDaysSince1900(days: Column): Column =
+    toDateT(date_add(Day1900, days.cast("int")))
+
+  // ---- calendar readouts (Date.ecl:337-356, 1123-1248) --------------------
+
+  /** DayOfYear: 1-366 (Date.ecl:337). */
+  def dayOfYear(d: Column): Column = dayofyear(fromDateT(d))
+
+  /** DayOfWeek: 1-7 with 1 = Sunday (Date.ecl:356) — Spark's convention. */
+  def dayOfWeek(d: Column): Column = dayofweek(fromDateT(d))
+
+  /** ISODayOfWeekFromDate: 1-7 with 1 = Monday (Date.ecl:1123). */
+  def isoDayOfWeek(d: Column): Column = (weekday(fromDateT(d)) + 1).cast("int")
+
+  /** ISO-8601 week number (Date.ecl:1168 ISOWeekNumWeekDayAndYearFromDate). */
+  def isoWeekNum(d: Column): Column = weekofyear(fromDateT(d)).cast("int")
+
+  /** ISO week-numbering year: the calendar year of the week's Thursday. */
+  def isoWeekYear(d: Column): Column = {
+    val fd = fromDateT(d)
+    year(date_add(fd, lit(3) - weekday(fd))).cast("int")
+  }
+
+  /** ISOWeeksFromDate's year-level core: 52 or 53 weeks (Date.ecl:1148) —
+    * the ISO week of 28 Dec, always in the year's last week.
+    */
+  def isoWeeksInYear(y: Column): Column =
+    weekofyear(make_date(y, lit(12), lit(28))).cast("int")
+
+  /** ISOWeekDate (Date.ecl:1196): "yyyy-Www-d" when extended, "yyyyWwwd"
+    * otherwise.
+    */
+  def isoWeekDate(d: Column, extended: Boolean = false): Column = {
+    val parts = Seq(isoWeekYear(d).cast("string"),
+      concat(lit("W"), lpad(isoWeekNum(d).cast("string"), 2, "0")),
+      isoDayOfWeek(d).cast("string"))
+    concat_ws(if (extended) "-" else "", parts: _*)
+  }
+
+  /** WeekNumForDate core (Date.ecl:955): 1-based week of `d` counted from
+    * `ref`, weeks starting on `startingDayOfWeek` (1 = Sunday); week 1
+    * contains `ref`.
+    */
+  private def weekNumFrom(d: Column, ref: Column,
+      startingDayOfWeek: Int): Column = {
+    val refDow = dayofweek(ref)
+    // C-style remainder (sign of dividend), matching ECL's %
+    val delta = (lit(startingDayOfWeek) - refDow) % 7
+    val refFirst = date_add(ref, delta.cast("int"))
+    val nDays = datediff(fromDateT(d), refFirst) + 1
+    val week0 = floor((nDays + 6) / 7).cast("int")
+    (week0 + when(lit(startingDayOfWeek) > refDow, 1).otherwise(0)).cast("int")
+  }
+
+  /** YearWeekNumFromDate (Date.ecl:1217): week within the year. */
+  def yearWeekNum(d: Column, startingDayOfWeek: Int = 1): Column =
+    weekNumFrom(d, make_date(yearT(d), lit(1), lit(1)), startingDayOfWeek)
+
+  /** MonthWeekNumFromDate (Date.ecl:1238): week within the month. */
+  def monthWeekNum(d: Column, startingDayOfWeek: Int = 1): Column =
+    weekNumFrom(d, make_date(yearT(d), monthT(d), lit(1)), startingDayOfWeek)
+
+  // ---- intervals (Date.ecl:492-551) ---------------------------------------
+
+  /** DaysBetween (signed). */
+  def daysBetween(from: Column, to: Column): Column =
+    datediff(fromDateT(to), fromDateT(from)).cast("int")
+
+  /** YearsBetween: whole years, symmetric sign (Date.ecl:492). */
+  def yearsBetween(from: Column, to: Column): Column = {
+    val lo = least(from, to)
+    val hi = greatest(from, to)
+    val years = yearT(hi) - yearT(lo)
+    val adj = when(monthT(lo) > monthT(hi) ||
+      (monthT(lo) === monthT(hi) && dayT(lo) > dayT(hi)), 1).otherwise(0)
+    ((years - adj) * when(from > to, -1).otherwise(1)).cast("int")
+  }
+
+  private def isMonthEnd(d: Column): Column =
+    dayT(d) === dayofmonth(last_day(fromDateT(d)))
+
+  /** MonthsBetween: whole months; `monthEndsEqual` treats two month-end
+    * days as equal (Date.ecl:523).
+    */
+  def monthsBetween(from: Column, to: Column,
+      monthEndsEqual: Boolean = false): Column = {
+    val lo = least(from, to)
+    val hi = greatest(from, to)
+    val raw = (yearT(hi) - yearT(lo)) * 12 + (monthT(hi) - monthT(lo))
+    val dayAdj = when(dayT(lo) > dayT(hi), 1).otherwise(0)
+    val adj =
+      if (monthEndsEqual) when(isMonthEnd(lo) && isMonthEnd(hi), 0).otherwise(dayAdj)
+      else dayAdj
+    ((raw - adj) * when(from > to, -1).otherwise(1)).cast("int")
+  }
+
+  // ---- adjustment (Date.ecl:962-1120) -------------------------------------
+
+  /** AdjustDate (Date.ecl:962): mktime normalization — month deltas roll
+    * into years, then the (possibly out-of-range) day counts forward from
+    * the 1st: 20000130 + 1 month = 20000301; 20000229 + 1 year = 20010301.
+    */
+  def adjustDate(d: Column, yearDelta: Column = lit(0),
+      monthDelta: Column = lit(0), dayDelta: Column = lit(0)): Column = {
+    val totalMonths = (yearT(d) + yearDelta) * 12 + (monthT(d) - 1) + monthDelta
+    val y2 = floor(totalMonths / 12).cast("int")
+    val m2 = (pmod(totalMonths, lit(12)) + 1).cast("int")
+    toDateT(date_add(make_date(y2, m2, lit(1)),
+      (dayT(d) - 1 + dayDelta).cast("int")))
+  }
+
+  /** AdjustDateBySeconds (Date.ecl:980): midnight + delta, floor to day. */
+  def adjustDateBySeconds(d: Column, secondsDelta: Column): Column =
+    toDateT(date_add(fromDateT(d), floor(secondsDelta / 86400).cast("int")))
+
+  /** AdjustTime (Date.ecl:999): wraps mod 24h (mktime normalization). */
+  def adjustTime(t: Column, hourDelta: Column = lit(0),
+      minuteDelta: Column = lit(0), secondDelta: Column = lit(0)): Column = {
+    val total = hourT(t) * 3600 + minuteT(t) * 60 + secondT(t) +
+      hourDelta * 3600 + minuteDelta * 60 + secondDelta
+    val w = pmod(total, lit(86400))
+    timeFromParts(floor(w / 3600).cast("int"),
+      (floor(w / 60) % 60).cast("int"), (w % 60).cast("int"))
+  }
+
+  /** AdjustTimeBySeconds (Date.ecl:1015). */
+  def adjustTimeBySeconds(t: Column, secondsDelta: Column): Column =
+    adjustTime(t, secondDelta = secondsDelta)
+
+  /** AdjustCalendar (Date.ecl:1080): legal-calendar month arithmetic —
+    * clamp to the target month's last day (Jan 31 + 1 month = Feb 28),
+    * day delta applied after. Spark's add_months implements the clamp.
+    */
+  def adjustCalendar(d: Column, yearDelta: Column = lit(0),
+      monthDelta: Column = lit(0), dayDelta: Column = lit(0)): Column =
+    toDateT(date_add(
+      add_months(fromDateT(d), (yearDelta * 12 + monthDelta).cast("int")),
+      dayDelta.cast("int")))
+
+  // ---- Seconds_t (UTC unix seconds, Date.ecl:160-211) ---------------------
+
+  /** SecondsFromParts (is_local_time = FALSE — UTC). */
+  def secondsFromParts(y: Column, mo: Column, d: Column, h: Column,
+      mi: Column, s: Column): Column =
+    make_timestamp(y, mo, d, h, mi, s, lit("UTC")).cast("long")
+
+  /** SecondsToParts' date component as Date_t. */
+  def secondsToDateT(seconds: Column): Column =
+    toDateT(from_utc_timestamp(timestamp_seconds(seconds), "UTC"))
+
+  /** SecondsToParts' time component as Time_t. */
+  def secondsToTimeT(seconds: Column): Column = {
+    val ts = from_utc_timestamp(timestamp_seconds(seconds), "UTC")
+    timeFromParts(hour(ts), minute(ts), second(ts))
+  }
+
+  /** TimestampToSeconds: microseconds → seconds (Date.ecl:211). */
+  def timestampToSeconds(ts: Column): Column = floor(ts / 1000000).cast("long")
+
+  // ---- string formatting (strftime subset, Date.ecl:651-942) --------------
+
+  /** Translate the strftime subset the reference's formatters use to a Java
+    * DateTimeFormatter pattern (literal letters get quoted).
+    */
+  private[functions] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    val run = new StringBuilder // pending literal run, quoted as one block
+    def literal(c: Char): Unit = run.append(c)
+    def flush(): Unit = if (run.nonEmpty) {
+      val s = run.toString
+      if (s.exists(_.isLetter))
+        sb.append('\'').append(s.replace("'", "''")).append('\'')
+      else sb.append(s.replace("'", "''"))
+      run.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        flush()
+        fmt(i + 1) match {
+          case 'Y'       => sb.append("yyyy")
+          case 'y'       => sb.append("yy")
+          case 'm'       => sb.append("MM")
+          case 'd'       => sb.append("dd")
+          case 'e'       => sb.append("d")
+          case 'j'       => sb.append("DDD")
+          case 'H'       => sb.append("HH")
+          case 'M'       => sb.append("mm")
+          case 'S'       => sb.append("ss")
+          case 'b' | 'h' => sb.append("MMM")
+          case 'B'       => sb.append("MMMM")
+          case 'a'       => sb.append("EEE")
+          case 'A'       => sb.append("EEEE")
+          case '%'       => sb.append('%')
+          case other     => literal(other)
+        }
+        i += 2
+      } else { literal(fmt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** DateToString (Date.ecl:784): '' when the date is 0/invalid. */
+  def dateToString(d: Column, fmt: String = "%Y-%m-%d"): Column =
+    coalesce(date_format(try_to_date(lpad(d.cast("string"), 8, "0"),
+      "yyyyMMdd"), strftimeToJava(fmt)), lit(""))
+
+  /** TimeToString (Date.ecl:800). */
+  def timeToString(t: Column, fmt: String = "%H:%M:%S"): Column =
+    coalesce(date_format(make_timestamp(lit(1970), lit(1), lit(1),
+      hourT(t), minuteT(t), secondT(t), lit("UTC")),
+      strftimeToJava(fmt)), lit(""))
+
+  /** FromStringToDate (Date.ecl:651): 0 on parse failure. */
+  def fromStringToDate(text: Column, fmt: String): Column =
+    coalesce(toDateT(try_to_date(text, strftimeToJava(fmt))), lit(0))
+
+  /** ConvertDateFormat (Date.ecl:866): '' on parse failure. */
+  def convertDateFormat(text: Column, fromFmt: String = "%m/%d/%Y",
+      toFmt: String = "%Y%m%d"): Column =
+    coalesce(date_format(try_to_date(text, strftimeToJava(fromFmt)),
+      strftimeToJava(toFmt)), lit(""))
+
+  // ---- current date (Date.ecl:1279-1289) ----------------------------------
+
+  def currentDate(): Column = toDateT(current_date())
+}

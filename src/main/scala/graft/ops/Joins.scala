@@ -87,6 +87,28 @@ object Joins {
       .filter(col("__kc") <= n).drop("__kc")
   }
 
+  /** N-way MERGEJOIN with MOFN(m) (`IHThorNWayMergeJoinArg`
+    * `rtl/include/eclhelper.hpp:2795`; TAKnwaymergejoin): all inputs share
+    * one record type and a sort key; a key value QUALIFIES when it appears
+    * in at least `m` distinct inputs, and the output is every input row
+    * whose key qualifies. The reference streams N sorted cursors in step;
+    * the declarative lowering is one union + key-level count + left-semi
+    * join — the qualifying-key set shuffles once on the key, matching the
+    * stepped engine's per-key work without requiring presorted inputs.
+    */
+  def mergeJoinMofN(inputs: Seq[DataFrame], keys: Seq[String],
+      m: Int): DataFrame = {
+    require(inputs.nonEmpty && m >= 1 && m <= inputs.size,
+      s"MOFN m=$m out of range for ${inputs.size} inputs")
+    val keyCols = keys.map(col)
+    val perInputKeys = inputs.map(_.select(keyCols: _*).distinct())
+    val qualifying = perInputKeys.reduce(_ unionAll _)
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__nsrc"))
+      .filter(col("__nsrc") >= m)
+      .select(keyCols: _*)
+    inputs.reduce(_ unionAll _).join(qualifying, keys, "left_semi")
+  }
+
   /** DENORMALIZE(GROUP) (TAKdenormalizegroup :1068): join then nest ALL
     * matches as a child-rowset column — `groupBy(left).agg(collect_list)`.
     * The LHS columns are preserved; matches land in `childCol`. Left rows

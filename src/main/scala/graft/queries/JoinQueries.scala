@@ -202,6 +202,37 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_items"),
           sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
         .orderBy(col("p_brand"), col("n_name"))
+    },
+
+    // ---- N-way MERGEJOIN MOFN(2): custkeys present in >=2 of 3 streams ---
+    QueryDef("q32_mergejoin_mofn",
+      """WITH i0 AS (SELECT o_orderkey, o_custkey, 0 AS src FROM orders
+        |            WHERE o_orderstatus = 'F'),
+        |i1 AS (SELECT o_orderkey, o_custkey, 1 AS src FROM orders
+        |       WHERE o_totalprice > 150000),
+        |i2 AS (SELECT o_orderkey, o_custkey, 2 AS src FROM orders
+        |       WHERE o_orderpriority = '1-URGENT'),
+        |all_rows AS (SELECT * FROM i0 UNION ALL SELECT * FROM i1
+        |             UNION ALL SELECT * FROM i2),
+        |q AS (SELECT o_custkey FROM (
+        |        SELECT DISTINCT o_custkey, src FROM all_rows)
+        |      GROUP BY o_custkey HAVING COUNT(*) >= 2)
+        |SELECT o_orderkey, o_custkey, src FROM all_rows
+        |WHERE o_custkey IN (SELECT o_custkey FROM q)
+        |ORDER BY o_custkey, o_orderkey, src""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      def stream(f: org.apache.spark.sql.Column, src: Int) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          lit(src).as("src"))
+      val inputs = Seq(
+        stream(col("o_orderstatus") === "F", 0),
+        stream(col("o_totalprice") > 150000, 1),
+        stream(col("o_orderpriority") === "1-URGENT", 2))
+      Joins.mergeJoinMofN(inputs, Seq("o_custkey"), 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("src"))
+        .orderBy(col("o_custkey"), col("o_orderkey"), col("src"))
     }
   )
 }

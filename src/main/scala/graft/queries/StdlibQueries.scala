@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{EclFunctions, StdStr}
+import graft.functions.{EclFunctions, StdDate, StdStr}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -170,6 +170,94 @@ object StdlibQueries {
           add_months(to_date(od), 2).as("plus2m"),
           last_day(to_date(od)).as("eom"),
           EclFunctions.isLeapYear(year(od)).as("leap"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Std.Date breadth: adjustment + whole-unit intervals -------------
+    // (graft.functions.StdDate over Date_t ints; the oracle re-derives the
+    // reference's mktime vs calendar-clamp semantics in DuckDB SQL)
+    QueryDef("q140_date_adjust",
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |    dayofmonth(o_orderdate) AS dd
+        |  FROM orders WHERE o_orderkey <= 8000)
+        |SELECT o_orderkey,
+        |  CAST(strftime(make_date(
+        |      CAST(floor((y*12 + (m-1) + 14) / 12) AS INTEGER),
+        |      CAST((y*12 + (m-1) + 14) % 12 AS INTEGER) + 1, 1)
+        |      + CAST(dd - 1 AS INTEGER), '%Y%m%d') AS INTEGER) AS adj_mktime,
+        |  CAST(strftime(d + INTERVAL 14 MONTH, '%Y%m%d') AS INTEGER) AS adj_cal,
+        |  CAST(strftime(d + CAST(floor(200000/86400.0) AS INTEGER),
+        |      '%Y%m%d') AS INTEGER) AS adj_secs,
+        |  CAST(d - DATE '1995-06-15' AS INTEGER) AS days_since,
+        |  CAST(CASE WHEN y*10000 + m*100 + dd >= 19950615
+        |    THEN y - 1995 - CASE WHEN 6 > m OR (6 = m AND 15 > dd)
+        |         THEN 1 ELSE 0 END
+        |    ELSE y - 1995 + CASE WHEN m > 6 OR (m = 6 AND dd > 15)
+        |         THEN 1 ELSE 0 END END AS INTEGER) AS years_since,
+        |  CAST(CASE WHEN y*10000 + m*100 + dd >= 19950615
+        |    THEN (y - 1995)*12 + (m - 6) - CASE WHEN 15 > dd THEN 1 ELSE 0 END
+        |    ELSE (y - 1995)*12 + (m - 6) + CASE WHEN dd > 15 THEN 1 ELSE 0 END
+        |    END AS INTEGER) AS months_since,
+        |  CAST(y*10000 + m*100 + dayofmonth(last_day(d)) AS INTEGER) AS eom_t
+        |FROM b ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      // all orders dates are after 1995-06-15's year start? No — the oracle
+      // formulas above are the reference's signed forms specialized to
+      // from=19950615, valid for BOTH signs, so no date filtering needed
+      val dt = StdDate.toDateT(col("o_orderdate"))
+      val from = lit(19950615)
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 8000)
+        .select(col("o_orderkey"),
+          StdDate.adjustDate(dt, monthDelta = lit(14)).as("adj_mktime"),
+          StdDate.adjustCalendar(dt, monthDelta = lit(14)).as("adj_cal"),
+          StdDate.adjustDateBySeconds(dt, lit(200000)).as("adj_secs"),
+          StdDate.daysBetween(from, dt).as("days_since"),
+          StdDate.yearsBetween(from, dt).as("years_since"),
+          StdDate.monthsBetween(from, dt).as("months_since"),
+          StdDate.dateFromParts(StdDate.yearT(dt), StdDate.monthT(dt),
+            dayofmonth(last_day(col("o_orderdate")))).as("eom_t"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Std.Date breadth: week numbering + string formatting ------------
+    QueryDef("q141_date_weeks",
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    year(o_orderdate) AS y
+        |  FROM orders WHERE o_orderkey <= 8000),
+        |w AS (
+        |  SELECT *,
+        |    (dayofweek(make_date(CAST(y AS INTEGER), 1, 1)) + 1) AS ref_dow,
+        |    make_date(CAST(y AS INTEGER), 1, 1)
+        |      + CAST((1 - (dayofweek(make_date(CAST(y AS INTEGER), 1, 1)) + 1)) % 7
+        |        AS INTEGER) AS ref_first
+        |  FROM b)
+        |SELECT o_orderkey,
+        |  CAST(week(d) AS INTEGER) AS iso_week,
+        |  CAST(isoyear(d) AS INTEGER) AS iso_year,
+        |  CAST(isodow(d) AS INTEGER) AS iso_dow,
+        |  isoyear(d) || '-W' || lpad(CAST(week(d) AS VARCHAR), 2, '0')
+        |    || '-' || isodow(d) AS iso_wd,
+        |  CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+        |  CAST(dayofyear(d) AS INTEGER) AS doy,
+        |  CAST(floor(((d - ref_first + 1) + 6) / 7.0) AS INTEGER) AS year_week,
+        |  strftime(d, '%Y/%m/%d') AS formatted,
+        |  CAST(strftime(d, '%Y%m%d') AS INTEGER) AS reparsed
+        |FROM w ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val dt = StdDate.toDateT(col("o_orderdate"))
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 8000)
+        .select(col("o_orderkey"),
+          StdDate.isoWeekNum(dt).as("iso_week"),
+          StdDate.isoWeekYear(dt).as("iso_year"),
+          StdDate.isoDayOfWeek(dt).as("iso_dow"),
+          StdDate.isoWeekDate(dt, extended = true).as("iso_wd"),
+          StdDate.dayOfWeek(dt).as("dow"),
+          StdDate.dayOfYear(dt).as("doy"),
+          StdDate.yearWeekNum(dt).as("year_week"),
+          StdDate.dateToString(dt, "%Y/%m/%d").as("formatted"),
+          StdDate.fromStringToDate(StdDate.dateToString(dt, "%d|%m|%Y"),
+            "%d|%m|%Y").as("reparsed"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -143,4 +143,16 @@ class OpsSpec extends SparkSpec {
       .filter(col("count") > 1).count()
     assert(parts == 0) // every key lives in exactly one partition
   }
+
+  test("mergeJoinMofN keeps every row whose key appears in >= m inputs") {
+    val a = Seq((1, "a"), (2, "a")).toDF("k", "v")
+    val b = Seq((2, "b"), (3, "b")).toDF("k", "v")
+    val c = Seq((3, "c"), (4, "c"), (3, "c2")).toDF("k", "v")
+    val out2 = Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 2)
+    assert(out2.as[(Int, String)].collect().toSet ==
+      Set((2, "a"), (2, "b"), (3, "b"), (3, "c"), (3, "c2")))
+    // m = 1 degenerates to FUNNEL; m = N is the full AND
+    assert(Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 1).count() == 7)
+    assert(Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 3).count() == 0)
+  }
 }

@@ -1,0 +1,181 @@
+package graft
+
+import graft.functions.StdDate
+import graft.functions.StdDate._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Std.Date semantics — vectors ported from the reference's own suite
+  * (`ecllibrary/teststd/Date/TestDate.ecl`): day-1 epoch (1 Jan 1AD = 1),
+  * mktime normalization in AdjustDate vs calendar clamping in
+  * AdjustCalendar, signed whole-unit Between functions, ISO week dates,
+  * and the relative week numbering family.
+  */
+class StdDateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def int(c: Column): Int =
+    Seq("x").toDF("d").select(c.cast("int")).head.getInt(0)
+  private def long(c: Column): Long =
+    Seq("x").toDF("d").select(c.cast("long")).head.getLong(0)
+  private def str(c: Column): String =
+    Seq("x").toDF("d").select(c.cast("string")).head.getString(0)
+  private def bool(c: Column): Boolean =
+    Seq("x").toDF("d").select(c).head.getBoolean(0)
+
+  test("part extraction and part assembly") {
+    assert(int(yearT(lit(19990201))) == 1999)
+    assert(int(monthT(lit(19990201))) == 2)
+    assert(int(dayT(lit(19990201))) == 1)
+    assert(int(hourT(lit(123456))) == 12)
+    assert(int(minuteT(lit(123456))) == 34)
+    assert(int(secondT(lit(123456))) == 56)
+    assert(int(dateFromParts(lit(1999), lit(2), lit(1))) == 19990201)
+    assert(int(timeFromParts(lit(12), lit(34), lit(56))) == 123456)
+  }
+
+  test("leap years: Gregorian and Julian rules") {
+    assert(!bool(isLeapYear(lit(1900))) && bool(isLeapYear(lit(1904))))
+    assert(!bool(isLeapYear(lit(2100))) && bool(isLeapYear(lit(2000))))
+    assert(bool(isDateLeapYear(lit(20000201))))
+    assert(!bool(isDateLeapYear(lit(21000201))))
+    assert(bool(isJulianLeapYear(lit(2000))) && !bool(isJulianLeapYear(lit(2001))))
+  }
+
+  test("day-count epochs: 1 Jan 1AD = day 1; days since 1900") {
+    assert(int(fromGregorianDate(lit(10101))) == 1)       // FromGregorianYMD(1,1,1)=1
+    assert(int(toGregorianDate(lit(1))) == 10101)         // ToGregorianDate(1)
+    assert(int(fromDaysSince1900(lit(0))) == 19000101)
+    assert(int(toDaysSince1900(lit(19001201))) == 334)
+    assert(int(toDaysSince1900(lit(19001231))) == 364)
+  }
+
+  test("day-of readouts") {
+    assert(int(dayOfYear(lit(20000101))) == 1)
+    assert(int(dayOfYear(lit(20001231))) == 366)
+    assert(int(dayOfYear(lit(20011231))) == 365)
+    assert(int(dayOfWeek(lit(20140130))) == 5)            // Thursday, 1=Sunday
+    assert(int(dayOfWeek(lit(19650217))) == 4)
+    assert(int(dayOfWeek(lit(20530213))) == 5)
+    assert(int(isoDayOfWeek(lit(20140130))) == 4)         // Thursday, 1=Monday
+    assert(int(isoDayOfWeek(lit(19650217))) == 3)
+    assert(int(isoDayOfWeek(lit(20530213))) == 4)
+  }
+
+  test("ISO week dates across year boundaries") {
+    val vectors = Seq(
+      20050101 -> "2004-W53-6", 20050102 -> "2004-W53-7",
+      20051231 -> "2005-W52-6", 20060101 -> "2005-W52-7",
+      20060102 -> "2006-W01-1", 20061231 -> "2006-W52-7",
+      20070101 -> "2007-W01-1", 20071231 -> "2008-W01-1",
+      20080101 -> "2008-W01-2", 20081229 -> "2009-W01-1",
+      20081231 -> "2009-W01-3", 20091231 -> "2009-W53-4",
+      20100103 -> "2009-W53-7")
+    val got = vectors.map(_._1).toDF("d")
+      .select(isoWeekDate(col("d"), extended = true)).as[String].collect().toSeq
+    assert(got == vectors.map(_._2))
+    assert(str(isoWeekDate(lit(20060102))) == "2006W011")
+    assert(int(isoWeeksInYear(lit(2004))) == 53)
+    assert(int(isoWeeksInYear(lit(2006))) == 52)
+  }
+
+  test("relative week numbering (YearWeekNum/MonthWeekNum)") {
+    assert(int(yearWeekNum(lit(20180101))) == 1)
+    assert(int(yearWeekNum(lit(20180106))) == 1)
+    assert(int(yearWeekNum(lit(20180107))) == 2)
+    assert(int(yearWeekNum(lit(20180107), 2)) == 1)
+    assert(int(yearWeekNum(lit(20180108), 2)) == 2)
+    assert(int(yearWeekNum(lit(20180101), 3)) == 1)
+    assert(int(yearWeekNum(lit(20180102), 3)) == 2)
+    assert(int(yearWeekNum(lit(20180103), 5)) == 1)
+    assert(int(yearWeekNum(lit(20180104), 5)) == 2)
+    assert(int(monthWeekNum(lit(20180101))) == 1)
+    assert(int(monthWeekNum(lit(20180107))) == 2)
+    assert(int(monthWeekNum(lit(20180201))) == 1)
+    assert(int(monthWeekNum(lit(20180304), 2)) == 1)
+    assert(int(monthWeekNum(lit(20180305), 2)) == 2)
+    assert(int(monthWeekNum(lit(20180302), 6)) == 2)
+  }
+
+  test("signed whole-unit Between functions") {
+    assert(int(yearsBetween(lit(20010615), lit(20020615))) == 1)
+    assert(int(yearsBetween(lit(20010615), lit(20020614))) == 0)
+    assert(int(yearsBetween(lit(20020615), lit(20010615))) == -1)
+    assert(int(monthsBetween(lit(19700101), lit(19701231))) == 11)
+    assert(int(monthsBetween(lit(19701231), lit(19710101))) == 0)
+    assert(int(monthsBetween(lit(19701231), lit(19711231))) == 12)
+    assert(int(monthsBetween(lit(19711231), lit(19701231))) == -12)
+    assert(int(monthsBetween(lit(19700606), lit(19700706))) == 1)
+    assert(int(monthsBetween(lit(19700606), lit(19700705))) == 0)
+    assert(int(monthsBetween(lit(20160331), lit(20160930))) == 5)
+    assert(int(monthsBetween(lit(20160331), lit(20160930),
+      monthEndsEqual = true)) == 6)
+    assert(int(StdDate.daysBetween(lit(20010615), lit(20020615))) == 365)
+    assert(int(StdDate.daysBetween(lit(20020615), lit(20010615))) == -365)
+  }
+
+  test("AdjustDate normalizes like mktime; AdjustCalendar clamps") {
+    assert(int(adjustDate(lit(20000130), monthDelta = lit(1))) == 20000301)
+    assert(int(adjustDate(lit(20000130), monthDelta = lit(1),
+      dayDelta = lit(-1))) == 20000229)
+    assert(int(adjustDate(lit(20000229), yearDelta = lit(1))) == 20010301)
+    assert(int(adjustDate(lit(20000229), yearDelta = lit(-1))) == 19990301)
+    assert(int(adjustDate(lit(19650217), yearDelta = lit(49))) == 20140217)
+    assert(int(adjustDateBySeconds(lit(20140130), lit(172800))) == 20140201)
+    assert(int(adjustCalendar(lit(20140130), monthDelta = lit(1))) == 20140228)
+    assert(int(adjustCalendar(lit(20170201), monthDelta = lit(-23))) == 20150301)
+    assert(int(adjustCalendar(lit(20170201), monthDelta = lit(-13))) == 20160101)
+    // Jan 31 + 1 month + 1 day: clamp to Feb 28 THEN step into March
+    assert(int(adjustCalendar(lit(20140131), monthDelta = lit(1),
+      dayDelta = lit(1))) == 20140301)
+  }
+
+  test("AdjustTime wraps mod 24h") {
+    assert(int(adjustTime(lit(180000), hourDelta = lit(7))) == 10000)
+    assert(int(adjustTime(lit(180000), minuteDelta = lit(420))) == 10000)
+    assert(int(adjustTime(lit(180000), secondDelta = lit(-86400))) == 180000)
+    assert(int(adjustTimeBySeconds(lit(180000), lit(86400))) == 180000)
+  }
+
+  test("Seconds_t: UTC epoch round-trips, including pre-1970") {
+    assert(long(secondsFromParts(lit(1999), lit(2), lit(1), lit(12), lit(34),
+      lit(56))) == 917872496L)
+    assert(long(secondsFromParts(lit(1965), lit(2), lit(17), lit(0), lit(0),
+      lit(0))) == -153705600L)
+    assert(int(secondsToDateT(lit(917872496L))) == 19990201)
+    assert(int(secondsToTimeT(lit(917872496L))) == 123456)
+    assert(int(secondsToDateT(lit(-153705600L))) == 19650217)
+    assert(int(secondsToDateT(lit(0L))) == 19700101)
+    assert(long(timestampToSeconds(lit(917872496123456L))) == 917872496L)
+  }
+
+  test("Register exposes std_date_* functions to spark.sql") {
+    graft.functions.Register.all(spark)
+    val r = spark.sql(
+      """SELECT std_date_adjust_date(20000130, 0, 1, 0) AS mk,
+        |  std_date_adjust_calendar(20140130, 0, 1, 0) AS cal,
+        |  std_date_days_between(20010615, 20020615) AS db,
+        |  std_date_months_between(20160331, 20160930, true) AS mb,
+        |  std_date_years_between(20020615, 20010615) AS yb,
+        |  std_date_day_of_week(20140130) AS dow,
+        |  std_date_iso_week_date(20050101, true) AS iwd,
+        |  std_date_to_string(19990201, '%d/%m/%Y') AS ts,
+        |  std_date_from_string('01/02/1999', '%d/%m/%Y') AS fs
+        |""".stripMargin).head
+    assert(r.getInt(0) == 20000301 && r.getInt(1) == 20140228)
+    assert(r.getInt(2) == 365 && r.getInt(3) == 6 && r.getInt(4) == -1)
+    assert(r.getInt(5) == 5 && r.getString(6) == "2004-W53-6")
+    assert(r.getString(7) == "01/02/1999" && r.getInt(8) == 19990201)
+  }
+
+  test("strftime formatting and parsing round-trip") {
+    assert(str(dateToString(lit(19990201), "%Y-%m-%d")) == "1999-02-01")
+    assert(str(dateToString(lit(19990201), "%d/%m/%y")) == "01/02/99")
+    assert(str(dateToString(lit(19990201), "%j of %Y")) == "032 of 1999")
+    assert(str(timeToString(lit(123456), "%H:%M:%S")) == "12:34:56")
+    assert(int(fromStringToDate(lit("01/02/1999"), "%d/%m/%Y")) == 19990201)
+    assert(int(fromStringToDate(lit("bogus"), "%d/%m/%Y")) == 0)
+    assert(str(convertDateFormat(lit("02/01/1999"), "%m/%d/%Y", "%Y%m%d"))
+      == "19990201")
+  }
+}
