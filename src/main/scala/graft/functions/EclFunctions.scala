@@ -77,6 +77,60 @@ object EclFunctions {
   def isLeapYear(y: Column): Column =
     (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
 
+  // ---- type transfer ((>t<)x, `no_typetransfer` hqlexpr.hpp:427) -----------
+  // Reinterpret raw bytes without conversion (e.g. `terasortprep.ecl:81`
+  // casts key bytes to string1). Scalar UDF escape hatch — rare, generation-
+  // time usage, not a hot-path construct. ECL memory layout is little-endian.
+
+  /** (>unsigned8<)real8 — IEEE-754 bit pattern of a double. */
+  def transferDoubleToBits(c: Column): Column = {
+    val fn = org.apache.spark.sql.functions.udf { (d: java.lang.Double) =>
+      if (d == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(java.lang.Double.doubleToRawLongBits(d))
+    }
+    fn(c)
+  }
+
+  /** (>real8<)unsigned8 — double from its bit pattern. */
+  def transferBitsToDouble(c: Column): Column = {
+    val fn = org.apache.spark.sql.functions.udf { (b: java.lang.Long) =>
+      if (b == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(java.lang.Double.longBitsToDouble(b))
+    }
+    fn(c)
+  }
+
+  /** (>stringN<)integer — the integer's first `n` little-endian bytes as a
+    * latin-1 string (ECL x86 layout).
+    */
+  def transferIntToString(c: Column, n: Int): Column = {
+    val fn = org.apache.spark.sql.functions.udf { (v: java.lang.Long) =>
+      if (v == null) null
+      else {
+        val bytes = Array.tabulate[Byte](n)(i => ((v >> (8 * i)) & 0xff).toByte)
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    }
+    fn(c)
+  }
+
+  /** (>unsigned8<)stringN — little-endian unsigned read of the string's
+    * latin-1 bytes (at most 8).
+    */
+  def transferStringToUInt(c: Column): Column = {
+    val fn = org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        var v = 0L
+        for (i <- 0 until math.min(8, bytes.length))
+          v |= (bytes(i) & 0xffL) << (8 * i)
+        java.lang.Long.valueOf(v)
+      }
+    }
+    fn(c)
+  }
+
   // ---- hashes (HASH32/HASH64, `hqlexpr.hpp:330-333`) -----------------------
 
   import org.apache.spark.sql.GraftBridge

@@ -94,6 +94,33 @@ object Register {
     registerColumnFn("std_date_from_string") { e =>
       StdDate.fromStringToDate(c(e(0)), litStr(e(1)))
     }
+
+    // Std.Uni locale/normalization layer + type transfer (UDF-backed)
+    registerColumnFn("std_uni_clean_accents") { e => StdUni.cleanAccents(c(e(0))) }
+    registerColumnFn("std_uni_normalize") { e =>
+      StdUni.normalizeForm(c(e(0)), litStr(e(1)))
+    }
+    registerColumnFn("std_uni_compare_at_strength") { e =>
+      StdUni.compareAtStrength(c(e(0)), c(e(1)), litInt(e(2)))
+    }
+    registerColumnFn("std_uni_locale_compare_at_strength") { e =>
+      StdUni.localeCompareAtStrength(c(e(0)), c(e(1)), litStr(e(2)), litInt(e(3)))
+    }
+    registerColumnFn("std_uni_locale_upper") { e =>
+      StdUni.localeToUpperCase(c(e(0)), litStr(e(1)))
+    }
+    registerColumnFn("std_uni_locale_lower") { e =>
+      StdUni.localeToLowerCase(c(e(0)), litStr(e(1)))
+    }
+    registerColumnFn("std_uni_word_count") { e =>
+      StdUni.wordCount(c(e(0)), if (e.size > 1) litStr(e(1)) else "")
+    }
+    registerColumnFn("ecl_transfer_double_to_bits") { e =>
+      EclFunctions.transferDoubleToBits(c(e(0)))
+    }
+    registerColumnFn("ecl_transfer_bits_to_double") { e =>
+      EclFunctions.transferBitsToDouble(c(e(0)))
+    }
     // explicit cast to string: the expressions hash UTF-8 bytes, so a raw
     // non-string argument (ecl_hash32(42)) must be stringified first —
     // matching EclFunctions.hash32/64's column path

@@ -1,0 +1,182 @@
+package graft.functions
+
+import java.text.{BreakIterator, Collator, Normalizer}
+import java.util.Locale
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Std.Uni surface (ref `ecllibrary/std/Uni.ecl`). Most Std.Uni entries are
+  * the Std.Str compositions applied to Spark's UTF-8 strings, which are
+  * already unicode-aware — this module adds only what genuinely needs
+  * locale / normalization machinery: collation-strength compares
+  * (`rtlCompareUnicodeUnicodeStrength`), accent stripping, normalization
+  * forms, locale case mapping, and locale word segmentation. The reference
+  * calls ICU; here the JDK's `java.text` (Collator / Normalizer /
+  * BreakIterator) provides the same contracts without new dependencies.
+  *
+  * These are deliberate non-codegen scalar UDFs — locale logic has no
+  * Catalyst equivalent. They are scalar and partition-parallel (fine at
+  * 100 TB for transform passes) but do break whole-stage codegen; keep
+  * them out of join/filter hot loops where a binary compare suffices.
+  */
+object StdUni {
+
+  private def localeOf(name: String): Locale =
+    if (name == null || name.isEmpty) Locale.ROOT
+    else Locale.forLanguageTag(name.replace('_', '-'))
+
+  /** ECL strengths 1-5 (Uni.ecl:213): 1=primary (base letter),
+    * 2=secondary (+accents), 3=tertiary (+case), 4≈tertiary (JDK has no
+    * quaternary), 5=identical.
+    */
+  private def javaStrength(s: Int): Int = s match {
+    case 1     => Collator.PRIMARY
+    case 2     => Collator.SECONDARY
+    case 4 | 5 => Collator.IDENTICAL
+    case _     => Collator.TERTIARY
+  }
+
+  // Collator.getInstance is expensive; share per (locale, strength) per JVM.
+  // Collator isn't thread-safe → ThreadLocal clones.
+  private val collators =
+    new ConcurrentHashMap[(String, Int), ThreadLocal[Collator]]()
+  private def collator(locale: String, strength: Int): Collator =
+    collators.computeIfAbsent((locale, strength), { key =>
+      ThreadLocal.withInitial { () =>
+        val c = Collator.getInstance(localeOf(key._1))
+        c.setStrength(javaStrength(key._2))
+        c
+      }
+    }).get()
+
+  /** Uni.LocaleCompareAtStrength (Uni.ecl:242): -1/0/1 under the locale's
+    * collation at the given strength.
+    */
+  def localeCompareAtStrength(a: Column, b: Column, localeName: String,
+      strength: Int): Column = {
+    val fn = udf { (x: String, y: String) =>
+      if (x == null || y == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(Integer.signum(
+        collator(localeName, strength).compare(x.trim, y.trim)))
+    }
+    fn(a, b)
+  }
+
+  /** Uni.CompareAtStrength (Uni.ecl:213): root-locale collation. */
+  def compareAtStrength(a: Column, b: Column, strength: Int): Column =
+    localeCompareAtStrength(a, b, "", strength)
+
+  /** Uni.LocaleCompareIgnoreCase (Uni.ecl:225): secondary strength —
+    * accents significant, case not.
+    */
+  def localeCompareIgnoreCase(a: Column, b: Column,
+      localeName: String = ""): Column =
+    localeCompareAtStrength(a, b, localeName, 2)
+
+  /** Uni.CleanAccents (Uni.ecl:297): strip combining marks — NFD, drop
+    * Mn/Me/Mc, recompose.
+    */
+  def cleanAccents(c: Column): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null
+      else Normalizer.normalize(
+        Normalizer.normalize(s, Normalizer.Form.NFD)
+          .replaceAll("\\p{M}+", ""),
+        Normalizer.Form.NFC)
+    }
+    fn(c)
+  }
+
+  /** Unicode normalization to a named form (NFC/NFD/NFKC/NFKD) — the
+    * `form` argument of Uni.StartsWith/EndsWith/RemoveSuffix (Uni.ecl:451).
+    */
+  def normalizeForm(c: Column, form: String): Column = {
+    val f = form.toUpperCase
+    val fn = udf { (s: String) =>
+      if (s == null) null else Normalizer.normalize(s, Normalizer.Form.valueOf(f))
+    }
+    fn(c)
+  }
+
+  private def maybeNorm(c: Column, form: String): Column =
+    if (form == null || form.isEmpty) c else normalizeForm(c, form)
+
+  /** Uni.StartsWith (Uni.ecl:451): no trimming; empty prefix is FALSE
+    * (TestStartsWith Test01/03); optional normalization form applied to
+    * both sides first.
+    */
+  def startsWith(src: Column, prefix: Column, form: String = ""): Column =
+    when(length(prefix) === 0, false)
+      .otherwise(maybeNorm(src, form).startsWith(maybeNorm(prefix, form)))
+
+  /** Uni.EndsWith (Uni.ecl:464). */
+  def endsWith(src: Column, suffix: Column, form: String = ""): Column =
+    when(length(suffix) === 0, false)
+      .otherwise(maybeNorm(src, form).endsWith(maybeNorm(suffix, form)))
+
+  /** Uni.RemoveSuffix (Uni.ecl:483). */
+  def removeSuffix(src: Column, suffix: Column, form: String = ""): Column = {
+    val s = maybeNorm(src, form)
+    val x = maybeNorm(suffix, form)
+    when(length(x) > 0 && s.endsWith(x),
+      s.substr(lit(1), length(s) - length(x))).otherwise(s)
+  }
+
+  /** Uni.LocaleToUpperCase / LocaleToLowerCase (Uni.ecl:165-175): the
+    * locale changes the mapping (e.g. tr dotted/dotless i).
+    */
+  def localeToUpperCase(c: Column, localeName: String): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null else s.toUpperCase(localeOf(localeName))
+    }
+    fn(c)
+  }
+  def localeToLowerCase(c: Column, localeName: String): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null else s.toLowerCase(localeOf(localeName))
+    }
+    fn(c)
+  }
+
+  private def wordSegments(s: String, localeName: String): Vector[String] = {
+    val bi = BreakIterator.getWordInstance(localeOf(localeName))
+    bi.setText(s)
+    val out = Vector.newBuilder[String]
+    var start = bi.first()
+    var end = bi.next()
+    while (end != BreakIterator.DONE) {
+      val seg = s.substring(start, end)
+      // word tokens contain at least one letter or digit (ICU uword rule —
+      // TestWordCount: ' ,,,, ' has 0 words, "couldn't" is ONE word)
+      if (seg.exists(Character.isLetterOrDigit)) out += seg
+      start = end
+      end = bi.next()
+    }
+    out.result()
+  }
+
+  /** Uni.WordCount (Uni.ecl:372): locale word segmentation, punctuation
+    * runs are not words.
+    */
+  def wordCount(text: Column, localeName: String = ""): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(wordSegments(s, localeName).size)
+    }
+    fn(text)
+  }
+
+  /** Uni.GetNthWord (Uni.ecl:384): '' when out of range. */
+  def getNthWord(text: Column, n: Int, localeName: String = ""): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val ws = wordSegments(s, localeName)
+        if (n >= 1 && n <= ws.size) ws(n - 1) else ""
+      }
+    }
+    fn(text)
+  }
+}

@@ -93,6 +93,28 @@ object ParseQueries {
         "response")((_, payload) => payload.reverse)
         .select(col("o_orderkey"), col("response"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- recursive-grammar PARSE (Tomita territory): balanced nesting ----
+    // depth varies per row; a trailing unmatched ')' proves the matcher
+    // counts nesting instead of regex-greedy bracket grabbing. The oracle
+    // reconstructs the expected balanced core arithmetically.
+    QueryDef("q135_parse_recursive",
+      """SELECT p_partkey,
+        |  repeat('(', p_size % 3 + 1) || p_name || repeat(')', p_size % 3 + 1)
+        |    AS m
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import graft.text.Parse._
+      val g = Grammar(Map(
+        "expr" -> GOr(GSeq(GLit("("), GRef("expr"), GLit(")")),
+          GTok("[a-z ]+"))), "expr")
+      val depth = col("p_size") % 3 + 1
+      val text = concat(repeat(lit("("), depth.cast("int")), col("p_name"),
+        repeat(lit(")"), depth.cast("int")), lit(")"))
+      parseGrammar(Tables.part(s, dir).withColumn("__t", text),
+          col("__t"), g, "m")
+        .select(col("p_partkey"), col("m"))
+        .orderBy(col("p_partkey"))
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{EclFunctions, StdDate, StdStr}
+import graft.functions.{EclFunctions, StdDate, StdStr, StdUni}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -259,6 +259,34 @@ object StdlibQueries {
           StdDate.fromStringToDate(StdDate.dateToString(dt, "%d|%m|%Y"),
             "%d|%m|%Y").as("reparsed"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Std.Uni: accents / normalization / unicode case -----------------
+    // (the collation-strength compares are JDK-Collator territory with no
+    // DuckDB equivalent — covered by StdUniSpec instead)
+    QueryDef("q142_unicode",
+      """WITH u AS (
+        |  SELECT p_partkey,
+        |    'd' || chr(233) || 'j' || chr(224) || ' vu ' || p_name AS s,
+        |    'e' || chr(769) AS comb
+        |  FROM part)
+        |SELECT p_partkey,
+        |  strip_accents(s) AS clean,
+        |  nfc_normalize(comb) AS nfc,
+        |  upper(s) AS up,
+        |  starts_with(nfc_normalize(s), nfc_normalize('d' || chr(233))) AS sw
+        |FROM u ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val uni = concat(lit("d"), chr(lit(233)), lit("j"), chr(lit(224)),
+        lit(" vu "), col("p_name"))
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          StdUni.cleanAccents(uni).as("clean"),
+          // NOTE: Spark's chr() wraps at 256 (ASCII builtin) — the combining
+          // acute U+0301 must be a literal, unlike DuckDB's codepoint chr()
+          StdUni.normalizeForm(lit("é"), "NFC").as("nfc"),
+          upper(uni).as("up"),
+          StdUni.startsWith(uni, concat(lit("d"), chr(lit(233))), "NFC").as("sw"))
+        .orderBy(col("p_partkey"))
     },
 
     // ---- Std.Math (cross-engine-exact subset) ----------------------------

@@ -53,4 +53,121 @@ object Parse {
       d.withColumn(name, regexp_extract(col("__m"), p.re, idx))
     }.drop("__m")
   }
+
+  // ---- recursive RULE grammars (the Tomita engine's territory) -------------
+
+  /** Grammar pattern AST for RECURSIVE PATTERN/RULE definitions — what the
+    * reference compiles to its Tomita-GLR engine (`ecl/hqlcpp/hqltomita.cpp`,
+    * engine selection `common/thorhelper/thorparse.hpp:28`) because regexes
+    * cannot count nesting. Interpreted here by a memoized recursive-descent
+    * (packrat) matcher: each (rule, position) is computed once, so a row's
+    * parse is O(text × grammar). Left recursion is rejected at match time
+    * (returns no ends on re-entry) — rewrite as iteration, the standard PEG
+    * discipline.
+    */
+  sealed trait GPat
+  final case class GLit(s: String) extends GPat
+  /** Terminal regex, matched anchored & greedy at the current position. */
+  final case class GTok(re: String) extends GPat
+  final case class GSeq(ps: GPat*) extends GPat
+  final case class GOr(ps: GPat*) extends GPat
+  final case class GRep(p: GPat, min: Int, max: Int) extends GPat
+  final case class GOpt(p: GPat) extends GPat
+  /** USE/RULE reference by name — recursion (incl. mutual) happens here. */
+  final case class GRef(name: String) extends GPat
+
+  /** A named-rule grammar with a start symbol. */
+  final case class Grammar(rules: Map[String, GPat], start: String) {
+    require(rules.contains(start), s"start rule '$start' undefined")
+
+    /** All possible end offsets of a match of `p` beginning at `pos`. */
+    private def ends(text: String, p: GPat, pos: Int,
+        memo: collection.mutable.Map[(GPat, Int), Set[Int]],
+        inFlight: collection.mutable.Set[(String, Int)]): Set[Int] = p match {
+      case GLit(s) =>
+        if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
+      case GTok(re) =>
+        val m = java.util.regex.Pattern.compile(re)
+          .matcher(text).region(pos, text.length)
+        if (m.lookingAt()) Set(m.end()) else Set.empty
+      case GSeq(ps @ _*) =>
+        ps.foldLeft(Set(pos)) { (starts, q) =>
+          starts.flatMap(s => ends(text, q, s, memo, inFlight))
+        }
+      case GOr(ps @ _*) =>
+        ps.toSet.flatMap((q: GPat) => ends(text, q, pos, memo, inFlight))
+      case GOpt(q) => ends(text, q, pos, memo, inFlight) + pos
+      case GRep(q, min, max) =>
+        // level(i) = positions reachable with exactly i reps. A nullable
+        // inner pattern makes level sequences eventually stationary; on a
+        // fixpoint every further count reaches the same set, so jump
+        // straight to min and stop. The cap bounds pathological non-
+        // monotone grammars: beyond it every additional rep revisits a
+        // position set already accumulated.
+        var level = Set(pos)
+        var acc = if (min == 0) Set(pos) else Set.empty[Int]
+        val cap = math.min(max.toLong, (text.length - pos).toLong + min + 1)
+        var i = 0
+        var done = false
+        while (i < cap && level.nonEmpty && !done) {
+          val next = level.flatMap(s => ends(text, q, s, memo, inFlight))
+          i += 1
+          if (next == level) { // stationary: counts min..max all reach `next`
+            if (i < min) i = min
+            done = true
+          }
+          if (i >= min) acc ++= next
+          level = next
+        }
+        acc
+      case GRef(name) =>
+        val rule = rules.getOrElse(name,
+          throw new IllegalArgumentException(s"undefined rule '$name'"))
+        memo.get((rule, pos)) match {
+          case Some(cached) => cached
+          case None =>
+            if (!inFlight.add((name, pos))) Set.empty // left-recursion guard
+            else try {
+              val r = ends(text, rule, pos, memo, inFlight)
+              memo((rule, pos)) = r
+              r
+            } finally inFlight.remove((name, pos))
+        }
+    }
+
+    /** SCAN-mode match texts: at each position try the start rule; on a
+      * match emit the LONGEST derivation and resume after it (the
+      * reference's PARSE(...,MAX,SCAN) shape); `all = true` emits every
+      * derivation length at every position instead (full Tomita-style
+      * ambiguity surfaced; scan still resumes after the longest).
+      */
+    def scan(text: String, all: Boolean = false): Vector[String] = {
+      if (text == null) return Vector.empty
+      val memo = collection.mutable.Map.empty[(GPat, Int), Set[Int]]
+      val inFlight = collection.mutable.Set.empty[(String, Int)]
+      val out = Vector.newBuilder[String]
+      var pos = 0
+      while (pos < text.length) {
+        val es = ends(text, GRef(start), pos, memo, inFlight).filter(_ > pos)
+        if (es.isEmpty) pos += 1
+        else {
+          val longest = es.max
+          if (all) es.toVector.sorted.foreach(e => out += text.substring(pos, e))
+          else out += text.substring(pos, longest)
+          pos = longest
+        }
+      }
+      out.result()
+    }
+  }
+
+  /** PARSE with a recursive grammar: one row per match of the start rule,
+    * matched text in `as`. The per-row matcher runs as a scalar UDF —
+    * partition-parallel, no shuffle; the explode is the only plan change.
+    */
+  def parseGrammar(df: DataFrame, field: Column, g: Grammar, as: String,
+      all: Boolean = false): DataFrame = {
+    val fn = udf((s: String) => g.scan(s, all))
+    df.withColumn(as, explode(fn(field)))
+  }
 }

@@ -73,6 +73,39 @@ class ModelSpec extends SparkSpec {
     assert(Parse.parse(df, col("t"), opt, "m").count() == 2)
   }
 
+  test("parseGrammar: recursive rules count nesting that regex cannot") {
+    import graft.text.Parse._
+    val balanced = Grammar(Map(
+      "expr" -> GOr(GSeq(GLit("("), GRef("expr"), GLit(")")),
+        GTok("[a-z ]+"))), "expr")
+    assert(balanced.scan("((abc))") == Vector("((abc))"))
+    // unbalanced tail: longest balanced prefix wins, scan resumes after
+    assert(balanced.scan("((abc)") == Vector("(abc)"))
+    assert(balanced.scan("(a)(bb)") == Vector("(a)", "(bb)"))
+    // mutual recursion
+    val mutual = Grammar(Map(
+      "a" -> GOr(GSeq(GLit("x"), GRef("b")), GLit("x")),
+      "b" -> GSeq(GLit("y"), GRef("a"))), "a")
+    assert(mutual.scan("xyxyx") == Vector("xyxyx"))
+    // ambiguity surfaced with all = true
+    val amb = Grammar(Map(
+      "t" -> GOr(GTok("[ab]"), GTok("[ab]{2}"))), "t")
+    assert(amb.scan("ab", all = true) == Vector("a", "ab"))
+    // bounded repetition through alternative-length tokens
+    val rep = Grammar(Map(
+      "r" -> GRep(GOr(GLit("aa"), GLit("a")), 3, 3)), "r")
+    assert(rep.scan("aaa") == Vector("aaa"))
+    // left recursion is rejected, not an infinite loop
+    val leftRec = Grammar(Map(
+      "l" -> GOr(GSeq(GRef("l"), GLit("a")), GLit("a"))), "l")
+    assert(leftRec.scan("aaa") == Vector("a", "a", "a"))
+    // DataFrame lowering: one row per match, other columns ride along
+    val df = Seq((1, "(a)(bb)")).toDF("id", "t")
+    val out = graft.text.Parse.parseGrammar(df, col("t"), balanced, "m")
+    assert(out.select("id", "m").as[(Int, String)].collect().toSeq ==
+      Seq((1, "(a)"), (1, "(bb)")))
+  }
+
   test("Soapcall retries transient failures and preserves row order fields") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
     // transport fails on first attempt per payload, succeeds on retry
