@@ -94,6 +94,29 @@ object Register {
     registerColumnFn("std_date_from_string") { e =>
       StdDate.fromStringToDate(c(e(0)), litStr(e(1)))
     }
+    registerColumnFn("std_date_from_julian") { e =>
+      StdDate.fromJulianDate(c(e(0)))
+    }
+    registerColumnFn("std_date_to_julian") { e =>
+      StdDate.toJulianDate(c(e(0)))
+    }
+    registerColumnFn("std_date_match_string") { e =>
+      StdDate.matchDateString(c(e(0)), litStr(e(1)).split(';').toSeq)
+    }
+
+    // Std.Date timezone layer (literal-map lookups)
+    registerColumnFn("std_tz_offset") { e =>
+      StdTimezone.tzOffset(c(e(0)),
+        if (e.size > 1) c(e(1)) else org.apache.spark.sql.functions.lit(""))
+    }
+    registerColumnFn("std_tz_seconds_between") { e =>
+      StdTimezone.secondsBetweenTZ(c(e(0)), c(e(1)),
+        if (e.size > 2) c(e(2)) else org.apache.spark.sql.functions.lit(""),
+        if (e.size > 3) c(e(3)) else org.apache.spark.sql.functions.lit(""))
+    }
+    registerColumnFn("std_tz_to_local") { e =>
+      StdTimezone.toLocalTime(c(e(0)), c(e(1)))
+    }
 
     // Std.Uni locale/normalization layer + type transfer (UDF-backed)
     registerColumnFn("std_uni_clean_accents") { e => StdUni.cleanAccents(c(e(0))) }

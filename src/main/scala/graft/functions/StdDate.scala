@@ -228,9 +228,12 @@ object StdDate {
   // ---- string formatting (strftime subset, Date.ecl:651-942) --------------
 
   /** Translate the strftime subset the reference's formatters use to a Java
-    * DateTimeFormatter pattern (literal letters get quoted).
+    * DateTimeFormatter pattern (literal letters get quoted). `forParse`
+    * emits single-letter fields (d, M, H...) because strptime accepts 1-2
+    * digits where Java's doubled letters demand exactly two.
     */
-  private[functions] def strftimeToJava(fmt: String): String = {
+  private[functions] def strftimeToJava(fmt: String,
+      forParse: Boolean = false): String = {
     val sb = new StringBuilder
     val run = new StringBuilder // pending literal run, quoted as one block
     def literal(c: Char): Unit = run.append(c)
@@ -246,15 +249,15 @@ object StdDate {
       if (fmt(i) == '%' && i + 1 < fmt.length) {
         flush()
         fmt(i + 1) match {
-          case 'Y'       => sb.append("yyyy")
+          case 'Y'       => sb.append(if (forParse) "y" else "yyyy")
           case 'y'       => sb.append("yy")
-          case 'm'       => sb.append("MM")
-          case 'd'       => sb.append("dd")
+          case 'm'       => sb.append(if (forParse) "M" else "MM")
+          case 'd'       => sb.append(if (forParse) "d" else "dd")
           case 'e'       => sb.append("d")
-          case 'j'       => sb.append("DDD")
-          case 'H'       => sb.append("HH")
-          case 'M'       => sb.append("mm")
-          case 'S'       => sb.append("ss")
+          case 'j'       => sb.append(if (forParse) "D" else "DDD")
+          case 'H'       => sb.append(if (forParse) "H" else "HH")
+          case 'M'       => sb.append(if (forParse) "m" else "mm")
+          case 'S'       => sb.append(if (forParse) "s" else "ss")
           case 'b' | 'h' => sb.append("MMM")
           case 'B'       => sb.append("MMMM")
           case 'a'       => sb.append("EEE")
@@ -282,13 +285,136 @@ object StdDate {
 
   /** FromStringToDate (Date.ecl:651): 0 on parse failure. */
   def fromStringToDate(text: Column, fmt: String): Column =
-    coalesce(toDateT(try_to_date(text, strftimeToJava(fmt))), lit(0))
+    coalesce(toDateT(tryParseDate(text, fmt)), lit(0))
 
   /** ConvertDateFormat (Date.ecl:866): '' on parse failure. */
   def convertDateFormat(text: Column, fromFmt: String = "%m/%d/%Y",
       toFmt: String = "%Y%m%d"): Column =
-    coalesce(date_format(try_to_date(text, strftimeToJava(fromFmt)),
+    coalesce(date_format(tryParseDate(text, fromFmt),
       strftimeToJava(toFmt)), lit(""))
+
+  /** FromStringToTime (Date.ecl:723): Time_t, 0 on parse failure. */
+  def fromStringToTime(text: Column, fmt: String): Column = {
+    val ts = tryParseTs(text, fmt)
+    coalesce(timeFromParts(hour(ts), minute(ts), second(ts)), lit(0))
+  }
+
+  /** ConvertTimeFormat (Date.ecl:887): '' on parse failure. */
+  def convertTimeFormat(text: Column, fromFmt: String = "%H%M%S",
+      toFmt: String = "%H%M%S"): Column =
+    coalesce(date_format(tryParseTs(text, fromFmt),
+      strftimeToJava(toFmt)), lit(""))
+
+  // strptime month/day names are case-insensitive (Java's are not —
+  // canonicalize case when the format names months/days), and strptime
+  // numeric fields accept 1-2 digits yet also pack tight ("20111201"):
+  // try the strict fixed-width translation first, then the lenient one.
+  private def canonCase(text: Column, fmt: String): Column =
+    if (fmt.exists("bBaA".contains(_)) && fmt.contains('%'))
+      initcap(lower(text)) else text
+
+  private def tryParseDate(text: Column, fmt: String): Column = {
+    val in = canonCase(text, fmt)
+    coalesce(try_to_date(in, strftimeToJava(fmt)),
+      try_to_date(in, strftimeToJava(fmt, forParse = true)))
+  }
+
+  private def tryParseTs(text: Column, fmt: String): Column = {
+    val in = canonCase(text, fmt)
+    coalesce(try_to_timestamp(in, lit(strftimeToJava(fmt))),
+      try_to_timestamp(in, lit(strftimeToJava(fmt, forParse = true))))
+  }
+
+  /** ConvertDateFormatMultiple (Date.ecl:909): first format that parses
+    * wins, '' when none do.
+    */
+  def convertDateFormatMultiple(text: Column, fromFmts: Seq[String],
+      toFmt: String = "%Y%m%d"): Column = {
+    val parsed = coalesce(fromFmts.map(f => tryParseDate(text, f)): _*)
+    coalesce(date_format(parsed, strftimeToJava(toFmt)), lit(""))
+  }
+
+  /** MatchDateString (Date.ecl:841): Date_t from the first format that
+    * parses, 0 when none do.
+    */
+  def matchDateString(text: Column, fmts: Seq[String]): Column =
+    coalesce(toDateT(coalesce(
+      fmts.map(f => tryParseDate(text, f)): _*)), lit(0))
+
+  /** MatchTimeString (Date.ecl:855): Time_t from the first parsing format. */
+  def matchTimeString(text: Column, fmts: Seq[String]): Column =
+    coalesce(coalesce(fmts.map(f => {
+      val ts = tryParseTs(text, f)
+      when(ts.isNotNull, timeFromParts(hour(ts), minute(ts), second(ts)))
+    }): _*), lit(0))
+
+  /** SecondsToParts (Date.ecl:160): every component in one struct. */
+  def secondsToParts(seconds: Column): Column = {
+    val ts = from_utc_timestamp(timestamp_seconds(seconds), "UTC")
+    struct(
+      year(ts).as("year"), month(ts).as("month"),
+      dayofmonth(ts).as("day"), hour(ts).as("hour"),
+      minute(ts).as("minute"), second(ts).as("second"),
+      dayofweek(ts).as("day_of_week"),
+      toDateT(ts).as("date"),
+      timeFromParts(hour(ts), minute(ts), second(ts)).as("time"))
+  }
+
+  // ---- Julian calendar (Date.ecl:377-449) ---------------------------------
+  // Toendering day-count formulas; same YearDelta/JulianDateOrigin anchors
+  // as the reference so 1 Jan 1AD = day 1 in both calendars.
+
+  private val YearDeltaC = 4800
+  private val JulianDateOrigin = -1753505
+
+  /** FromJulianYMD (Date.ecl:390): Julian-calendar Y/M/D → elapsed days. */
+  def fromJulianYMD(y: Column, m: Column, d: Column): Column = {
+    val a = floor((lit(14) - m) / 12)
+    val y2 = y + YearDeltaC - a
+    val m2 = m + a * 12 - 3
+    (d + floor((m2 * 153 + 2) / 5) + y2 * 365 + floor(y2 / 4) +
+      (JulianDateOrigin - 1)).cast("int")
+  }
+
+  /** ToJulianYMD (Date.ecl:408): elapsed days → struct(year, month, day)
+    * in the Julian calendar.
+    */
+  def toJulianYMD(days: Column): Column = {
+    val daysIn4Years = 3 * 365 + 366
+    val c = days - JulianDateOrigin
+    val dd = floor((c * 4 + 3) / daysIn4Years)
+    val e = c - floor(dd * daysIn4Years / 4)
+    val m = floor((e * 5 + 2) / 153)
+    struct(
+      (dd - YearDeltaC + floor(m / 10)).cast("int").as("year"),
+      (m + 3 - floor(m / 10) * 12).cast("int").as("month"),
+      (e - floor((m * 153 + 2) / 5) + 1).cast("int").as("day"))
+  }
+
+  /** FromJulianDate (Date.ecl:432): Julian-calendar Date_t → days. */
+  def fromJulianDate(d: Column): Column =
+    fromJulianYMD(yearT(d), monthT(d), dayT(d))
+
+  /** ToJulianDate (Date.ecl:442): days → Julian-calendar Date_t. */
+  def toJulianDate(days: Column): Column = {
+    val p = toJulianYMD(days)
+    dateFromParts(p("year"), p("month"), p("day"))
+  }
+
+  // ---- date ranges (Date.ecl:1344-1379) -----------------------------------
+
+  /** DatesForMonth: struct(startDate, endDate) covering d's month. */
+  def datesForMonth(d: Column): Column =
+    struct(dateFromParts(yearT(d), monthT(d), lit(1)).as("startDate"),
+      toDateT(last_day(fromDateT(d))).as("endDate"))
+
+  /** DatesForWeek: struct(startDate, endDate), Sunday-started week. */
+  def datesForWeek(d: Column): Column = {
+    val fd = fromDateT(d)
+    val start = date_sub(fd, dayofweek(fd) - 1)
+    struct(toDateT(start).as("startDate"),
+      toDateT(date_add(start, 6)).as("endDate"))
+  }
 
   // ---- current date (Date.ecl:1279-1289) ----------------------------------
 

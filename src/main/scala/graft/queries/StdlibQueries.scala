@@ -289,6 +289,110 @@ object StdlibQueries {
         .orderBy(col("p_partkey"))
     },
 
+    // ---- Std.Date: Julian calendar + date ranges + name-format parsing ---
+    // Oracle re-derives the Toendering day-count formulas (Date.ecl:390,408)
+    // in SQL, so the check is independent arithmetic, not an echo.
+    QueryDef("q143_date_julian",
+      """WITH b AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(year(o_orderdate) AS INTEGER) AS y,
+        |    CAST(month(o_orderdate) AS INTEGER) AS m,
+        |    CAST(dayofmonth(o_orderdate) AS INTEGER) AS dd
+        |  FROM orders WHERE o_orderkey <= 8000),
+        |j AS (
+        |  SELECT *, CAST((14 - m) // 12 AS INTEGER) AS a FROM b),
+        |k AS (
+        |  SELECT *,
+        |    dd + (153*(m + 12*a - 3) + 2) // 5 + 365*(y + 4800 - a)
+        |      + (y + 4800 - a) // 4 - 1753506 AS jd
+        |  FROM j),
+        |inv AS (
+        |  SELECT *, jd + 1753505 AS c2,
+        |    (4*(jd + 1753505) + 3) // 1461 AS d4
+        |  FROM k),
+        |inv2 AS (
+        |  SELECT *, c2 - (1461*d4) // 4 AS e2 FROM inv),
+        |inv3 AS (
+        |  SELECT *, (5*e2 + 2) // 153 AS m5 FROM inv2)
+        |SELECT o_orderkey,
+        |  CAST(jd AS INTEGER) AS jd,
+        |  CAST(datediff('day', DATE '0001-01-01', d) + 1 AS INTEGER) AS gd,
+        |  CAST((d4 - 4800 + m5 // 10) * 10000
+        |    + (m5 + 3 - 12*(m5 // 10)) * 100
+        |    + (e2 - (153*m5 + 2) // 5 + 1) AS INTEGER) AS jrt,
+        |  CAST(strftime(DATE '0001-01-01' + CAST(jd - 1 AS INTEGER),
+        |    '%Y%m%d') AS INTEGER) AS j2g,
+        |  CAST(y*10000 + m*100 + 1 AS INTEGER) AS mon_start,
+        |  CAST(y*10000 + m*100 + dayofmonth(last_day(d)) AS INTEGER)
+        |    AS mon_end,
+        |  CAST(strftime(d - CAST(dayofweek(d) AS INTEGER), '%Y%m%d') AS INTEGER) AS wk_start,
+        |  CAST(strftime(d - CAST(dayofweek(d) AS INTEGER) + 6, '%Y%m%d') AS INTEGER)
+        |    AS wk_end,
+        |  CAST(y*10000 + m*100 + dd AS INTEGER) AS reparsed_name
+        |FROM inv3 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val dt = StdDate.toDateT(col("o_orderdate"))
+      val mon = StdDate.datesForMonth(dt)
+      val wk = StdDate.datesForWeek(dt)
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 8000)
+        .select(col("o_orderkey"),
+          StdDate.fromJulianDate(dt).as("jd"),
+          StdDate.fromGregorianDate(dt).as("gd"),
+          StdDate.toJulianDate(StdDate.fromJulianDate(dt)).as("jrt"),
+          StdDate.toGregorianDate(StdDate.fromJulianDate(dt)).as("j2g"),
+          mon("startDate").as("mon_start"),
+          mon("endDate").as("mon_end"),
+          wk("startDate").as("wk_start"),
+          wk("endDate").as("wk_end"),
+          StdDate.matchDateString(
+            StdDate.dateToString(dt, "%d %B %Y"),
+            Seq("%Y%m%d", "%d %B %Y")).as("reparsed_name"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- Std.Date timezone layer -----------------------------------------
+    // The oracle hard-codes the public offsets per zone (the semantics IS
+    // a lookup table), computed independently of the engine's map.
+    QueryDef("q144_timezone",
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST((o_orderkey * 7919) % 86400 AS INTEGER) AS secs,
+        |    ['EST','CST','IST','JST','PST'][CAST(o_orderkey % 5 AS INTEGER) + 1]
+        |      AS zone
+        |  FROM orders WHERE o_orderkey <= 8000),
+        |o AS (
+        |  SELECT *, CASE zone WHEN 'EST' THEN -18000 WHEN 'CST' THEN -21600
+        |    WHEN 'IST' THEN 19800 WHEN 'JST' THEN 32400
+        |    WHEN 'PST' THEN -28800 END AS off,
+        |    (secs // 3600) * 10000 + ((secs // 60) % 60) * 100 + secs % 60
+        |      AS utc_t
+        |  FROM b),
+        |sh AS (
+        |  SELECT *, ((secs + off) % 86400 + 86400) % 86400 AS ls FROM o)
+        |SELECT o_orderkey, zone,
+        |  CAST(off AS INTEGER) AS off,
+        |  CAST(-off AS INTEGER) AS to_utc_diff,
+        |  CAST(utc_t AS INTEGER) AS utc_t,
+        |  CAST((ls // 3600) * 10000 + ((ls // 60) % 60) * 100 + ls % 60
+        |    AS INTEGER) AS local_t
+        |FROM sh ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import graft.functions.StdTimezone
+      val secs = (col("o_orderkey") * 7919) % 86400
+      val zone = element_at(
+        array(lit("EST"), lit("CST"), lit("IST"), lit("JST"), lit("PST")),
+        (col("o_orderkey") % 5).cast("int") + 1)
+      val utcT = StdDate.timeFromParts(
+        floor(secs / 3600).cast("int"),
+        (floor(secs / 60) % 60).cast("int"), (secs % 60).cast("int"))
+      Tables.orders(s, dir).filter(col("o_orderkey") <= 8000)
+        .select(col("o_orderkey"), zone.as("zone"),
+          StdTimezone.tzOffset(zone).as("off"),
+          StdTimezone.secondsBetweenTZ(zone, lit("UTC"), lit(""), lit(""))
+            .as("to_utc_diff"),
+          utcT.as("utc_t"),
+          StdTimezone.toLocalTime(utcT, zone).as("local_t"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- Std.Math (cross-engine-exact subset) ----------------------------
     QueryDef("q102_math_funcs",
       """SELECT l_orderkey, l_linenumber,

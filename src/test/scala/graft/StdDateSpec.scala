@@ -178,4 +178,86 @@ class StdDateSpec extends SparkSpec {
     assert(str(convertDateFormat(lit("02/01/1999"), "%m/%d/%Y", "%Y%m%d"))
       == "19990201")
   }
+
+  test("Julian calendar: day-1 epoch and Gregorian drift") {
+    // TestDate.ecl:39-40
+    assert(int(fromJulianYMD(lit(1), lit(1), lit(1))) == 1)
+    assert(int(toJulianDate(lit(1))) == 10101)
+    // round-trips
+    assert(int(toJulianDate(fromJulianDate(lit(20200229)))) == 20200229)
+    assert(int(fromJulianDate(toJulianDate(lit(700000)))) == 700000)
+    // The reference anchors BOTH calendars at "1 Jan 1AD = day 1" on
+    // their own scale (Date.ecl:234,377), so cross-calendar conversion
+    // through Days_t differs from the historical 13-day 1900s gap by the
+    // 2-day year-1 offset: Gregorian 1918-03-13 -> Julian 1918-02-26.
+    assert(int(toJulianDate(fromGregorianDate(lit(19180313)))) == 19180226)
+    // Julian leap day 1900-02-29 exists (Julian leap), Gregorian has none
+    assert(int(fromJulianYMD(lit(1900), lit(3), lit(1))
+      - fromJulianYMD(lit(1900), lit(2), lit(28))) == 2)
+  }
+
+  test("multi-format parsing: MatchDateString / ConvertTimeFormat") {
+    // TestFormat.ecl:61-70 family (strptime subset)
+    val fmts = Seq("%d/%m/%Y", "%Y%m%d", "%d %B %Y")
+    assert(int(matchDateString(lit("1 december 2011"), fmts)) == 20111201)
+    assert(int(matchDateString(lit("20111201"), fmts)) == 20111201)
+    assert(int(matchDateString(lit("01/12/2011"), fmts)) == 20111201)
+    assert(int(matchDateString(lit("nonsense"), fmts)) == 0)
+    assert(str(convertDateFormatMultiple(lit("1 december 2011"), fmts,
+      "%Y%m%d")) == "20111201")
+    assert(str(convertTimeFormat(lit("12:34:56"), "%H:%M:%S", "%H%M%S"))
+      == "123456")
+    assert(int(fromStringToTime(lit("12:34:56"), "%H:%M:%S")) == 123456)
+    assert(int(matchTimeString(lit("12.34.56"),
+      Seq("%H:%M:%S", "%H.%M.%S"))) == 123456)
+  }
+
+  test("SecondsToParts struct and date ranges") {
+    val r = Seq("x").toDF("d").select(
+      secondsToParts(lit(917872496L)).as("p"),
+      datesForMonth(lit(20240215)).as("m"),
+      datesForWeek(lit(20240215)).as("w")).head
+    val p = r.getStruct(0)
+    // 1999-02-01 12:34:56 UTC
+    assert(p.getAs[Int]("year") == 1999 && p.getAs[Int]("month") == 2)
+    assert(p.getAs[Int]("date") == 19990201)
+    assert(p.getAs[Int]("time") == 123456)
+    val m = r.getStruct(1)
+    assert(m.getAs[Int]("startDate") == 20240201)
+    assert(m.getAs[Int]("endDate") == 20240229)
+    val w = r.getStruct(2)
+    // 2024-02-15 is a Thursday; Sunday-started week is 11th..17th
+    assert(w.getAs[Int]("startDate") == 20240211)
+    assert(w.getAs[Int]("endDate") == 20240217)
+  }
+
+  test("timezone layer: offsets, SecondsBetweenTZ, AdjustTimeTZ") {
+    import graft.functions.StdTimezone
+    import graft.functions.StdTimezone._
+    // TestDate.ecl:346-365 — first-match and location disambiguation
+    assert(StdTimezone.secondsBetweenTZ("EST", "CST") == -3600)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST") == 41400)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST",
+      fromLocation = "NORTH AMERICA") == 41400)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST",
+      fromLocation = "ASIA") == -9000)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST",
+      fromLocation = "CARIBBEAN") == 37800)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST",
+      toLocation = "EUROPE") == 25200)
+    assert(StdTimezone.secondsBetweenTZ("CST", "IST",
+      toLocation = "ISRAEL") == 28800)
+    assert(StdTimezone.secondsBetweenTZ("XXX", "IST") == 0)
+    // Column path agrees with the scalar path
+    assert(int(StdTimezone.secondsBetweenTZ(lit("CST"), lit("IST"),
+      lit("ASIA"), lit(""))) == -9000)
+    // 23:30 UTC + IST(+5:30) wraps to 05:00
+    assert(int(toLocalTime(lit(233000), lit("IST"))) == 50000)
+    assert(int(toUTCTime(lit(50000), lit("IST"))) == 233000)
+    assert(int(adjustTimeTZ(lit(120000), lit("EST"), lit("PST"))) == 90000)
+    // dataset forms
+    assert(findTZData(spark, "IST").count() == 3)
+    assert(findTZData(spark, "IST", "EUROPE").count() == 1)
+    assert(tzDataForLocation(spark, "ISRAEL").count() == 2)
+  }
 }
