@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.StdlibQueries.defs ++
     graft.queries.IoQueries.defs ++
     graft.queries.ParseQueries.defs ++
-    graft.queries.StatsQueries.defs
+    graft.queries.StatsQueries.defs ++
+    graft.queries.AnalysisQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,370 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Std.DataPatterns profiling (ref `ecllibrary/std/DataPatterns/Profile.ecl`
+  * and `Benford.ecl`): one output row per top-level attribute with fill
+  * rate, exact cardinality, low-cardinality breakdown, modes, length stats,
+  * popular/rare text patterns, best-type inference, numeric stats, and
+  * numeric-pair correlations.
+  *
+  * Spark-first shape, sized for 100 TB inputs:
+  *  - pass 1 is ONE wide `agg` over the input — every per-column aggregate
+  *    (fill, lengths, numeric moments, approx quartiles, correlation pairs)
+  *    rides the same map-side partial aggregation, so the raw data is read
+  *    exactly once and nothing shuffles but partial states;
+  *  - pass 2 melts scalars to (attribute, value) rows — numCols× row
+  *    amplification but values collapse immediately in a counting shuffle
+  *    keyed (attribute, value); everything derived afterwards (cardinality,
+  *    modes, patterns, best types) works on the collapsed counts, which are
+  *    persisted and bounded by per-attribute cardinality, never row count;
+  *  - only top-k / low-cardinality summaries are ever collected — the
+  *    result is O(numCols × maxPatterns), independent of input rows.
+  *
+  * The reference computes the same outputs in an ECL function-macro that
+  * expands to per-field TABLE/ROLLUP graphs (`Profile.ecl:191-196` defaults:
+  * maxPatterns=100, lcbLimit=64, allowZero=FALSE, sampleSize=100).
+  * Quartiles are approximate here (`percentile_approx`, documented) — exact
+  * order statistics at 100 TB per column are not worth a full sort each.
+  */
+object DataPatterns {
+
+  /** Character palette of Profile.ecl:115-121: A=upper, a=lower, 9=digit,
+    * B=whole boolean; other characters kept.
+    */
+  private def patternOf(value: Column, maxPatternLen: Int): Column = {
+    val truncated = substring(value, 1, maxPatternLen)
+    when(lower(value).isin("true", "false"), lit("B"))
+      .otherwise(regexp_replace(regexp_replace(regexp_replace(
+        truncated, "[A-Z]", "A"), "[a-z]", "a"), "[0-9]", "9"))
+  }
+
+  private def isScalar(f: StructField): Boolean = f.dataType match {
+    case _: StructType | _: ArrayType | _: MapType | _: BinaryType => false
+    case _ => true
+  }
+
+  /** ECL-ish name for the declared Spark type (given_attribute_type). */
+  private def eclTypeName(dt: DataType): String = dt match {
+    case ByteType => "integer1"
+    case ShortType => "integer2"
+    case IntegerType => "integer4"
+    case LongType => "integer8"
+    case FloatType => "real4"
+    case DoubleType => "real8"
+    case d: DecimalType => s"decimal${d.precision}_${d.scale}"
+    case BooleanType => "boolean"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case other => other.simpleString
+  }
+
+  private def isNumericType(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def bytesForDigits(digits: Int, neg: Boolean): Int = {
+    // smallest ECL integer width whose range covers `digits` decimal digits
+    val d = digits.max(1)
+    if (d <= 2) 1 else if (d <= 4) 2 else if (d <= 6) 3
+    else if (d <= 9) 4 else if (d <= 11) 5 else if (d <= 14) 6
+    else if (d <= 16) 7 else 8
+  }
+
+  /** Profile a DataFrame; returns one row per scalar attribute.
+    *
+    * @param lcbLimit      emit cardinality_breakdown when cardinality <= this
+    * @param maxPatterns   popular/rare pattern list length
+    * @param maxPatternLen truncate values to this length before patterning
+    * @param allowZero     count numeric zero as a filled value
+    */
+  def profile(df: DataFrame, lcbLimit: Int = 64, maxPatterns: Int = 100,
+      maxPatternLen: Int = 100, allowZero: Boolean = false,
+      withCorrelations: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.filter(isScalar).toSeq
+    require(fields.nonEmpty, "profile: no scalar attributes")
+
+    // nil contract (Profile.ecl:15-23): null and '' are nil; numeric zero
+    // is nil unless allowZero; booleans are always filled
+    def filled(f: StructField): Column = {
+      val c = col(f.name)
+      f.dataType match {
+        case BooleanType => c.isNotNull
+        case _: NumericType =>
+          if (allowZero) c.isNotNull else c.isNotNull && c =!= 0
+        case StringType => c.isNotNull && length(c) > 0
+        case _ => c.isNotNull
+      }
+    }
+    // value in string form when filled, else null (drops out of the melt)
+    def valueStr(f: StructField): Column =
+      when(filled(f), col(f.name).cast("string"))
+
+    // ---- pass 1: one wide aggregate over the raw data ---------------------
+    val numericPairs =
+      if (withCorrelations)
+        fields.filter(f => isNumericType(f.dataType)).combinations(2).toSeq
+          .map { case Seq(a, b) => (a.name, b.name) }
+      else Seq.empty
+    val wideAggs: Seq[Column] =
+      Seq(count(lit(1)).as("rec_count")) ++
+      fields.flatMap { f =>
+        val v = valueStr(f)
+        val n = v.try_cast(DoubleType)
+        Seq(
+          count(when(filled(f), 1)).as(s"fill__${f.name}"),
+          min(length(v)).as(s"minlen__${f.name}"),
+          max(length(v)).as(s"maxlen__${f.name}"),
+          avg(length(v)).as(s"avelen__${f.name}"),
+          min(n).as(s"nmin__${f.name}"),
+          max(n).as(s"nmax__${f.name}"),
+          avg(n).as(s"nmean__${f.name}"),
+          stddev_pop(n).as(s"nsd__${f.name}"),
+          percentile_approx(n, array(lit(0.25), lit(0.5), lit(0.75)),
+            lit(10000)).as(s"nq__${f.name}"))
+      } ++
+      numericPairs.map { case (a, b) =>
+        corr(col(a).cast("double"), col(b).cast("double")).as(s"corr__${a}__$b")
+      }
+    val wide = df.agg(wideAggs.head, wideAggs.tail: _*).head()
+    val recCount = wide.getAs[Long]("rec_count")
+
+    // ---- pass 2: melt scalars, collapse to (attribute, value) counts ------
+    val melted = df.select(explode(array(fields.map(f =>
+        struct(lit(f.name).as("attribute"), valueStr(f).as("value"))): _*))
+        .as("kv"))
+      .select(col("kv.attribute").as("attribute"), col("kv.value").as("value"))
+      .filter(col("value").isNotNull)
+    val counts = melted.groupBy("attribute", "value")
+      .agg(count(lit(1)).as("cnt")).persist()
+
+    // exact cardinality + best-type evidence, one tiny row per attribute
+    val intRe = "^-?\\d{1,18}$"
+    val attrSummary = counts.groupBy("attribute").agg(
+        count(lit(1)).as("cardinality"),
+        min(col("value").rlike(intRe)).as("all_int"),
+        min(col("value").try_cast(DoubleType).isNotNull).as("all_num"),
+        min(lower(col("value")).isin("true", "false")).as("all_bool"),
+        max(when(col("value").rlike(intRe),
+          length(regexp_replace(col("value"), "^-", "")))).as("max_digits"),
+        max(col("value").startsWith("-")).as("any_neg"),
+        max(length(col("value"))).as("max_len"),
+        min(length(col("value"))).as("min_len"))
+      .collect().map(r => r.getAs[String]("attribute") -> r).toMap
+
+    // modes: top-5 values occurring more than once (Profile.ecl:35-41).
+    // The window partitions by attribute over COLLAPSED counts (rows =
+    // distinct dup values, not input rows) — bounded, documented.
+    val byAttr = Window.partitionBy("attribute")
+      .orderBy(col("cnt").desc, col("value").asc)
+    val modes = counts.filter(col("cnt") > 1)
+      .withColumn("rn", row_number().over(byAttr)).filter(col("rn") <= 5)
+      .groupBy("attribute")
+      .agg(collect_list(struct(col("value"), col("cnt"))).as("modes"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Row](1)).toMap
+
+    // cardinality breakdown only for attributes under the limit, so the
+    // collected rows are bounded by lcbLimit × numCols
+    val lowCardAttrs = attrSummary.collect {
+      case (a, r) if r.getAs[Long]("cardinality") <= lcbLimit => a
+    }.toSeq
+    val breakdown: Map[String, Seq[Row]] =
+      if (lowCardAttrs.isEmpty) Map.empty
+      else counts.filter(col("attribute").isin(lowCardAttrs: _*))
+        .withColumn("rn", row_number().over(byAttr)).drop("rn")
+        .sort(col("cnt").desc, col("value").asc)
+        .groupBy("attribute")
+        .agg(sort_array(collect_list(struct(col("cnt"), col("value"))), asc = false)
+          .as("vals"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Row](1)).toMap
+
+    // patterns: collapse values to palette patterns, deterministic example
+    // (min value) instead of the reference's random pick
+    val patternCounts = counts.groupBy(col("attribute"),
+        patternOf(col("value"), maxPatternLen).as("data_pattern"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("value")).as("example"))
+      .persist()
+    val popW = Window.partitionBy("attribute")
+      .orderBy(col("cnt").desc, col("data_pattern").asc)
+    val rareW = Window.partitionBy("attribute")
+      .orderBy(col("cnt").asc, col("data_pattern").asc)
+    def topPatterns(w: org.apache.spark.sql.expressions.WindowSpec) =
+      patternCounts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= maxPatterns)
+        .groupBy("attribute")
+        .agg(collect_list(struct(col("rn"), col("data_pattern"), col("cnt"),
+          col("example"))).as("ps"))
+        .collect().map(r => r.getString(0) ->
+          r.getSeq[Row](1).sortBy(_.getInt(0))).toMap
+    val popular = topPatterns(popW)
+    val rare = topPatterns(rareW)
+
+    // ---- assemble (O(numCols) rows; driver-side by construction) ----------
+    val kvSchema = ArrayType(StructType(Seq(
+      StructField("value", StringType), StructField("rec_count", LongType))))
+    val patSchema = ArrayType(StructType(Seq(
+      StructField("data_pattern", StringType), StructField("rec_count", LongType),
+      StructField("example", StringType))))
+    val corrSchema = ArrayType(StructType(Seq(
+      StructField("attribute", StringType), StructField("corr", DoubleType))))
+    val schema = StructType(Seq(
+      StructField("attribute", StringType),
+      StructField("given_attribute_type", StringType),
+      StructField("best_attribute_type", StringType),
+      StructField("rec_count", LongType),
+      StructField("fill_count", LongType),
+      StructField("fill_rate", DoubleType),
+      StructField("cardinality", LongType),
+      StructField("cardinality_breakdown", kvSchema),
+      StructField("modes", kvSchema),
+      StructField("min_length", IntegerType),
+      StructField("max_length", IntegerType),
+      StructField("ave_length", DoubleType),
+      StructField("popular_patterns", patSchema),
+      StructField("rare_patterns", patSchema),
+      StructField("is_numeric", BooleanType),
+      StructField("numeric_min", DoubleType),
+      StructField("numeric_max", DoubleType),
+      StructField("numeric_mean", DoubleType),
+      StructField("numeric_std_dev", DoubleType),
+      StructField("numeric_lower_quartile", DoubleType),
+      StructField("numeric_median", DoubleType),
+      StructField("numeric_upper_quartile", DoubleType),
+      StructField("correlations", corrSchema)))
+
+    val corrByAttr: Map[String, Seq[(String, Double)]] = {
+      val all = numericPairs.flatMap { case (a, b) =>
+        Option(wide.getAs[Any](s"corr__${a}__$b")).map(_.toString.toDouble)
+          .toSeq.flatMap(v => Seq(a -> (b, v), b -> (a, v)))
+      }
+      all.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sortBy(-_._2)
+      }
+    }
+
+    def kvRows(rows: Seq[Row]): Seq[Row] =
+      rows.map(r => Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))
+
+    val out = fields.map { f =>
+      val name = f.name
+      val s = attrSummary.get(name)
+      val fill = wide.getAs[Long](s"fill__$name")
+      val card = s.map(_.getAs[Long]("cardinality")).getOrElse(0L)
+      val bestType = s match {
+        case None => eclTypeName(f.dataType) // no non-nil values observed
+        case Some(r) =>
+          if (r.getAs[Boolean]("all_bool")) "boolean"
+          else if (r.getAs[Boolean]("all_int")) {
+            val neg = r.getAs[Boolean]("any_neg")
+            val bytes = bytesForDigits(r.getAs[Int]("max_digits"), neg)
+            (if (neg) "integer" else "unsigned") + bytes
+          } else if (r.getAs[Boolean]("all_num")) "real8"
+          else {
+            val mx = r.getAs[Int]("max_len")
+            val mn = r.getAs[Int]("min_len")
+            if (mx == mn) s"string$mx" else "string"
+          }
+      }
+      val isNum = isNumericType(f.dataType) ||
+        bestType.startsWith("integer") || bestType.startsWith("unsigned") ||
+        bestType.startsWith("real")
+      def d(prefix: String): Double = Option(wide.getAs[Any](s"${prefix}__$name"))
+        .map(_.toString.toDouble).filter(_ => isNum).getOrElse(0.0)
+      val quart = Option(wide.getAs[scala.collection.Seq[Any]](s"nq__$name"))
+        .filter(_ => isNum).map(_.toSeq.map(_.toString.toDouble))
+        .getOrElse(Seq(0.0, 0.0, 0.0))
+      val bd = breakdown.get(name).map(_.map(r =>
+        Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))).getOrElse(Nil)
+      val md = modes.get(name).map(kvRows).getOrElse(Nil)
+      val pp = popular.get(name).map(_.map(r => Row(r.getAs[String]("data_pattern"),
+        r.getAs[Long]("cnt"), r.getAs[String]("example")))).getOrElse(Nil)
+      val rp = rare.get(name).map(_.map(r => Row(r.getAs[String]("data_pattern"),
+        r.getAs[Long]("cnt"), r.getAs[String]("example")))).getOrElse(Nil)
+      Row(name, eclTypeName(f.dataType), bestType, recCount, fill,
+        if (recCount == 0) 0.0 else fill.toDouble / recCount * 100.0,
+        card, bd, md,
+        s.map(_.getAs[Int]("min_len")).getOrElse(0),
+        s.map(_.getAs[Int]("max_len")).getOrElse(0),
+        Option(wide.getAs[Any](s"avelen__$name")).map(_.toString.toDouble)
+          .getOrElse(0.0),
+        pp, rp, isNum, d("nmin"), d("nmax"), d("nmean"), d("nsd"),
+        quart(0), quart(1), quart(2),
+        corrByAttr.getOrElse(name, Nil).map { case (a, v) => Row(a, v) })
+    }
+    counts.unpersist()
+    patternCounts.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+
+  /** Benford's-law first-digit analysis (ref `Benford.ecl`): one row per
+    * attribute with the observed distribution of the digit in position
+    * `digit` (1 = most-significant non-zero digit, zero ignored there per
+    * Benford.ecl:33-37) plus the chi-squared statistic against the
+    * expected distribution. One groupBy-free aggregate pass.
+    */
+  def benford(df: DataFrame, fieldNames: Seq[String] = Seq.empty,
+      digit: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val fields =
+      (if (fieldNames.isEmpty)
+        df.schema.fields.filter(f => isNumericType(f.dataType)).map(_.name).toSeq
+      else fieldNames)
+    require(fields.nonEmpty, "benford: no numeric attributes")
+    require(digit >= 1, "benford: digit is 1-based")
+
+    // expected Benford frequency of digit d in position k (k=1: log10(1+1/d);
+    // deeper positions computed by summing over leading prefixes)
+    def expected(pos: Int): Seq[Double] = {
+      val ds = if (pos == 1) (1 to 9) else (0 to 9)
+      ds.map { d =>
+        if (pos == 1) math.log10(1.0 + 1.0 / d)
+        else {
+          val lo = math.pow(10, pos - 2).toInt
+          val hi = math.pow(10, pos - 1).toInt
+          (lo until hi).map(p => math.log10(1.0 + 1.0 / (p * 10 + d))).sum
+        }
+      }
+    }
+    val exp = expected(digit)
+    val digitsOf: Column => Column = c =>
+      regexp_replace(regexp_replace(abs(c).cast("string"), "[^0-9]", ""),
+        "^0+", "")
+    val digitAt: Column => Column = c => substring(digitsOf(c), digit, 1)
+
+    val lowDigit = if (digit == 1) 1 else 0
+    val aggs = fields.flatMap { name =>
+      val dcol = digitAt(col(name))
+      (lowDigit to 9).map(d =>
+        count(when(dcol === d.toString, 1)).as(s"c${d}__$name")) :+
+        count(when(length(digitsOf(col(name))) >= digit, 1)).as(s"n__$name")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val schema = StructType(
+      StructField("attribute", StringType) +:
+      (lowDigit to 9).map(d => StructField(s"zero_$d".replace("zero_", "d_"),
+        DoubleType)) :+
+      StructField("chi_squared", DoubleType) :+
+      StructField("num_values", LongType))
+    val out = fields.map { name =>
+      val n = row.getAs[Long](s"n__$name")
+      val obs = (lowDigit to 9).map(d =>
+        if (n == 0) 0.0 else row.getAs[Long](s"c${d}__$name").toDouble / n)
+      val chi2 =
+        if (n == 0) 0.0
+        else obs.zip(exp).map { case (o, e) =>
+          if (e == 0) 0.0 else (o - e) * (o - e) / e
+        }.sum * 100.0
+      Row.fromSeq(name +: obs.map(o => o * 100.0) :+ chi2 :+ n)
+    } :+ Row.fromSeq("--EXPECTED--" +: exp.map(_ * 100.0) :+
+      (if (digit == 1) 15.51 else 16.92) :+ 0L)
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.analysis.DataPatterns
+import org.apache.spark.sql.functions._
+
+/** Std.DataPatterns oracle coverage: the profiler's scalar outputs are
+  * re-derived in independent DuckDB SQL (fill contract, exact cardinality,
+  * deterministic modes, palette patterns, numeric stats), and Benford's
+  * first-digit distribution is recomputed digit-by-digit.
+  */
+object AnalysisQueries {
+
+  private def attrProfileSql(col: String, isInt: Boolean): String = {
+    val filled =
+      if (isInt) s"$col IS NOT NULL AND $col <> 0"
+      else s"$col IS NOT NULL AND length($col) > 0"
+    val v = s"CAST($col AS VARCHAR)"
+    s"""SELECT '$col' AS attribute,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part) AS rec_count,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM part WHERE $filled)
+       |    AS fill_count,
+       |  (SELECT CAST(count(DISTINCT $col) AS BIGINT) FROM part
+       |    WHERE $filled) AS cardinality,
+       |  (SELECT CAST(min(length($v)) AS INTEGER) FROM part WHERE $filled)
+       |    AS min_length,
+       |  (SELECT CAST(max(length($v)) AS INTEGER) FROM part WHERE $filled)
+       |    AS max_length,
+       |  (SELECT round(avg(length($v)), 6) FROM part WHERE $filled)
+       |    AS ave_length,
+       |  (SELECT x.v FROM (SELECT $v AS v, count(*) AS c FROM part
+       |    WHERE $filled GROUP BY 1 HAVING count(*) > 1
+       |    ORDER BY c DESC, v ASC LIMIT 1) x) AS mode1,
+       |  (SELECT CAST(x.c AS BIGINT) FROM (SELECT $v AS v, count(*) AS c
+       |    FROM part WHERE $filled GROUP BY 1 HAVING count(*) > 1
+       |    ORDER BY c DESC, v ASC LIMIT 1) x) AS mode1_cnt,
+       |  (SELECT x.p FROM (SELECT regexp_replace(regexp_replace(
+       |      regexp_replace(substr(v, 1, 100), '[A-Z]', 'A', 'g'),
+       |      '[a-z]', 'a', 'g'), '[0-9]', '9', 'g') AS p, sum(c) AS sc
+       |    FROM (SELECT $v AS v, count(*) AS c FROM part WHERE $filled
+       |      GROUP BY 1) GROUP BY 1 ORDER BY sc DESC, p ASC LIMIT 1) x)
+       |    AS pat1,
+       |  (SELECT CAST(x.sc AS BIGINT) FROM (SELECT regexp_replace(
+       |      regexp_replace(regexp_replace(substr(v, 1, 100),
+       |      '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g')
+       |      AS p, sum(c) AS sc
+       |    FROM (SELECT $v AS v, count(*) AS c FROM part WHERE $filled
+       |      GROUP BY 1) GROUP BY 1 ORDER BY sc DESC, p ASC LIMIT 1) x)
+       |    AS pat1_cnt,
+       |  ${if (isInt)
+          s"(SELECT round(min(CAST($col AS DOUBLE)), 6) FROM part WHERE $filled)"
+        else "CAST(0.0 AS DOUBLE)"} AS num_min,
+       |  ${if (isInt)
+          s"(SELECT round(max(CAST($col AS DOUBLE)), 6) FROM part WHERE $filled)"
+        else "CAST(0.0 AS DOUBLE)"} AS num_max,
+       |  ${if (isInt)
+          s"(SELECT round(avg(CAST($col AS DOUBLE)), 6) FROM part WHERE $filled)"
+        else "CAST(0.0 AS DOUBLE)"} AS num_mean
+       |""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- DataPatterns.Profile (Profile.ecl) ------------------------------
+    QueryDef("q150_profile",
+      Seq(("p_partkey", true), ("p_name", false), ("p_brand", false),
+        ("p_size", true), ("p_type", false))
+        .map { case (c, i) => attrProfileSql(c, i) }
+        .mkString("", "UNION ALL\n", "ORDER BY attribute")) { (s, dir) =>
+      val prof = DataPatterns.profile(
+        Tables.part(s, dir).select("p_partkey", "p_name", "p_brand",
+          "p_size", "p_type"),
+        withCorrelations = false)
+      prof.select(col("attribute"), col("rec_count"), col("fill_count"),
+          col("cardinality"), col("min_length"), col("max_length"),
+          round(col("ave_length"), 6).as("ave_length"),
+          try_element_at(col("modes"), lit(1)).getField("value").as("mode1"),
+          try_element_at(col("modes"), lit(1)).getField("rec_count").as("mode1_cnt"),
+          try_element_at(col("popular_patterns"), lit(1)).getField("data_pattern")
+            .as("pat1"),
+          try_element_at(col("popular_patterns"), lit(1)).getField("rec_count")
+            .as("pat1_cnt"),
+          round(col("numeric_min"), 6).as("num_min"),
+          round(col("numeric_max"), 6).as("num_max"),
+          round(col("numeric_mean"), 6).as("num_mean"))
+        .orderBy("attribute")
+    },
+
+    // ---- DataPatterns.Benford (Benford.ecl) ------------------------------
+    QueryDef("q151_benford",
+      """WITH digits AS (
+        |  SELECT regexp_replace(regexp_replace(
+        |      CAST(abs(l_extendedprice) AS VARCHAR), '[^0-9]', '', 'g'),
+        |      '^0+', '') AS ds
+        |  FROM lineitem),
+        |lead AS (
+        |  SELECT substr(ds, 1, 1) AS d FROM digits WHERE length(ds) >= 1),
+        |n AS (SELECT count(*) AS total FROM lead),
+        |obs AS (
+        |  SELECT CAST(d AS INTEGER) AS d,
+        |    round(count(*) * 100.0 / (SELECT total FROM n), 6) AS pct
+        |  FROM lead GROUP BY 1),
+        |expd AS (
+        |  SELECT d, round(100.0 * log10(1.0 + 1.0/d), 6) AS pct
+        |  FROM (SELECT unnest(generate_series(1, 9)) AS d))
+        |SELECT 'l_extendedprice' AS attribute,
+        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 1) AS d_1,
+        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 2) AS d_2,
+        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 3) AS d_3,
+        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 9) AS d_9,
+        |  (SELECT CAST(total AS BIGINT) FROM n) AS num_values
+        |UNION ALL
+        |SELECT '--EXPECTED--',
+        |  (SELECT pct FROM expd WHERE d = 1),
+        |  (SELECT pct FROM expd WHERE d = 2),
+        |  (SELECT pct FROM expd WHERE d = 3),
+        |  (SELECT pct FROM expd WHERE d = 9),
+        |  CAST(0 AS BIGINT)
+        |ORDER BY attribute""".stripMargin) { (s, dir) =>
+      DataPatterns.benford(Tables.lineitem(s, dir), Seq("l_extendedprice"))
+        .select(col("attribute"),
+          round(col("d_1"), 6).as("d_1"), round(col("d_2"), 6).as("d_2"),
+          round(col("d_3"), 6).as("d_3"), round(col("d_9"), 6).as("d_9"),
+          col("num_values"))
+        .orderBy("attribute")
+    }
+  )
+}
