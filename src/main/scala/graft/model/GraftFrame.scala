@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * reference's compiler resolves `TAKsort` vs grouped sort from the
   * dataset's type, not from a runtime flag.
   */
-final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
+final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil,
+    sortedBy: Seq[String] = Nil) {
 
   private def grouped: Boolean = groupKeys.nonEmpty
   private def keyCols: Seq[Column] = groupKeys.map(col)
@@ -28,13 +29,57 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
   /** GROUP(ds) — degroup (TAKdegroup :900). */
   def degroup: GraftFrame = copy(groupKeys = Nil)
 
+  /** SORTED(ds, keys) (`no_sorted` `ecl/hql/hqlexpr.hpp`): DECLARE the
+    * dataset already ordered on `keys` — plan-time metadata only, exactly
+    * like the reference's compile-time sort-order tracking. A later
+    * [[sort]] on a prefix-compatible key list is elided. The claim is NOT
+    * verified here; use [[checkSorted]] for the runtime ASSERT.
+    */
+  def markSorted(keys: String*): GraftFrame = copy(sortedBy = keys)
+
+  /** ASSERT(ds, SORTED(keys)) runtime check, scale-safe: each partition
+    * verifies its own ordering and ships ONLY its (first, last) boundary
+    * keys to the driver — numPartitions tiny rows, no global sort, no
+    * single-partition window. Partition index order is the dataset's global
+    * order (range-partitioned output of a prior sort keeps this property).
+    * Throws IllegalStateException naming the first violating partition.
+    */
+  def checkSorted(keys: String*): GraftFrame = {
+    val proj = df.select(keys.map(col): _*)
+    val ord = GraftFrame.rowOrdering
+    val bounds = proj.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        var prev = it.next(); val first = prev; var ok = true
+        while (it.hasNext && ok) {
+          val cur = it.next()
+          if (ord.compare(prev, cur) > 0) ok = false
+          prev = cur
+        }
+        Iterator.single((idx, first, prev, ok))
+      }
+    }.collect().sortBy(_._1)
+    bounds.find(!_._4).foreach { case (idx, _, _, _) =>
+      throw new IllegalStateException(
+        s"SORTED($keys) violated inside partition $idx")
+    }
+    bounds.sliding(2).foreach {
+      case Array((i, _, last, _), (j, first, _, _)) =>
+        if (GraftFrame.rowOrdering.compare(last, first) > 0)
+          throw new IllegalStateException(
+            s"SORTED($keys) violated at partition boundary $i/$j")
+      case _ => ()
+    }
+    copy(sortedBy = keys)
+  }
+
   /** REGROUP (TAKregroup :982): append grouped datasets with the SAME group
     * keys, groups interleaved by key — a union that preserves grouping.
     */
   def regroup(other: GraftFrame): GraftFrame = {
     require(other.groupKeys == groupKeys,
       "REGROUP requires identical group keys")
-    copy(df = df.unionByName(other.df))
+    copy(df = df.unionByName(other.df), sortedBy = Nil)
   }
 
   /** SORT: global when ungrouped. Grouped SORT only promises order WITHIN
@@ -42,20 +87,31 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
     * per-partition sort — no global range exchange (the reference's grouped
     * sort is likewise a local per-group sort, not a Thor global sort).
     */
-  def sort(keys: Column*): GraftFrame =
-    if (!grouped) copy(df = df.orderBy(keys: _*))
-    else copy(df = df.repartition(keyCols: _*)
-      .sortWithinPartitions(keyCols ++ keys: _*))
+  def sort(keys: Column*): GraftFrame = {
+    val names = keys.map(_.toString)
+    if (!grouped) {
+      // tracked-ordering elision: already sorted on a compatible prefix →
+      // the sort is a no-op (the reference's optimizer drops such sorts at
+      // compile time via its dataset sort-order metadata)
+      if (sortedBy.nonEmpty && names.startsWith(sortedBy.take(names.size)) &&
+          sortedBy.size >= names.size) this
+      else copy(df = df.orderBy(keys: _*), sortedBy = names)
+    } else copy(df = df.repartition(keyCols: _*)
+      .sortWithinPartitions(keyCols ++ keys: _*), sortedBy = Nil)
+  }
 
   /** DEDUP(keys) adjacent-after-sort semantics: per group when grouped. */
   def dedup(keys: Column*): GraftFrame =
-    if (!grouped) copy(df = df.dropDuplicates(keys.map(_.toString)))
-    else copy(df = DedupRollup.dedupKeepN(df, keyCols ++ keys, keys, 1))
+    if (!grouped) copy(df = df.dropDuplicates(keys.map(_.toString)),
+      sortedBy = Nil)
+    else copy(df = DedupRollup.dedupKeepN(df, keyCols ++ keys, keys, 1),
+      sortedBy = Nil)
 
   /** TOPN: global heap vs per-group window rank. */
   def topn(n: Int, order: Column*): GraftFrame =
-    if (!grouped) copy(df = Sorting.topn(df, n, order))
-    else copy(df = Sorting.topnGrouped(df, n, keyCols, order))
+    if (!grouped) copy(df = Sorting.topn(df, n, order),
+      sortedBy = order.map(_.toString))
+    else copy(df = Sorting.topnGrouped(df, n, keyCols, order), sortedBy = Nil)
 
   /** TABLE/aggregate: whole-dataset vs per-group (TAKaggregate :896). */
   def aggregate(aggs: Column*): GraftFrame =
@@ -67,7 +123,7 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
       aggs: Seq[Column]): GraftFrame = {
     require(grouped, "ROLLUP requires a grouped dataset")
     copy(df = DedupRollup.rollupRuns(df, keyCols ++ runKeys,
-      keyCols ++ order, aggs))
+      keyCols ++ order, aggs), sortedBy = Nil)
   }
 
   /** ITERATE: per-group running fold via window (associative case). The
@@ -80,13 +136,14 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
     if (grouped) {
       val w = Window.partitionBy(keyCols: _*).orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, 0)
-      copy(df = df.withColumn(as, sum(c).over(w)))
-    } else copy(df = graft.ops.Positions.runningSumSorted(df, c, order, as))
+      copy(df = df.withColumn(as, sum(c).over(w)), sortedBy = Nil)
+    } else copy(df = graft.ops.Positions.runningSumSorted(df, c, order, as),
+      sortedBy = Nil)
 
   /** CHOOSEN per group (grouped FIRSTN) or global limit. */
   def choosen(n: Int, order: Seq[Column]): GraftFrame =
     if (!grouped) copy(df = df.limit(n))
-    else copy(df = Sorting.topnGrouped(df, n, keyCols, order))
+    else copy(df = Sorting.topnGrouped(df, n, keyCols, order), sortedBy = Nil)
 
   /** Dataset-level IF (TAKif :914): branch chosen at plan time. */
   def ifElse(cond: Boolean, other: => GraftFrame): GraftFrame =
@@ -96,4 +153,35 @@ final case class GraftFrame(df: DataFrame, groupKeys: Seq[String] = Nil) {
   def apply_(f: org.apache.spark.sql.Row => Unit): Unit =
     df.foreach(new org.apache.spark.api.java.function.ForeachFunction[
       org.apache.spark.sql.Row] { def call(r: org.apache.spark.sql.Row): Unit = f(r) })
+}
+
+object GraftFrame {
+  /** Field-by-field ascending-nulls-first comparison for [[checkSorted]]'s
+    * boundary scan. Covers the scalar types the sort keys can carry.
+    */
+  private[model] val rowOrdering: Ordering[org.apache.spark.sql.Row] =
+    new Ordering[org.apache.spark.sql.Row] {
+      private def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
+          x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+        case (x: Number, y: Number) =>
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        case (x, y) =>
+          throw new IllegalArgumentException(
+            s"unorderable sort key types ${x.getClass}/${y.getClass}")
+      }
+      def compare(l: org.apache.spark.sql.Row,
+          r: org.apache.spark.sql.Row): Int = {
+        var i = 0
+        while (i < l.length) {
+          val c = cmp(l.get(i), r.get(i))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
 }

@@ -109,6 +109,45 @@ object Joins {
     inputs.reduce(_ unionAll _).join(qualifying, keys, "left_semi")
   }
 
+  /** N-way MERGEJOIN proximity / STEPPED range (`IHThorNWayMergeJoinArg`
+    * `rtl/include/eclhelper.hpp:2795`, `getJoinFlags` MJFhasrange; the
+    * stepped text-search engine joins on `LEFT.pos BETWEEN RIGHT.pos-d AND
+    * RIGHT.pos+d`): a row QUALIFIES when rows from at least `m` distinct
+    * inputs (its own counted) carry a key within ±`d` of it, and the output
+    * is every qualifying input row.
+    *
+    * Scale lowering: NOT an all-pairs range join. Keys are banded into
+    * buckets of width max(d,1); any two keys within d land in the same or
+    * an adjacent bucket, so the probe side replicates each row into its
+    * bucket ±1 and the join is a pure EQUALITY join on the bucket id with
+    * an `abs(diff) <= d` residual filter — shuffle is O(rows·3) and
+    * bucket-local, never cartesian. The banded union is persisted
+    * ([[Shape.split]]) so the self-join's two branches share one scan and
+    * the row ids stay consistent.
+    */
+  def mergeJoinProximity(inputs: Seq[DataFrame], key: String, d: Long,
+      m: Int): DataFrame = {
+    require(inputs.nonEmpty && m >= 1 && m <= inputs.size && d >= 0,
+      s"proximity m=$m/d=$d out of range for ${inputs.size} inputs")
+    val w = math.max(d, 1L)
+    val tagged = inputs.zipWithIndex
+      .map { case (in, i) => in.withColumn("__src", lit(i)) }
+      .reduce(_ unionAll _)
+    val rows = Shape.split(tagged
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__b", floor(col(key) / w)))
+    val probes = rows
+      .select(col(key).as("__pk"), col("__src").as("__psrc"),
+        explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__pb"))
+    val qualifying = rows.select(col("__rid"), col(key), col("__b"))
+      .join(probes, col("__b") === col("__pb") &&
+        abs(col(key) - col("__pk")) <= d)
+      .groupBy("__rid").agg(countDistinct(col("__psrc")).as("__ns"))
+      .filter(col("__ns") >= m)
+      .select("__rid")
+    rows.join(qualifying, "__rid").drop("__rid", "__b")
+  }
+
   /** DENORMALIZE(GROUP) (TAKdenormalizegroup :1068): join then nest ALL
     * matches as a child-rowset column — `groupBy(left).agg(collect_list)`.
     * The LHS columns are preserved; matches land in `childCol`. Left rows

@@ -233,6 +233,33 @@ object JoinQueries {
       Joins.mergeJoinMofN(inputs, Seq("o_custkey"), 2)
         .select(col("o_orderkey"), col("o_custkey"), col("src"))
         .orderBy(col("o_custkey"), col("o_orderkey"), col("src"))
+    },
+
+    // ---- N-way MERGEJOIN, proximity/STEPPED range variant ----------------
+    // Three event streams; an event qualifies when all 3 streams have an
+    // event within ±2 ids of it. The oracle states the semantics as the
+    // naive range self-join; the engine's lowering is the banded equality
+    // join in Joins.mergeJoinProximity (no cartesian — PlanAuditSpec).
+    QueryDef("q33_mergejoin_proximity",
+      """WITH t AS (
+        |  SELECT event_id, 0 AS src FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, 1 FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, 2 FROM events WHERE event_type = 'error')
+        |SELECT t.event_id, t.src
+        |FROM t JOIN t p ON p.event_id BETWEEN t.event_id - 2
+        |                                  AND t.event_id + 2
+        |GROUP BY t.event_id, t.src HAVING count(DISTINCT p.src) >= 3
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+      def stream(t: String) =
+        e.filter(col("event_type") === t).select(col("event_id"))
+      Joins.mergeJoinProximity(
+          Seq(stream("click"), stream("purchase"), stream("error")),
+          "event_id", 2L, 3)
+        .select(col("event_id"), col("__src").cast("int").as("src"))
+        .orderBy(col("event_id"), col("src"))
     }
   )
 }

@@ -511,6 +511,27 @@ object StdlibQueries {
         EclFunctions.hash32(col("n_name")).as("h32"),
         EclFunctions.hash64(col("n_name")).as("h64"))
         .orderBy(col("n_nationkey"))
+    },
+
+    // ---- Std.Crypto.Hashing + SymmetricEncryption ------------------------
+    // md5/sha256 checked digest-for-digest against DuckDB; the AES leg is an
+    // encrypt→decrypt roundtrip whose output must equal the oracle's
+    // plaintext — an end-to-end cipher correctness check. sha1/224/384/512
+    // are NIST-vector-tested in EclFunctionsSpec (DuckDB lacks them).
+    QueryDef("q145_crypto",
+      """SELECT n_nationkey,
+        |  md5(n_name) AS h_md5,
+        |  sha256(n_name) AS h_sha256,
+        |  n_name AS rt
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val key = lit("0123456789abcdef") // 16 bytes → AES-128
+      Tables.nation(s, dir).select(col("n_nationkey"),
+          graft.functions.Crypto.md5Hex(col("n_name")).as("h_md5"),
+          graft.functions.Crypto.sha2Hex(col("n_name"), 256).as("h_sha256"),
+          graft.functions.Crypto.aesDecrypt(
+            graft.functions.Crypto.aesEncrypt(col("n_name"), key), key)
+            .as("rt"))
+        .orderBy(col("n_nationkey"))
     }
   )
 }

@@ -71,4 +71,37 @@ class EclFunctionsSpec extends SparkSpec {
     assert(r.getString(2) == "a b")
     assert(r.getInt(3) == 19950317)
   }
+
+  test("Crypto digests match the published FIPS 180 test vectors") {
+    import graft.functions.Crypto._
+    val abc = lit("abc")
+    assert(one(md5Hex(abc)) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(one(sha1Hex(abc)) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one(sha2Hex(abc, 224)) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(one(sha2Hex(abc, 256)) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(one(sha2Hex(abc, 384)) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed" +
+      "8086072ba1e7cc2358baeca134c825a7")
+    assert(one(sha2Hex(abc, 512)) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+      "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+    // empty-string MD5 (RFC 1321 appendix)
+    assert(one(md5Hex(lit(""))) == "d41d8cd98f00b204e9800998ecf8427e")
+    intercept[IllegalArgumentException] { sha2Hex(abc, 123) }
+  }
+
+  test("Crypto AES roundtrip and crc32 over a distributed column") {
+    import graft.functions.Crypto._
+    val df = Seq("alpha", "beta", "", "unicode: ü🦆").toDF("s").repartition(3)
+    val key = lit("0123456789abcdef0123456789abcdef") // 32B → AES-256
+    val rt = df.select(col("s"),
+      aesDecrypt(aesEncrypt(col("s"), key), key).as("rt"),
+      crc32Of(col("s")).as("c"))
+    assert(rt.collect().forall(r => r.getString(0) == r.getString(1)))
+    // crc32("") == 0; known vector crc32("123456789") == 0xCBF43926
+    assert(Seq("123456789").toDF("s")
+      .select(crc32Of(col("s"))).head.getLong(0) == 0xCBF43926L)
+  }
 }

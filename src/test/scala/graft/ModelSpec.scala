@@ -28,6 +28,26 @@ class ModelSpec extends SparkSpec {
     assert(total == 115L)
   }
 
+  test("GraftFrame: SORTED metadata elides redundant sorts; ASSERT checks") {
+    val df = Seq((3, "c"), (1, "a"), (2, "b")).toDF("k", "s")
+    // declared-sorted + compatible sort → elided (identical plan object)
+    val declared = GraftFrame(df).markSorted("k", "s")
+    assert(declared.sort(col("k")).df eq df)
+    assert(declared.sort(col("k"), col("s")).df eq df)
+    // incompatible key → real sort
+    assert(!(declared.sort(col("s")).df eq df))
+    // a real sort records its order, so sort-sort collapses
+    val once = GraftFrame(df).sort(col("k"))
+    assert(once.sort(col("k")).df eq once.df)
+    // runtime ASSERT(SORTED): passes on ordered layout, throws on violation
+    val ordered = df.orderBy("k")
+    GraftFrame(ordered).checkSorted("k") // must not throw
+    val bad = Seq(2, 1, 3).toDF("k").coalesce(1)
+    intercept[IllegalStateException] {
+      GraftFrame(bad).checkSorted("k")
+    }
+  }
+
   test("GraftFrame: ungrouped runningSum is an exact global prefix sum") {
     val df = spark.range(1, 101).toDF("v").repartition(4)
     val out = GraftFrame(df).runningSum(col("v"), Seq(col("v")), "rs").df

@@ -106,6 +106,18 @@ class PlanAuditSpec extends SparkSpec {
       s"near-dup candidates not from band-bucket equality join:\n$plan")
   }
 
+  test("proximity mergejoin banding plans an equality join, no cartesian") {
+    val e = Tables.events(spark, sf).select(col("event_id"), col("event_type"))
+    def in(t: String) =
+      e.filter(col("event_type") === t).select(col("event_id"))
+    val df = graft.ops.Joins.mergeJoinProximity(
+      Seq(in("click"), in("purchase"), in("error")), "event_id", 2L, 3)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"proximity candidates not from bucket equality join:\n$plan")
+  }
+
   test("index read prunes row groups via pushed key-range predicate") {
     val dir = "/root/repo/target/graft_io/audit_idx"
     graft.sources.IndexedTable.build(
