@@ -170,6 +170,52 @@ object EmbeddingQueries {
       Embeddings.cosinePairsTopK(pairs, col("q_id"), col("c_id"),
           col("q_emb"), col("c_emb"), 3)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- Std.BLAS: distributed GEMM (gram matrix of a vector slice) ------
+    // A is the 40×64 slice in coordinate form; C = A·Aᵀ contracts over the
+    // shared dimension with one equality join + hash aggregate (Blas
+    // Scaladoc explains the 100 TB block variant). 6-dp rounding puts both
+    // engines' float→double sums on the same grid.
+    QueryDef("q160_blas_gemm",
+      """WITH a AS (SELECT vec_id AS i, g.k AS k,
+        |    CAST(embedding[g.k] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) g(k) WHERE vec_id < 40)
+        |SELECT a.i, b.i AS j, round(sum(a.v * b.v), 6) AS c
+        |FROM a JOIN a AS b ON a.k = b.k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 40)
+      val coord = e.select(col("vec_id").as("i"),
+          posexplode(col("embedding")).as(Seq("__p", "__x")))
+        .select(col("i"), (col("__p") + 1).cast("long").as("k"),
+          col("__x").cast("double").as("v"))
+      val at = coord.select(col("k"), col("i").as("j"), col("v"))
+      graft.functions.Blas.dgemmCoord(coord, at)
+        .select(col("i"), col("j"), round(col("c"), 6).as("c"))
+        .orderBy(col("i"), col("j"))
+    },
+
+    // ---- Std.BLAS: per-row vector ops via codegen'd array HOFs -----------
+    QueryDef("q161_blas_vector",
+      """SELECT vec_id,
+        |  round(CAST(list_sum(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE), 6) AS asum,
+        |  round(sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)), 6)
+        |    AS nrm2,
+        |  round(2.0 * CAST(embedding[1] AS DOUBLE)
+        |    + CAST(embedding[2] AS DOUBLE), 6) AS axpy1
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+      import graft.functions.Blas
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+      e.select(col("vec_id"),
+          round(Blas.dasum(col("embedding")), 6).as("asum"),
+          round(Blas.dnrm2(col("embedding")), 6).as("nrm2"),
+          round(element_at(
+            Blas.daxpy(2.0, slice(col("embedding"), 1, 1),
+              slice(col("embedding"), 2, 1)), 1), 6).as("axpy1"))
+        .orderBy(col("vec_id"))
     }
   )
 }
