@@ -52,7 +52,14 @@ object Sorting {
     if (start <= 1) df.limit(n) else df.offset(start - 1).limit(n)
 
   /** LIMIT(ds, n, FAIL) — a guard, not a truncation: error if |ds| > n
-    * (eclhelper.hpp:1448). Uses limit(n+1) so only n+1 rows are ever pulled.
+    * (eclhelper.hpp:1448). Uses limit(n+1) so only n+1 rows are ever pulled
+    * — an early-exit probe, not a full count.
+    *
+    * The guarded `df` is re-evaluated by whatever consumes the return value;
+    * for an expensive upstream plan, `df.persist()` before the guard (and
+    * unpersist after the consumer) trades memory for the double scan. Not
+    * done automatically: at 100 TB caching an unbounded input is the bigger
+    * risk, and the reference's LIMIT likewise re-reads its spilled input.
     */
   def limitGuard(df: DataFrame, n: Long): DataFrame = {
     val c = df.limit((n + 1).min(Int.MaxValue).toInt).count()
