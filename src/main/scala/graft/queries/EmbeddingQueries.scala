@@ -121,13 +121,17 @@ object EmbeddingQueries {
     // ---- multi-table ANN: 2 independent LSH tables (OR-amplified recall),
     // candidates from ANY table's bucket collision, exact top-3 refine ------
     QueryDef("q93_ann_multitable", {
-      def sumsFor(t: Int) = (0 until 6).map { p =>
+      // 10 planes → 1024 buckets per table: with label-clustered vectors the
+      // candidate set reduces to (mostly) true cluster-internal pairs; at 6
+      // planes the 64 coarse buckets merged clusters and the refine step did
+      // near-quadratic work (93 s → ~10 s at sf0.1).
+      def sumsFor(t: Int) = (0 until 10).map { p =>
         s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
            |    ('0x' || substr(md5('t${t}_p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
            |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
            |    AS DECIMAL(30,12))) AS d${t}_$p""".stripMargin
       }.mkString(",\n  ")
-      def bucketFor(t: Int) = (0 until 6).map(p =>
+      def bucketFor(t: Int) = (0 until 10).map(p =>
         s"CASE WHEN d${t}_$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
       s"""WITH $VecCte,
          |ex AS (SELECT vec_id,
@@ -163,7 +167,7 @@ object EmbeddingQueries {
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val bk = Embeddings.rpLshBucketTables(emb,
-        col("vec_id"), col("embedding"), numPlanes = 6, numTables = 2)
+        col("vec_id"), col("embedding"), numPlanes = 10, numTables = 2)
       val pairs = Embeddings.annCandidatePairs(bk)
         .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
         .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")

