@@ -92,21 +92,25 @@ object TextOps {
     * |A∩B| / |A|+|B|-|A∩B|. Joins on shingle content — candidates only.
     */
   def jaccard(pairs: DataFrame, shingles: DataFrame): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val sa = shingles.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = shingles.select(col("doc_id").as("sb_doc"), col("shingle").as("shingle_b"))
-    val inter = pairs.join(sa, "doc_a")
-      .join(sb, col("doc_b") === col("sb_doc") && col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "sz_b"), "doc_b")
+    // Pack each doc's (distinct) shingles into one array row, join the pair
+    // list against it twice, and intersect per pair in a scalar expression.
+    // Versus the former explode-style plan (pairs × per-doc shingle rows
+    // joined on (doc, shingle), then count + two size joins) this moves two
+    // O(candidates × shingles/doc) shuffles into a per-row array op; the
+    // per-doc array is bounded by document length, so executor memory is
+    // safe at any corpus size.
+    val sets = shingles.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("sset"))
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jac", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+      .drop("set_a", "set_b")
   }
 
   /** Portable 16-bit word hash: first 4 hex chars of md5. */
