@@ -126,8 +126,11 @@ object DataPatterns {
           max(n).as(s"nmax__${f.name}"),
           avg(n).as(s"nmean__${f.name}"),
           stddev_pop(n).as(s"nsd__${f.name}"),
+          // documented-approximate quartiles; accuracy 1000 keeps the
+          // per-partition sketch small — at 10000 the sketch merge was the
+          // single biggest slice of the profile's first pass
           percentile_approx(n, array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(10000)).as(s"nq__${f.name}"))
+            lit(1000)).as(s"nq__${f.name}"))
       } ++
       numericPairs.map { case (a, b) =>
         corr(col(a).cast("double"), col(b).cast("double")).as(s"corr__${a}__$b")
