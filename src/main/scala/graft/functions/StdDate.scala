@@ -416,6 +416,44 @@ object StdDate {
       toDateT(date_add(start, 6)).as("endDate"))
   }
 
+  // ---- validators (Date.ecl IsValidDate/IsValidTime/IsValidGregorianDate) -
+
+  /** Days in (year, month), leap-aware — the calendar fact the validators
+    * share.
+    */
+  def daysInMonth(y: Column, m: Column): Column =
+    when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .when(m === 2, when(isLeapYear(y), 29).otherwise(28))
+      .otherwise(0)
+
+  /** IsValidDate: real proleptic-Gregorian calendar day, year 1..9999. */
+  def isValidDate(d: Column): Column = {
+    val y = yearT(d); val m = monthT(d); val dd = dayT(d)
+    y.between(1, 9999) && m.between(1, 12) &&
+      dd >= 1 && dd <= daysInMonth(y, m)
+  }
+
+  /** IsValidGregorianDate: the reference restricts to its Gregorian day
+    * range (from 1 Jan 1601 — `Date.ecl` gregorian tables).
+    */
+  def isValidGregorianDate(d: Column): Column =
+    isValidDate(d) && yearT(d) >= 1601
+
+  /** IsValidTime: hh 0-23, mm 0-59, ss 0-59 (no leap seconds, per ref). */
+  def isValidTime(t: Column): Column =
+    hourT(t).between(0, 23) && minuteT(t).between(0, 59) &&
+      secondT(t).between(0, 59)
+
+  // ---- reference-name aliases (Date.ecl constructors). The bare part
+  // getters (Year/Month/Day/...) are NOT aliased: they would shadow
+  // Spark's functions.year/month/... inside this file — use yearT etc. ----
+
+  def createDate(y: Column, m: Column, d: Column): Column =
+    dateFromParts(y, m, d)
+  def createTime(h: Column, m: Column, s: Column): Column =
+    timeFromParts(h, m, s)
+
   // ---- current date (Date.ecl:1279-1289) ----------------------------------
 
   def currentDate(): Column = toDateT(current_date())

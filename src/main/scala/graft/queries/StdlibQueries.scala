@@ -513,6 +513,46 @@ object StdlibQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // ---- Std.Date validators (IsValidDate/IsValidGregorianDate/IsValidTime)
+    // Date_t ints derived from o_orderdate plus arithmetic perturbations
+    // that cross month/day boundaries; the oracle restates the leap-aware
+    // calendar rule in SQL.
+    QueryDef("q146_date_valid", {
+      def valid(e: String) = {
+        val y = s"($e // 10000)"; val m = s"(($e // 100) % 100)"
+        val dd = s"($e % 100)"
+        s"""($y BETWEEN 1 AND 9999 AND $m BETWEEN 1 AND 12
+           | AND $dd >= 1 AND $dd <= (CASE
+           |   WHEN $m IN (1,3,5,7,8,10,12) THEN 31
+           |   WHEN $m IN (4,6,9,11) THEN 30
+           |   WHEN $m = 2 THEN (CASE WHEN $y % 4 = 0
+           |     AND ($y % 100 <> 0 OR $y % 400 = 0) THEN 29 ELSE 28 END)
+           |   ELSE 0 END))""".stripMargin
+      }
+      s"""WITH b AS (SELECT o_orderkey,
+         |  CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS d
+         |  FROM orders)
+         |SELECT o_orderkey, d,
+         |  ${valid("d")} AS v0,
+         |  ${valid("(d + 1)")} AS v1,
+         |  ${valid("(d + 70)")} AS v70,
+         |  (${valid("d")} AND d // 10000 >= 1601) AS vg,
+         |  TRUE AS t_ok,
+         |  FALSE AS t_bad
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    }) { (s, dir) =>
+      import graft.functions.StdDate
+      val d = StdDate.toDateT(col("o_orderdate"))
+      Tables.orders(s, dir).select(col("o_orderkey"), d.as("d"),
+          StdDate.isValidDate(d).as("v0"),
+          StdDate.isValidDate((d + 1).cast("int")).as("v1"),
+          StdDate.isValidDate((d + 70).cast("int")).as("v70"),
+          StdDate.isValidGregorianDate(d).as("vg"),
+          StdDate.isValidTime(lit(235959)).as("t_ok"),
+          StdDate.isValidTime(lit(236000)).as("t_bad"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- Std.Crypto.Hashing + SymmetricEncryption ------------------------
     // md5/sha256 checked digest-for-digest against DuckDB; the AES leg is an
     // encrypt→decrypt roundtrip whose output must equal the oracle's

@@ -260,4 +260,33 @@ class StdDateSpec extends SparkSpec {
     assert(findTZData(spark, "IST", "EUROPE").count() == 1)
     assert(tzDataForLocation(spark, "ISRAEL").count() == 2)
   }
+
+  test("IsValidDate/IsValidTime: leap rules, month lengths, field ranges") {
+    import graft.functions.StdDate._
+    val cases = Seq(
+      20240229 -> true,  // leap year Feb 29
+      20230229 -> false, // non-leap Feb 29
+      20000229 -> true,  // %400 leap
+      19000228 -> true, 19000229 -> false, // %100 non-leap
+      20240431 -> false, 20240430 -> true, // 30-day month
+      20241301 -> false, 20240001 -> false, // month range
+      20240100 -> false, 20240132 -> false, // day range
+      10101 -> true)     // year 1 (Date_t 0001-01-01)
+    val df = cases.map(_._1).toDF("d")
+      .select(col("d"), isValidDate(col("d")).as("v"),
+        isValidGregorianDate(col("d")).as("vg"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    cases.foreach { case (d, exp) =>
+      assert(got(d) == exp, s"IsValidDate($d)") }
+    // gregorian restriction: valid calendar day but pre-1601 → false
+    val vg = df.collect().map(r => r.getInt(0) -> r.getBoolean(2)).toMap
+    assert(!vg(10101) && vg(20240229))
+    val times = Seq(0 -> true, 235959 -> true, 240000 -> false,
+      235960 -> false, 126060 -> false)
+    val tgot = times.map(_._1).toDF("t")
+      .select(col("t"), isValidTime(col("t")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    times.foreach { case (t, exp) =>
+      assert(tgot(t) == exp, s"IsValidTime($t)") }
+  }
 }
