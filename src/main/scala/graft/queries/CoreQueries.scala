@@ -60,6 +60,75 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // ---- TPC-H Q3 shape: 3-way join, broadcast dim, grouped top-10 -------
+    // The plan to want at 100 TB: customer (filtered dim) broadcasts into
+    // the orders⋈lineitem shuffle join; revenue partially aggregates
+    // map-side; the top-10 is TakeOrderedAndProject, not a global sort.
+    QueryDef("q18_shipping_priority",
+      s"""SELECT l_orderkey,
+         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+         |  CAST(o_orderdate AS DATE) AS odate
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1997-06-30 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1997-06-30 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, odate, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      val cut = lit("1997-06-30 00:00:00").cast("timestamp")
+      val c = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < cut)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"))
+        .orderBy(col("revenue").desc, col("odate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5 shape: 6-way join, two broadcast dims, regional agg ----
+    QueryDef("q19_supplier_volume",
+      s"""SELECT n_name,
+         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) {
+      (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // ---- filter + project with computed column (TAKfilter/TAKproject) ----
     QueryDef("q02_filter_project",
       """SELECT l_orderkey, l_linenumber,
