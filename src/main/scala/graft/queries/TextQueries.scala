@@ -125,9 +125,11 @@ object TextQueries {
     QueryDef("q86_minhash_lsh",
       s"""WITH $MinhashCte
          |SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-      // TAKsplit analog: bands feed both sides of the bucket self-join
-      val bands = graft.ops.Shape.split(
-        TextOps.lshBands(TextOps.minhash(docShingles(s, dir), 8), 2))
+      // array-wise pipeline: shingle set → signature → band keys all run in
+      // one scalar projection; bands persist (TAKsplit) for the self-join
+      val bands = graft.ops.Shape.split(TextOps.lshBandKeys(
+        TextOps.minhashSig(TextOps.shingleSet(
+          Tables.documents(s, dir), col("doc_id"), col("text"), 3), 8), 8, 2))
       TextOps.lshCandidates(bands)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -150,14 +152,14 @@ object TextQueries {
          |JOIN sz sa ON sa.doc_id = c.doc_a
          |JOIN sz sb ON sb.doc_id = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin) { (s, dir) =>
-      // TAKsplit analogs: shingles feed minhash AND the jaccard refine;
-      // bands feed both sides of the bucket join; candidates feed the
-      // intersection join AND the final projection
-      val sh = graft.ops.Shape.split(docShingles(s, dir))
+      // TAKsplit analogs: the packed shingle sets feed the signature AND
+      // the jaccard refine; bands feed both sides of the bucket join
+      val sets = graft.ops.Shape.split(TextOps.shingleSet(
+        Tables.documents(s, dir), col("doc_id"), col("text"), 3))
       val bands = graft.ops.Shape.split(
-        TextOps.lshBands(TextOps.minhash(sh, 8), 2))
-      val cand = graft.ops.Shape.split(TextOps.lshCandidates(bands))
-      TextOps.jaccard(cand, sh)
+        TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
+      val cand = TextOps.lshCandidates(bands)
+      TextOps.jaccardSets(cand, sets)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
     },

@@ -76,6 +76,67 @@ object TextOps {
         transform(array_sort(collect_list(struct(col("i"), col("h")))),
           x => x.getField("h")), "")).as("bk"))
 
+  // ---- array-wise MinHash pipeline ----------------------------------------
+  // The row pipeline above (explode → groupBy per stage) shuffles at every
+  // step; these equivalents keep the whole shingle→signature→band-key
+  // derivation INSIDE one scalar projection per document — the first
+  // shuffle in the plan is the candidate self-join itself. Values are
+  // bit-identical to the row pipeline (same md5 inputs, min over the same
+  // distinct set), so the DuckDB oracles are unchanged.
+
+  /** Per-doc DISTINCT shingle set as one array column: (doc_id, sset).
+    * Docs with no shingles (shorter than k words) are dropped, matching the
+    * row pipeline where they simply have no rows.
+    */
+  def shingleSet(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val window = (1 until k).map(_ => "\\S+ ").mkString + "\\S+"
+    val pattern = s"(?=($window))\\S+ ?"
+    df.select(id.as("doc_id"),
+        array_distinct(regexp_extract_all(
+          regexp_replace(trim(text), "\\s+", " "), lit(pattern), lit(1)))
+          .as("sset"))
+      .filter(size(col("sset")) > 0)
+  }
+
+  /** MinHash signature array: sig[i] = lexicographic min over the shingle
+    * set of md5("<i>|" + shingle) — one scalar fold, no explode/groupBy.
+    */
+  def minhashSig(sets: DataFrame, numHashes: Int): DataFrame =
+    sets.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)), i =>
+        array_min(transform(col("sset"), s =>
+          md5(concat(i.cast("string"), lit("|"), s))))))
+
+  /** Band keys from the signature array: band b spans seeds
+    * [b·r, b·r+r), key = md5 of the in-seed-order concat — same key the
+    * row pipeline's collect_list+sort produced. Output: (doc_id, band, bk).
+    */
+  def lshBandKeys(sig: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat((0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bk"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bk").as("bk"))
+  }
+
+  /** Exact Jaccard for candidate pairs against packed shingle sets
+    * (doc_id, sset) — [[jaccard]] minus the packing groupBy.
+    */
+  def jaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame =
+    pairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
+      .drop("set_a", "set_b")
+
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The
     * self-join is on (band, bk) — bucket-local, never all-pairs.
     */

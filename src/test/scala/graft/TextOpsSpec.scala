@@ -24,6 +24,31 @@ class TextOpsSpec extends SparkSpec {
     assert(set.size == 7) // 9 tokens → 7 windows, all distinct here
   }
 
+  test("array-wise minhash pipeline equals the row pipeline bit-for-bit") {
+    val sh = TextOps.shingles(docs, col("doc_id"), col("text"), 3)
+    // shingle sets = row shingles, as sets
+    val rowSets = sh.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val arrSets = TextOps.shingleSet(docs, col("doc_id"), col("text"), 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(arrSets == rowSets)
+    // signatures match minhash rows
+    val rowSig = TextOps.minhash(sh, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val arrSig = TextOps.minhashSig(
+        TextOps.shingleSet(docs, col("doc_id"), col("text"), 3), 8)
+      .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(arrSig == rowSig)
+    // band keys match
+    val rowBands = TextOps.lshBands(TextOps.minhash(sh, 8), 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val arrBands = TextOps.lshBandKeys(TextOps.minhashSig(
+        TextOps.shingleSet(docs, col("doc_id"), col("text"), 3), 8), 8, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(arrBands == rowBands)
+  }
+
   test("minhash+LSH flags near-dups and exact dups, not unrelated docs") {
     val sh = TextOps.shingles(docs, col("doc_id"), col("text"), 3)
     val cand = TextOps.lshCandidates(
