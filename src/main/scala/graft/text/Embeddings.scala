@@ -55,23 +55,16 @@ object Embeddings {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: Column,
       cid: Column, qvec: Column, cvec: Column, k: Int): DataFrame = {
-    // Spark's higher-order array functions are interpreted (no codegen) —
-    // a per-pair aggregate() fold benched 4× slower than this explode +
-    // hash-aggregate shape, which stays columnar end-to-end.
-    val qx = explodeVec(queries, qid, qvec, "q_id")
-    val cx = explodeVec(corpus, cid, cvec, "c_id")
-    val qn = norms(queries, qid, qvec).withColumnRenamed("vec_id", "q_id")
-      .withColumnRenamed("norm", "q_norm")
-    val cn = norms(corpus, cid, cvec).withColumnRenamed("vec_id", "c_id")
-      .withColumnRenamed("norm", "c_norm")
-    val dots = cx.join(broadcast(qx), Seq("pos"))
-      .filter(col("q_id") =!= col("c_id"))
-      .groupBy(col("q_id"), col("c_id"))
-      .agg(sum((qx("v").cast("double") * cx("v").cast("double"))
-        .cast(DecimalType(30, 12))).cast("double").as("dot"))
-    val scored = dots
-      .join(broadcast(qn), "q_id").join(cn, "c_id")
-      .withColumn("cos", col("dot") / (col("q_norm") * col("c_norm")))
+    // Broadcast the (small) query set and fold dot + norms per (query,
+    // corpus) pair — the corpus streams once with no shuffle before the
+    // per-query ranking window. Decimal accumulation keeps scores
+    // bit-identical to the oracle's explode+SUM(DECIMAL) formulation.
+    val q = queries.select(qid.as("q_id"), qvec.as("q_emb"))
+    val c = corpus.select(cid.as("c_id"), cvec.as("c_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dotExact(col("q_emb"), col("c_emb")) /
+          (normExact(col("q_emb")) * normExact(col("c_emb")))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
