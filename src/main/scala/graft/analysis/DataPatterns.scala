@@ -144,8 +144,11 @@ object DataPatterns {
         .as("kv"))
       .select(col("kv.attribute").as("attribute"), col("kv.value").as("value"))
       .filter(col("value").isNotNull)
+    // coalesce: the collapsed counts are tiny (bounded by per-attribute
+    // cardinality); 32 shuffle partitions would pay ~6 downstream jobs ×
+    // 32 near-empty tasks each
     val counts = melted.groupBy("attribute", "value")
-      .agg(count(lit(1)).as("cnt")).persist()
+      .agg(count(lit(1)).as("cnt")).coalesce(8).persist()
 
     // exact cardinality + best-type evidence, one tiny row per attribute
     val intRe = "^-?\\d{1,18}$"
@@ -193,20 +196,26 @@ object DataPatterns {
         patternOf(col("value"), maxPatternLen).as("data_pattern"))
       .agg(sum(col("cnt")).as("cnt"), min(col("value")).as("example"))
       .persist()
+    // both pattern ranks ride ONE job: two row_numbers over the same
+    // attribute partitioning, one collect
     val popW = Window.partitionBy("attribute")
       .orderBy(col("cnt").desc, col("data_pattern").asc)
     val rareW = Window.partitionBy("attribute")
       .orderBy(col("cnt").asc, col("data_pattern").asc)
-    def topPatterns(w: org.apache.spark.sql.expressions.WindowSpec) =
-      patternCounts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= maxPatterns)
-        .groupBy("attribute")
-        .agg(collect_list(struct(col("rn"), col("data_pattern"), col("cnt"),
-          col("example"))).as("ps"))
-        .collect().map(r => r.getString(0) ->
-          r.getSeq[Row](1).sortBy(_.getInt(0))).toMap
-    val popular = topPatterns(popW)
-    val rare = topPatterns(rareW)
+    val ranked = patternCounts
+      .withColumn("rn_pop", row_number().over(popW))
+      .withColumn("rn_rare", row_number().over(rareW))
+      .filter(col("rn_pop") <= maxPatterns || col("rn_rare") <= maxPatterns)
+      .collect()
+    // rank-ordered (data_pattern, cnt, example) rows per attribute
+    def topPatterns(rnField: String): Map[String, Seq[Row]] =
+      ranked.filter(_.getAs[Int](rnField) <= maxPatterns)
+        .groupBy(_.getAs[String]("attribute")).view.mapValues(rs =>
+          rs.sortBy(_.getAs[Int](rnField)).toSeq.map(r => Row(
+            r.getAs[String]("data_pattern"), r.getAs[Long]("cnt"),
+            r.getAs[String]("example")))).toMap
+    val popular = topPatterns("rn_pop")
+    val rare = topPatterns("rn_rare")
 
     // ---- assemble (O(numCols) rows; driver-side by construction) ----------
     val kvSchema = ArrayType(StructType(Seq(
@@ -285,10 +294,8 @@ object DataPatterns {
       val bd = breakdown.get(name).map(_.map(r =>
         Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))).getOrElse(Nil)
       val md = modes.get(name).map(kvRows).getOrElse(Nil)
-      val pp = popular.get(name).map(_.map(r => Row(r.getAs[String]("data_pattern"),
-        r.getAs[Long]("cnt"), r.getAs[String]("example")))).getOrElse(Nil)
-      val rp = rare.get(name).map(_.map(r => Row(r.getAs[String]("data_pattern"),
-        r.getAs[Long]("cnt"), r.getAs[String]("example")))).getOrElse(Nil)
+      val pp = popular.getOrElse(name, Nil)
+      val rp = rare.getOrElse(name, Nil)
       Row(name, eclTypeName(f.dataType), bestType, recCount, fill,
         if (recCount == 0) 0.0 else fill.toDouble / recCount * 100.0,
         card, bd, md,
