@@ -88,4 +88,17 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n"))
   }
+
+  /** Streaming DEDUP (§2.7 → §2.12): exactly-once delivery of the first
+    * event per key. `dropDuplicatesWithinWatermark` evicts a key's state
+    * once the watermark passes it, so state is bounded by the watermark
+    * horizon, not the stream's lifetime — the scale contract for an
+    * unbounded feed. On a batch frame it degenerates to plain DEDUP ALL.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
 }

@@ -22,6 +22,28 @@ class StreamingSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  test("streaming dedup: first event per user, bounded watermark state") {
+    val batch = Tables.events(spark, sf)
+    val expectedUsers = Streams.dedupStream(batch, "ts", Seq("user_id"))
+      .select("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+
+    val stream = Streams.fileSource(spark, streamDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+    val streamTs = stream.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+    val q = Streams.dedupStream(streamTs, "ts", Seq("user_id"))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup_test")
+    // exactly one surviving row per user, and the same user set as batch
+    assert(got.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(got.select("user_id")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet == expectedUsers)
+  }
+
   test("tumbling window: stream (AvailableNow) == batch on events") {
     val batch = Tables.events(spark, sf)
     val expected = Streams.tumblingCounts(batch, "ts", "1 hour")
