@@ -1,0 +1,326 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Std.Metaphone / dmetaphone plugin surface (reference
+  * `ecllibrary/std/Metaphone.ecl`, `plugins/dmetaphone/`): the Double
+  * Metaphone phonetic encoding (L. Philips, C/C++ Users Journal 2000 —
+  * public algorithm), used for fuzzy name matching and record linkage.
+  * The reference exposes `primary`, `secondary`, and `double` (their
+  * concatenation), with NO length cap — behavior pinned by the reference's
+  * own regression vectors (`testing/regress/ecl/key/metaphone.xml`,
+  * `ecllibrary/teststd/Metaphone/TestMetaphone.ecl`) in MetaphoneSpec.
+  *
+  * Scala reimplementation from the published rules; runs as a scalar UDF
+  * (pure JVM string code, partition-parallel, no shuffle).
+  */
+object Metaphone {
+
+  private def isVowel(c: Char): Boolean = "AEIOUY".indexOf(c) >= 0
+
+  /** Both Double Metaphone codes of a word. */
+  def encode(input: String): (String, String) = {
+    if (input == null) return ("", "")
+    val s = input.toUpperCase.filter(c => c >= 'A' && c <= 'Z' || c == ' ')
+      .replace(" ", "")
+    if (s.isEmpty) return ("", "")
+    val len = s.length
+    val p = new StringBuilder
+    val q = new StringBuilder
+    def at(i: Int): Char = if (i >= 0 && i < len) s.charAt(i) else 0
+    def in(i: Int, n: Int, opts: String*): Boolean = {
+      if (i < 0 || i + n > len) return false
+      val sub = s.substring(i, i + n)
+      opts.contains(sub)
+    }
+    val slavoGermanic = s.contains("W") || s.contains("K") ||
+      s.contains("CZ") || s.contains("WITZ")
+    def add(both: String): Unit = { p.append(both); q.append(both) }
+    def add2(pr: String, se: String): Unit = { p.append(pr); q.append(se) }
+
+    var i = 0
+    // initial exceptions: silent first letter
+    if (in(0, 2, "GN", "KN", "PN", "WR", "PS")) i = 1
+    // initial X sounds like S
+    if (at(0) == 'X') { add("S"); i = 1 }
+
+    while (i < len) {
+      val c = s.charAt(i)
+      c match {
+        case 'A' | 'E' | 'I' | 'O' | 'U' | 'Y' =>
+          if (i == 0) add("A")
+          i += 1
+
+        case 'B' =>
+          add("P")
+          i += (if (at(i + 1) == 'B') 2 else 1)
+
+        case 'C' =>
+          // various germanic CH
+          if (i > 1 && !isVowel(at(i - 2)) && in(i - 1, 3, "ACH") &&
+              at(i + 2) != 'I' &&
+              (at(i + 2) != 'E' || in(i - 2, 6, "BACHER", "MACHER"))) {
+            add("K"); i += 2
+          } else if (i == 0 && in(i, 6, "CAESAR")) {
+            add("S"); i += 2
+          } else if (in(i, 4, "CHIA")) { // italian e.g. chianti
+            add("K"); i += 2
+          } else if (in(i, 2, "CH")) {
+            if (i > 0 && in(i, 4, "CHAE")) add2("K", "X") // michael
+            else if (i == 0 &&
+                (in(i + 1, 5, "HARAC", "HARIS") ||
+                 in(i + 1, 3, "HOR", "HYM", "HIA", "HEM")) &&
+                !in(0, 5, "CHORE")) {
+              add("K") // greek roots: chorus, character
+            } else if ((in(0, 4, "VAN ", "VON ") || in(0, 3, "SCH")) ||
+                in(i - 2, 6, "ORCHES", "ARCHIT", "ORCHID") ||
+                in(i + 2, 1, "T", "S") ||
+                ((in(i - 1, 1, "A", "O", "U", "E") || i == 0) &&
+                 in(i + 2, 1, "L", "R", "N", "M", "B", "H", "F", "V", "W")
+                 || i + 2 >= len)) {
+              add("K") // germanic
+            } else if (i > 0) {
+              if (in(0, 2, "MC")) add("K") else add2("X", "K")
+            } else add("X")
+            i += 2
+          } else if (in(i, 2, "CZ") && !in(i - 2, 4, "WICZ")) {
+            add2("S", "X"); i += 2 // czerny
+          } else if (in(i + 1, 3, "CIA")) {
+            add("X"); i += 3 // focaccia
+          } else if (in(i, 2, "CC") && !(i == 1 && at(0) == 'M')) {
+            // double C, but not McClellan
+            if (in(i + 2, 1, "I", "E", "H") && !in(i + 2, 2, "HU")) {
+              if ((i == 1 && at(i - 1) == 'A') ||
+                  in(i - 1, 5, "UCCEE", "UCCES"))
+                add("KS") // accident, success
+              else add("X") // bacci
+              i += 3
+            } else { add("K"); i += 2 } // pierce's rule
+          } else if (in(i, 2, "CK", "CG", "CQ")) {
+            add("K"); i += 2
+          } else if (in(i, 2, "CI", "CE", "CY")) {
+            if (in(i, 3, "CIO", "CIE", "CIA")) add2("S", "X")
+            else add("S")
+            i += 2
+          } else {
+            add("K")
+            i += (if (in(i + 1, 2, " C", " Q", " G")) 3
+                  else if (in(i + 1, 1, "C", "K", "Q") &&
+                    !in(i + 1, 2, "CE", "CI")) 2
+                  else 1)
+          }
+
+        case 'D' =>
+          if (in(i, 2, "DG")) {
+            if (in(i + 2, 1, "I", "E", "Y")) { add("J"); i += 3 } // edge
+            else { add("TK"); i += 2 } // edgar
+          } else {
+            add("T")
+            i += (if (in(i, 2, "DT", "DD")) 2 else 1)
+          }
+
+        case 'F' =>
+          add("F"); i += (if (at(i + 1) == 'F') 2 else 1)
+
+        case 'G' =>
+          if (at(i + 1) == 'H') {
+            if (i > 0 && !isVowel(at(i - 1))) { add("K"); i += 2 }
+            else if (i == 0) {
+              if (at(i + 2) == 'I') add("J") else add("K")
+              i += 2
+            } else if ((i > 1 && in(i - 2, 1, "B", "H", "D")) ||
+                (i > 2 && in(i - 3, 1, "B", "H", "D")) ||
+                (i > 3 && in(i - 4, 1, "B", "H"))) {
+              i += 2 // hugh, exhaust: silent GH
+            } else {
+              // laugh-family: GH after OU-like context sounds F
+              if (i > 2 && at(i - 1) == 'U' &&
+                  in(i - 3, 1, "C", "G", "L", "R", "T")) add("F")
+              else if (i > 0 && at(i - 1) != 'I') add("K")
+              i += 2
+            }
+          } else if (at(i + 1) == 'N') {
+            if (i == 1 && isVowel(at(0)) && !slavoGermanic) add2("KN", "N")
+            else if (!in(i + 2, 2, "EY") && at(i + 1) != 'Y' &&
+                !slavoGermanic) add2("N", "KN")
+            else add("KN")
+            i += 2
+          } else if (in(i + 1, 2, "LI") && !slavoGermanic) {
+            add2("KL", "L"); i += 2 // tagliaro
+          } else if (i == 0 && (at(i + 1) == 'Y' ||
+              in(i + 1, 2, "ES", "EP", "EB", "EL", "EY", "IB", "IL", "IN",
+                "IE", "EI", "ER"))) {
+            add2("K", "J") // ges-, gep- initial
+            i += 2
+          } else if ((in(i + 1, 2, "ER") || at(i + 1) == 'Y') &&
+              !in(0, 6, "DANGER", "RANGER", "MANGER") &&
+              !in(i - 1, 1, "E", "I") && !in(i - 1, 3, "RGY", "OGY")) {
+            add2("K", "J") // -ger-, -gy-
+            i += 2
+          } else if (in(i + 1, 1, "E", "I", "Y") ||
+              in(i - 1, 4, "AGGI", "OGGI")) {
+            if (in(0, 4, "VAN ", "VON ") || in(0, 3, "SCH") ||
+                in(i + 1, 2, "ET")) add("K") // germanic
+            else if (in(i + 1, 4, "IER ") ||
+                (i + 1 == len - 3 && in(i + 1, 3, "IER")))
+              add("J") // -gier suffix
+            else add2("J", "K")
+            i += 2
+          } else {
+            add("K")
+            i += (if (at(i + 1) == 'G') 2 else 1)
+          }
+
+        case 'H' =>
+          // only keep H between vowels or at start before a vowel
+          if ((i == 0 || isVowel(at(i - 1))) && isVowel(at(i + 1))) {
+            add("H"); i += 2
+          } else i += 1
+
+        case 'J' =>
+          if (in(i, 4, "JOSE") || in(0, 4, "SAN ")) {
+            if ((i == 0 && at(i + 4) == ' ') || in(0, 4, "SAN ")) add("H")
+            else add2("J", "H") // jose middle
+            i += 1
+          } else {
+            if (i == 0 && !in(i, 4, "JOSE")) add2("J", "A")
+            else if (isVowel(at(i - 1)) && !slavoGermanic &&
+                (at(i + 1) == 'A' || at(i + 1) == 'O')) add2("J", "H")
+            else if (i == len - 1) add2("J", "")
+            else if (!in(i + 1, 1, "L", "T", "K", "S", "N", "M", "B", "Z") &&
+                !in(i - 1, 1, "S", "K", "L")) add("J")
+            i += (if (at(i + 1) == 'J') 2 else 1)
+          }
+
+        case 'K' =>
+          add("K"); i += (if (at(i + 1) == 'K') 2 else 1)
+
+        case 'L' =>
+          if (at(i + 1) == 'L') {
+            // spanish ll: cabrillo, gallegos
+            if ((i == len - 3 &&
+                in(i - 1, 4, "ILLO", "ILLA", "ALLE")) ||
+                ((in(len - 2, 2, "AS", "OS") ||
+                  in(len - 1, 1, "A", "O")) && in(i - 1, 4, "ALLE"))) {
+              add2("L", ""); i += 2
+            } else { add("L"); i += 2 }
+          } else { add("L"); i += 1 }
+
+        case 'M' =>
+          add("M")
+          i += (if (in(i - 1, 3, "UMB") &&
+            (i + 1 == len - 1 || in(i + 2, 2, "ER")) ||
+            at(i + 1) == 'M') 2 else 1)
+
+        case 'N' =>
+          add("N"); i += (if (at(i + 1) == 'N') 2 else 1)
+
+        case 'P' =>
+          if (at(i + 1) == 'H') { add("F"); i += 2 }
+          else { add("P"); i += (if (in(i + 1, 1, "P", "B")) 2 else 1) }
+
+        case 'Q' =>
+          add("K"); i += (if (at(i + 1) == 'Q') 2 else 1)
+
+        case 'R' =>
+          // french -er final: rogier, but not hochmeier
+          if (i == len - 1 && !slavoGermanic &&
+              in(i - 2, 2, "IE") && !in(i - 4, 2, "ME", "MA")) add2("", "R")
+          else add("R")
+          i += (if (at(i + 1) == 'R') 2 else 1)
+
+        case 'S' =>
+          if (in(i - 1, 3, "ISL", "YSL")) i += 1 // island: silent S
+          else if (i == 0 && in(i, 5, "SUGAR")) { add2("X", "S"); i += 1 }
+          else if (in(i, 2, "SH")) {
+            if (in(i + 1, 4, "HEIM", "HOEK", "HOLM", "HOLZ")) add("S")
+            else add("X")
+            i += 2
+          } else if (in(i, 3, "SIO", "SIA") || in(i, 4, "SIAN")) {
+            if (!slavoGermanic) add2("S", "X") else add("S")
+            i += 3
+          } else if ((i == 0 && in(i + 1, 1, "M", "N", "L", "W")) ||
+              in(i + 1, 1, "Z")) {
+            add2("S", "X")
+            i += (if (at(i + 1) == 'Z') 2 else 1)
+          } else if (in(i, 2, "SC")) {
+            if (at(i + 2) == 'H') {
+              if (in(i + 3, 2, "OO", "ER", "EN", "UY", "ED", "EM")) {
+                // school, schenker — germanic
+                if (in(i + 3, 2, "ER", "EN")) add2("X", "SK") else add("SK")
+              } else {
+                if (i == 0 && !isVowel(at(3)) && at(3) != 'W')
+                  add2("X", "S")
+                else add("X")
+              }
+              i += 3
+            } else if (in(i + 2, 1, "I", "E", "Y")) { add("S"); i += 3 }
+            else { add("SK"); i += 3 }
+          } else {
+            if (i == len - 1 && in(i - 2, 2, "AI", "OI")) add2("", "S")
+            else add("S")
+            i += (if (in(i + 1, 1, "S", "Z")) 2 else 1)
+          }
+
+        case 'T' =>
+          if (in(i, 4, "TION") || in(i, 3, "TIA", "TCH")) {
+            add("X"); i += 3
+          } else if (in(i, 2, "TH") || in(i, 3, "TTH")) {
+            if (in(i + 2, 2, "OM", "AM") || in(0, 4, "VAN ", "VON ") ||
+                in(0, 3, "SCH")) add("T") // thomas, thames
+            else add2("0", "T")
+            i += 2
+          } else {
+            add("T")
+            i += (if (in(i + 1, 1, "T", "D")) 2 else 1)
+          }
+
+        case 'V' =>
+          add("F"); i += (if (at(i + 1) == 'V') 2 else 1)
+
+        case 'W' =>
+          if (in(i, 2, "WR")) { add("R"); i += 2 }
+          else {
+            if (i == 0 && (isVowel(at(i + 1)) || in(i, 2, "WH"))) {
+              if (isVowel(at(i + 1))) add2("A", "F") else add("A")
+            }
+            if ((i == len - 1 && isVowel(at(i - 1))) ||
+                in(i - 1, 5, "EWSKI", "EWSKY", "OWSKI", "OWSKY") ||
+                in(0, 3, "SCH")) add2("", "F")
+            else if (in(i, 4, "WICZ", "WITZ")) { add2("TS", "FX"); i += 3 }
+            i += 1
+          }
+
+        case 'X' =>
+          // french final -aux/-oux silent
+          if (!(i == len - 1 &&
+              (in(i - 3, 3, "IAU", "EAU") || in(i - 2, 2, "AU", "OU"))))
+            add("KS")
+          i += (if (in(i + 1, 1, "C", "X")) 2 else 1)
+
+        case 'Z' =>
+          if (at(i + 1) == 'H') { add("J"); i += 2 } // chinese pinyin
+          else {
+            if (in(i + 1, 2, "ZO", "ZI", "ZA") ||
+                (slavoGermanic && i > 0 && at(i - 1) != 'T')) add2("S", "TS")
+            else add("S")
+            i += (if (at(i + 1) == 'Z') 2 else 1)
+          }
+
+        case _ => i += 1
+      }
+    }
+    (p.toString, q.toString)
+  }
+
+  def primary(s: String): String = encode(s)._1
+  def secondary(s: String): String = encode(s)._2
+  /** Metaphone.double: primary immediately followed by secondary. */
+  def dbl(s: String): String = { val (a, b) = encode(s); a + b }
+
+  // Column forms (scalar UDFs — phonetic encoding has no Catalyst analog)
+  def primaryCol(c: Column): Column = udf((s: String) => primary(s)).apply(c)
+  def secondaryCol(c: Column): Column = udf((s: String) => secondary(s)).apply(c)
+  def doubleCol(c: Column): Column = udf((s: String) => dbl(s)).apply(c)
+}

@@ -553,6 +553,18 @@ object StdlibQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // ---- Std.Metaphone (dmetaphone plugin): no DuckDB analog → rows-only
+    // driver check; encoding behavior is pinned by the reference's own
+    // regression vectors in MetaphoneSpec.
+    QueryDef.noOracle("q147_metaphone") { (s, dir) =>
+      import graft.functions.Metaphone
+      Tables.customer(s, dir).select(col("c_custkey"),
+          Metaphone.primaryCol(col("c_name")).as("mp"),
+          Metaphone.secondaryCol(col("c_name")).as("ms"),
+          Metaphone.doubleCol(col("c_name")).as("mdbl"))
+        .orderBy(col("c_custkey"))
+    },
+
     // ---- Std.Crypto.Hashing + SymmetricEncryption ------------------------
     // md5/sha256 checked digest-for-digest against DuckDB; the AES leg is an
     // encrypt→decrypt roundtrip whose output must equal the oracle's
