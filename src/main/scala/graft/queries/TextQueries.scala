@@ -164,6 +164,45 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- repetition signals (training-data quality): distinct-token ratio
+    // and repeated bigram/trigram fractions — the standard "repetitious
+    // document" filters. All per-row array ops, zero shuffles before the
+    // final sort.
+    QueryDef("q95_repetition",
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n,
+        |  len(list_distinct(toks)) AS d1,
+        |  len(list_distinct(list_transform(range(len(toks)-1),
+        |    i -> toks[i+1] || ' ' || toks[i+2]))) AS d2,
+        |  len(list_distinct(list_transform(range(len(toks)-2),
+        |    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))) AS d3
+        | FROM base WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  round(d1*1.0/n, 6) AS distinct_ratio,
+        |  round(1 - d2*1.0/(n-1), 6) AS rep2,
+        |  round(1 - d3*1.0/(n-2), 6) AS rep3
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = TextOps.words(col("text"))
+      val n = size(toks)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), n.as("n"), toks.as("toks"))
+        .filter(col("n") >= 3)
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          round(size(array_distinct(col("toks"))) * lit(1.0) / col("n"), 6)
+            .as("distinct_ratio"),
+          round(lit(1) - size(array_distinct(transform(
+              sequence(lit(1), col("n") - 1), i => concat_ws(" ",
+                element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+            * lit(1.0) / (col("n") - 1), 6).as("rep2"),
+          round(lit(1) - size(array_distinct(transform(
+              sequence(lit(1), col("n") - 2), i => concat_ws(" ",
+                element_at(col("toks"), i), element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)))))
+            * lit(1.0) / (col("n") - 2), 6).as("rep3"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- SimHash (16-bit, frequency-weighted) ----------------------------
     QueryDef("q88_simhash", {
       val bitSums = (0 until 16).map(j =>
