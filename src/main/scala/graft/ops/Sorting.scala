@@ -113,6 +113,29 @@ object Sorting {
       .filter((col("__rn") * num) % den < num)
       .drop("__rn")
 
+  /** Deterministic hash sampling: keep a row iff
+    * md5(key) mod 100 < pct. Unlike df.sample this is content-addressed —
+    * the same key always samples the same way on any cluster, any
+    * partitioning, any engine (the reproducibility contract training-data
+    * pipelines need). Per-row decision, no shuffle, pushes down as a
+    * filter.
+    */
+  def hashSamplePred(key: Column, pct: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100 < pct
+
+  /** Stratified hash sampling: per-stratum percentages (training-data
+    * mixing — e.g. downsample dominant languages, keep all of rare ones).
+    * Unlisted strata fall back to `defaultPct`.
+    */
+  def hashSampleBy(df: DataFrame, key: Column, stratum: Column,
+      pctByStratum: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(stratum === s, p).otherwise(acc)
+    }
+    df.filter(hashSamplePred(key, pct))
+  }
+
   /** QUANTILE(ds, n, keys) — the n-quantile boundary rows: for i in 1..n-1
     * the row at position ceil(i * N / n) of the sort order (exact variant;
     * helper `getNumDivisions` eclhelper.hpp:1399). Emits a `quantile` column

@@ -203,6 +203,21 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- deterministic stratified hash sampling (training-data mixing):
+    // downsample dominant 'en' to 10%, keep 50% of the rest. Content-
+    // addressed md5 decision — reproducible on any engine/partitioning.
+    QueryDef("q96_hash_sample",
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+        |      % 100 < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Sorting.hashSampleBy(Tables.documents(s, dir),
+          col("doc_id"), col("lang"), Map("en" -> 10), 50)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- SimHash (16-bit, frequency-weighted) ----------------------------
     QueryDef("q88_simhash", {
       val bitSums = (0 until 16).map(j =>
