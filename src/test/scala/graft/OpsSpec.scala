@@ -155,4 +155,22 @@ class OpsSpec extends SparkSpec {
     assert(Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 1).count() == 7)
     assert(Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 3).count() == 0)
   }
+
+  test("hash sampling is content-addressed: partitioning-independent") {
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("s", (col("id") % 3).cast("string"))
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sorting.hashSampleBy(d, col("id"), col("s"), Map("0" -> 10), 50)
+        .select("id").as[Long].collect().toSet
+    val a = ids(df.repartition(2))
+    val b = ids(df.repartition(17, col("s")))
+    assert(a == b) // same keys survive under any layout
+    assert(a.nonEmpty && a.size < 1000)
+    // rates are approximately honored per stratum
+    val byStratum = Sorting.hashSampleBy(df, col("id"), col("s"),
+        Map("0" -> 10), 50)
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(byStratum("0") < 80)                      // ~10% of 334
+    assert(byStratum("1") > 100 && byStratum("2") > 100) // ~50% of 333
+  }
 }
