@@ -137,6 +137,22 @@ object ShapeQueries {
         .orderBy(col("bucket"))
     },
 
+    // ---- sliding (hopping) window, 2h width / 1h slide (§2.12): each
+    // event lands in exactly two buckets — the oracle states that as a
+    // union of the two shifted tumbling assignments.
+    QueryDef("q69_sliding_window",
+      """WITH hits AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'
+        |  FROM events)
+        |SELECT bucket, COUNT(*) AS n
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.Streams.slidingCounts(
+          Tables.events(s, dir), "ts", "2 hours", "1 hour")
+        .orderBy(col("bucket"))
+    },
+
     // ---- session window per user, 5-minute gap (§2.12) -------------------
     QueryDef("q68_session_window",
       """WITH d AS (

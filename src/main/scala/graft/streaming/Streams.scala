@@ -79,6 +79,19 @@ object Streams {
       }
   }
 
+  /** Sliding (hopping) windows: width `width`, advancing every `slide` —
+    * each event lands in width/slide overlapping buckets. Stream/batch
+    * symmetric like [[tumblingCounts]].
+    */
+  def slidingCounts(events: DataFrame, tsCol: String, width: String,
+      slide: String, watermark: String = "10 minutes"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark(tsCol, watermark)
+             else events
+    wm.groupBy(window(col(tsCol), width, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket"), col("n"))
+  }
+
   /** Per-user session windows (gap-based) — stream/batch symmetric. */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,
       watermark: String = "10 minutes"): DataFrame = {

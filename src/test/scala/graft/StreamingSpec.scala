@@ -22,6 +22,29 @@ class StreamingSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
+  test("sliding window: stream (AvailableNow) == batch; overlap factor") {
+    val batch = Tables.events(spark, sf)
+    val expected = Streams.slidingCounts(batch, "ts", "2 hours", "1 hour")
+      .orderBy(col("bucket")).collect().toSeq
+    // ~2× the events of the tumbling equivalent (each event in 2 buckets)
+    val tumbling = Streams.tumblingCounts(batch, "ts", "2 hours")
+      .agg(sum(col("n"))).head.getLong(0)
+    val sliding = Streams.slidingCounts(batch, "ts", "2 hours", "1 hour")
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(sliding == 2 * tumbling)
+
+    val stream = Streams.fileSource(spark, streamDir,
+      spark.read.parquet(s"$sf/events.parquet").schema)
+    val streamTs = stream.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")))
+    val q = Streams.slidingCounts(streamTs, "ts", "2 hours", "1 hour")
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sliding_test").orderBy(col("bucket")).collect().toSeq
+    assert(got == expected)
+  }
+
   test("streaming dedup: first event per user, bounded watermark state") {
     val batch = Tables.events(spark, sf)
     val expectedUsers = Streams.dedupStream(batch, "ts", Seq("user_id"))
