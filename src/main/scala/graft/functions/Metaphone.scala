@@ -323,4 +323,36 @@ object Metaphone {
   def primaryCol(c: Column): Column = udf((s: String) => primary(s)).apply(c)
   def secondaryCol(c: Column): Column = udf((s: String) => secondary(s)).apply(c)
   def doubleCol(c: Column): Column = udf((s: String) => dbl(s)).apply(c)
+
+  /** Pinned (word, primary, secondary) vectors for the q147 oracle. The
+    * first four are the reference's own regression vectors
+    * (`testing/regress/ecl/key/metaphone.xml`); the rest pin this
+    * implementation's encoding of classic Philips-2000 exercise words.
+    */
+  val oracleVectors: Seq[(String, String, String)] = Seq(
+    ("Algernon", "ALKRNN", "ALJRNN"),
+    ("Englebert", "ANKLPRT", "ANKLPRT"),
+    ("Cholmondley", "XLMNTL", "XLMNTL"),
+    ("Farquar", "FRKR", "FRKR"),
+    ("Smith", "SM0", "XMT"),
+    ("Smyth", "SM0", "XMT"),
+    ("Philip", "FLP", "FLP"),
+    ("Filip", "FLP", "FLP"),
+    ("Katherine", "K0RN", "KTRN"),
+    ("Catherine", "K0RN", "KTRN"),
+    ("Jackson", "JKSN", "AKSN"),
+    ("Xavier", "SF", "SFR"),
+    ("Quixote", "KKST", "KKST"),
+    ("Wright", "RT", "RT"),
+    ("Thompson", "TMPSN", "TMPSN"),
+    ("Thomson", "TMSN", "TMSN"),
+    ("Schwarzenegger", "XRSNKR", "XFRTSNKR"),
+    ("Nguyen", "NKN", "NKN"),
+    ("Garcia", "KRS", "KRX"),
+    ("Ghiradelli", "JRTL", "JRTL"),
+    ("Caesar", "SSR", "SSR"),
+    ("Czerny", "SRN", "XRN"),
+    ("Jose", "JS", "HS"),
+    ("Wagner", "AKNR", "FKNR"),
+    ("Zhao", "J", "J"))
 }

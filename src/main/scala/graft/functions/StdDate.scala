@@ -427,18 +427,21 @@ object StdDate {
       .when(m === 2, when(isLeapYear(y), 29).otherwise(28))
       .otherwise(0)
 
-  /** IsValidDate: real proleptic-Gregorian calendar day, year 1..9999. */
-  def isValidDate(d: Column): Column = {
+  /** IsValidDate: real calendar day with configurable year bounds
+    * (`Date.ecl:1392` defaults yearLowerBound=1800, yearUpperBound=2100).
+    */
+  def isValidDate(d: Column, yearLowerBound: Int = 1800,
+      yearUpperBound: Int = 2100): Column = {
     val y = yearT(d); val m = monthT(d); val dd = dayT(d)
-    y.between(1, 9999) && m.between(1, 12) &&
+    y.between(yearLowerBound, yearUpperBound) && m.between(1, 12) &&
       dd >= 1 && dd <= daysInMonth(y, m)
   }
 
-  /** IsValidGregorianDate: the reference restricts to its Gregorian day
-    * range (from 1 Jan 1601 — `Date.ecl` gregorian tables).
+  /** IsValidGregorianDate: year 1601..30827 and a real (normalized)
+    * Gregorian day (`Date.ecl:1412` — `date = AdjustDate(date)`).
     */
   def isValidGregorianDate(d: Column): Column =
-    isValidDate(d) && yearT(d) >= 1601
+    isValidDate(d, 1601, 30827)
 
   /** IsValidTime: hh 0-23, mm 0-59, ss 0-59 (no leap seconds, per ref). */
   def isValidTime(t: Column): Column =

@@ -161,10 +161,27 @@ object GraftFrame {
     */
   private[model] val rowOrdering: Ordering[org.apache.spark.sql.Row] =
     new Ordering[org.apache.spark.sql.Row] {
+      private def isIntegral(n: Number): Boolean = n match {
+        case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long => true
+        case _ => false
+      }
       private def cmp(a: Any, b: Any): Int = (a, b) match {
         case (null, null) => 0
         case (null, _) => -1
         case (_, null) => 1
+        // Spark sorts strings by UTF-8 binary (UTF8String.compareTo);
+        // Java String.compareTo is UTF-16 code-unit order, which disagrees
+        // when [U+E000,U+FFFF] chars mix with supplementary-plane chars —
+        // compare the UTF-8 bytes unsigned to match the engine exactly.
+        case (x: String, y: String) =>
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // integral widths compare exactly through long — doubleValue would
+        // round longs above 2^53
+        case (x: Number, y: Number) if isIntegral(x) && isIntegral(y) =>
+          java.lang.Long.compare(x.longValue(), y.longValue())
         case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
           x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
         case (x: Number, y: Number) =>

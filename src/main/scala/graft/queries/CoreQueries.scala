@@ -60,10 +60,11 @@ object CoreQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
-    // ---- TPC-H Q3 shape: 3-way join, broadcast dim, grouped top-10 -------
-    // The plan to want at 100 TB: customer (filtered dim) broadcasts into
-    // the orders⋈lineitem shuffle join; revenue partially aggregates
-    // map-side; the top-10 is TakeOrderedAndProject, not a global sort.
+    // ---- TPC-H Q3 shape: 3-way join, grouped top-10 ----------------------
+    // The plan to want at 100 TB: customer scales with SF (~1.5e10 rows at
+    // 100 TB), so no forced broadcast — AQE picks broadcast vs shuffle by
+    // measured post-filter size; revenue partially aggregates map-side; the
+    // top-10 is TakeOrderedAndProject, not a global sort.
     QueryDef("q18_shipping_priority",
       s"""SELECT l_orderkey,
          |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
@@ -84,7 +85,7 @@ object CoreQueries {
       val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cut)
         .select("l_orderkey", "l_extendedprice", "l_discount")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
           "revenue"))
@@ -94,7 +95,9 @@ object CoreQueries {
         .limit(10)
     },
 
-    // ---- TPC-H Q5 shape: 6-way join, two broadcast dims, regional agg ----
+    // ---- TPC-H Q5 shape: 6-way join, regional agg ------------------------
+    // nation/region are genuinely fixed-size → forced broadcast; supplier
+    // scales with SF, so AQE decides its join strategy at runtime.
     QueryDef("q19_supplier_volume",
       s"""SELECT n_name,
          |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
@@ -119,7 +122,7 @@ object CoreQueries {
       val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

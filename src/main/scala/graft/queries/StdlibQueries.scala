@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.functions.{EclFunctions, StdDate, StdStr, StdUni}
+import graft.functions.{EclFunctions, Metaphone, StdDate, StdStr, StdUni}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -518,10 +518,12 @@ object StdlibQueries {
     // that cross month/day boundaries; the oracle restates the leap-aware
     // calendar rule in SQL.
     QueryDef("q146_date_valid", {
-      def valid(e: String) = {
+      // Restates the reference rule: real calendar day within year bounds
+      // (IsValidDate defaults 1800-2100, IsValidGregorianDate 1601-30827).
+      def valid(e: String, lo: Int, hi: Int) = {
         val y = s"($e // 10000)"; val m = s"(($e // 100) % 100)"
         val dd = s"($e % 100)"
-        s"""($y BETWEEN 1 AND 9999 AND $m BETWEEN 1 AND 12
+        s"""($y BETWEEN $lo AND $hi AND $m BETWEEN 1 AND 12
            | AND $dd >= 1 AND $dd <= (CASE
            |   WHEN $m IN (1,3,5,7,8,10,12) THEN 31
            |   WHEN $m IN (4,6,9,11) THEN 30
@@ -533,10 +535,11 @@ object StdlibQueries {
          |  CAST(strftime(o_orderdate, '%Y%m%d') AS INTEGER) AS d
          |  FROM orders)
          |SELECT o_orderkey, d,
-         |  ${valid("d")} AS v0,
-         |  ${valid("(d + 1)")} AS v1,
-         |  ${valid("(d + 70)")} AS v70,
-         |  (${valid("d")} AND d // 10000 >= 1601) AS vg,
+         |  ${valid("d", 1800, 2100)} AS v0,
+         |  ${valid("(d + 1)", 1800, 2100)} AS v1,
+         |  ${valid("(d + 70)", 1800, 2100)} AS v70,
+         |  ${valid("(d - 3000000)", 1800, 2100)} AS v_1699,
+         |  ${valid("d", 1601, 30827)} AS vg,
          |  TRUE AS t_ok,
          |  FALSE AS t_bad
          |FROM b ORDER BY o_orderkey""".stripMargin
@@ -547,22 +550,35 @@ object StdlibQueries {
           StdDate.isValidDate(d).as("v0"),
           StdDate.isValidDate((d + 1).cast("int")).as("v1"),
           StdDate.isValidDate((d + 70).cast("int")).as("v70"),
+          StdDate.isValidDate((d - 3000000).cast("int")).as("v_1699"),
           StdDate.isValidGregorianDate(d).as("vg"),
           StdDate.isValidTime(lit(235959)).as("t_ok"),
           StdDate.isValidTime(lit(236000)).as("t_bad"))
         .orderBy(col("o_orderkey"))
     },
 
-    // ---- Std.Metaphone (dmetaphone plugin): no DuckDB analog → rows-only
-    // driver check; encoding behavior is pinned by the reference's own
-    // regression vectors in MetaphoneSpec.
-    QueryDef.noOracle("q147_metaphone") { (s, dir) =>
-      import graft.functions.Metaphone
-      Tables.customer(s, dir).select(col("c_custkey"),
-          Metaphone.primaryCol(col("c_name")).as("mp"),
-          Metaphone.secondaryCol(col("c_name")).as("ms"),
-          Metaphone.doubleCol(col("c_name")).as("mdbl"))
-        .orderBy(col("c_custkey"))
+    // ---- Std.Metaphone (dmetaphone plugin): DuckDB has no Double Metaphone,
+    // so the oracle pins expected codes as a literal table (the q106 pattern).
+    // The first four rows ARE the reference's own regression vectors
+    // (testing/regress/ecl/key/metaphone.xml); the rest pin this engine's
+    // encoding of the classic Philips-2000 exercise words as a regression
+    // contract. Encoder unit coverage lives in MetaphoneSpec.
+    QueryDef("q147_metaphone", {
+      val rows = Metaphone.oracleVectors.zipWithIndex.map {
+        case ((w, p, sd), i) => s"($i, '$w', '$p', '$sd', '$p$sd')"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) AS t(id, word, mp, ms, mdbl)
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      Metaphone.oracleVectors.zipWithIndex
+        .map { case ((w, _, _), i) => (i, w) }.toDF("id", "word")
+        .select(col("id"), col("word"),
+          Metaphone.primaryCol(col("word")).as("mp"),
+          Metaphone.secondaryCol(col("word")).as("ms"),
+          Metaphone.doubleCol(col("word")).as("mdbl"))
+        .orderBy(col("id"))
     },
 
     // ---- Std.Crypto.Hashing + SymmetricEncryption ------------------------

@@ -129,6 +129,15 @@ object Embeddings {
     decimalArraySum(zip_with(vec, typedLit(signs.toSeq),
       (v, s) => coalesce(v.cast("double") * s, lit(0.0))))
 
+  /** Guard: planeProj zero-fills positions past `dim`, so a vector whose
+    * length differs from the declared dim would silently hash into wrong
+    * buckets. Fail loudly instead (folds to +0 on the happy path).
+    */
+  private def dimGuard(vec: Column, dim: Int): Column =
+    coalesce(assert_true(size(vec) === dim,
+      concat(lit(s"rpLsh: expected $dim-dim vector, got "),
+        size(vec).cast("string"))).cast("long"), lit(0L))
+
   /** Random-hyperplane LSH bucket id (numPlanes sign bits) per vector.
     * Output: (vec_id, bucket). Pure per-row projection folds — NO shuffle
     * at all; the decimal accumulation keeps each sign bit-identical to the
@@ -140,7 +149,7 @@ object Embeddings {
       when(planeProj(vec, planeSignsLocal(numPlanes, dim)(p)) > 0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
-    df.select(id.as("vec_id"), bucket.as("bucket"))
+    df.select(id.as("vec_id"), (bucket + dimGuard(vec, dim)).as("bucket"))
   }
 
   /** Multi-table RP-LSH (OR-amplification, the recall knob the single-table
@@ -157,7 +166,7 @@ object Embeddings {
       val bucket = (0 until numPlanes).map { p =>
         when(planeProj(vec, signs(p)) > 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
+      struct(lit(t).as("tbl"), (bucket + dimGuard(vec, dim)).as("bucket"))
     }
     df.select(id.as("vec_id"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))

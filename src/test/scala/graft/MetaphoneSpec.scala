@@ -41,6 +41,12 @@ class MetaphoneSpec extends SparkSpec {
     }
   }
 
+  test("q147 oracle vectors stay in sync with the encoder") {
+    graft.functions.Metaphone.oracleVectors.foreach { case (w, p, s) =>
+      assert(encode(w) == ((p, s)), w)
+    }
+  }
+
   test("column UDFs encode distributed string columns") {
     val df = Seq("Algernon", "Englebert", "Farquar").toDF("name")
       .repartition(2)

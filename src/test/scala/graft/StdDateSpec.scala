@@ -271,16 +271,24 @@ class StdDateSpec extends SparkSpec {
       20240431 -> false, 20240430 -> true, // 30-day month
       20241301 -> false, 20240001 -> false, // month range
       20240100 -> false, 20240132 -> false, // day range
-      10101 -> true)     // year 1 (Date_t 0001-01-01)
+      17990101 -> false, // below default yearLowerBound 1800 (Date.ecl:1393)
+      18000101 -> true, 21001231 -> true,
+      21010101 -> false, // above default yearUpperBound 2100
+      10101 -> false)    // year 1 — outside default bounds
     val df = cases.map(_._1).toDF("d")
       .select(col("d"), isValidDate(col("d")).as("v"),
-        isValidGregorianDate(col("d")).as("vg"))
+        isValidGregorianDate(col("d")).as("vg"),
+        isValidDate(col("d"), 1, 9999).as("vwide"))
     val got = df.collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
     cases.foreach { case (d, exp) =>
       assert(got(d) == exp, s"IsValidDate($d)") }
-    // gregorian restriction: valid calendar day but pre-1601 → false
+    // gregorian range is 1601..30827 (Date.ecl:1413): year 1 invalid,
+    // 1799 valid (inside gregorian bounds though outside default bounds)
     val vg = df.collect().map(r => r.getInt(0) -> r.getBoolean(2)).toMap
-    assert(!vg(10101) && vg(20240229))
+    assert(!vg(10101) && vg(20240229) && vg(17990101) && !vg(20230229))
+    // explicit wide bounds recover year-1 validity
+    val vw = df.collect().map(r => r.getInt(0) -> r.getBoolean(3)).toMap
+    assert(vw(10101) && vw(17990101) && !vw(20230229))
     val times = Seq(0 -> true, 235959 -> true, 240000 -> false,
       235960 -> false, 126060 -> false)
     val tgot = times.map(_._1).toDF("t")
