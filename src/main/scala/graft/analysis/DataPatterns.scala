@@ -13,14 +13,21 @@ import org.apache.spark.sql.types._
   *
   * Spark-first shape, sized for 100 TB inputs:
   *  - pass 1 is ONE wide `agg` over the input — every per-column aggregate
-  *    (fill, lengths, numeric moments, approx quartiles, correlation pairs)
-  *    rides the same map-side partial aggregation, so the raw data is read
-  *    exactly once and nothing shuffles but partial states;
-  *  - pass 2 melts scalars to (attribute, value) rows — numCols× row
-  *    amplification but values collapse immediately in a counting shuffle
-  *    keyed (attribute, value); everything derived afterwards (cardinality,
-  *    modes, patterns, best types) works on the collapsed counts, which are
-  *    persisted and bounded by per-attribute cardinality, never row count;
+  *    (fill, lengths, numeric moments, approx quartiles, correlation pairs,
+  *    approx cardinality, best-type evidence) rides the same map-side
+  *    partial aggregation, so the raw data is read exactly once and nothing
+  *    shuffles but partial states;
+  *  - pass 2 melts scalars to (attribute, value) rows and collapses them in
+  *    a counting shuffle keyed (attribute, value) — but ONLY for attributes
+  *    whose pass-1 approx cardinality is <= `exactCardLimit` (the
+  *    Profile.ecl `lcbLimit` spirit, lifted to a scale guard): near-unique
+  *    attributes (ids, free text) would make the collapsed counts
+  *    corpus-sized, so they report the pass-1 approx cardinality instead
+  *    and skip modes. Everything downstream of the collapse is therefore
+  *    bounded by numCols × exactCardLimit, never by input rows;
+  *  - patterns collapse straight from the raw melt (values reduce to a few
+  *    palette patterns, so map-side partial aggregation absorbs the
+  *    amplification) — no dependence on per-value counts;
   *  - only top-k / low-cardinality summaries are ever collected — the
   *    result is O(numCols × maxPatterns), independent of input rows.
   *
@@ -78,14 +85,19 @@ object DataPatterns {
 
   /** Profile a DataFrame; returns one row per scalar attribute.
     *
-    * @param lcbLimit      emit cardinality_breakdown when cardinality <= this
-    * @param maxPatterns   popular/rare pattern list length
-    * @param maxPatternLen truncate values to this length before patterning
-    * @param allowZero     count numeric zero as a filled value
+    * @param lcbLimit       emit cardinality_breakdown when cardinality <= this
+    * @param maxPatterns    popular/rare pattern list length
+    * @param maxPatternLen  truncate values to this length before patterning
+    * @param allowZero      count numeric zero as a filled value
+    * @param exactCardLimit attributes whose approx cardinality exceeds this
+    *                       report the approx value (±~2%) and skip modes —
+    *                       the guard that keeps the per-value counting
+    *                       shuffle bounded instead of corpus-sized
     */
   def profile(df: DataFrame, lcbLimit: Int = 64, maxPatterns: Int = 100,
       maxPatternLen: Int = 100, allowZero: Boolean = false,
-      withCorrelations: Boolean = true): DataFrame = {
+      withCorrelations: Boolean = true,
+      exactCardLimit: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     val fields = df.schema.fields.filter(isScalar).toSeq
     require(fields.nonEmpty, "profile: no scalar attributes")
@@ -107,6 +119,7 @@ object DataPatterns {
       when(filled(f), col(f.name).cast("string"))
 
     // ---- pass 1: one wide aggregate over the raw data ---------------------
+    val intRe = "^-?\\d{1,18}$"
     val numericPairs =
       if (withCorrelations)
         fields.filter(f => isNumericType(f.dataType)).combinations(2).toSeq
@@ -130,72 +143,84 @@ object DataPatterns {
           // per-partition sketch small — at 10000 the sketch merge was the
           // single biggest slice of the profile's first pass
           percentile_approx(n, array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(1000)).as(s"nq__${f.name}"))
+            lit(1000)).as(s"nq__${f.name}"),
+          // scale guard: decides whether this attribute may enter the exact
+          // per-value counting pass at all
+          approx_count_distinct(v).as(s"acd__${f.name}"),
+          // best-type evidence — min/max predicates give the same answer
+          // over raw rows as over distinct values, so they ride pass 1
+          min(v.rlike(intRe)).as(s"allint__${f.name}"),
+          // when-guard: try_cast(null).isNotNull is FALSE, not null — a nil
+          // row would otherwise poison the min; rlike/isin/startsWith
+          // already propagate null through
+          min(when(v.isNotNull, v.try_cast(DoubleType).isNotNull))
+            .as(s"allnum__${f.name}"),
+          min(lower(v).isin("true", "false")).as(s"allbool__${f.name}"),
+          max(when(v.rlike(intRe),
+            length(regexp_replace(v, "^-", "")))).as(s"maxdig__${f.name}"),
+          max(v.startsWith("-")).as(s"anyneg__${f.name}"))
       } ++
       numericPairs.map { case (a, b) =>
         corr(col(a).cast("double"), col(b).cast("double")).as(s"corr__${a}__$b")
       }
     val wide = df.agg(wideAggs.head, wideAggs.tail: _*).head()
     val recCount = wide.getAs[Long]("rec_count")
+    val acd: Map[String, Long] =
+      fields.map(f => f.name -> wide.getAs[Long](s"acd__${f.name}")).toMap
 
-    // ---- pass 2: melt scalars, collapse to (attribute, value) counts ------
-    val melted = df.select(explode(array(fields.map(f =>
-        struct(lit(f.name).as("attribute"), valueStr(f).as("value"))): _*))
-        .as("kv"))
-      .select(col("kv.attribute").as("attribute"), col("kv.value").as("value"))
-      .filter(col("value").isNotNull)
-    // coalesce: the collapsed counts are tiny (bounded by per-attribute
-    // cardinality); 32 shuffle partitions would pay ~6 downstream jobs ×
-    // 32 near-empty tasks each
-    val counts = melted.groupBy("attribute", "value")
-      .agg(count(lit(1)).as("cnt")).coalesce(8).persist()
+    def melt(fs: Seq[StructField]): DataFrame =
+      df.select(explode(array(fs.map(f =>
+          struct(lit(f.name).as("attribute"), valueStr(f).as("value"))): _*))
+          .as("kv"))
+        .select(col("kv.attribute").as("attribute"), col("kv.value").as("value"))
+        .filter(col("value").isNotNull)
 
-    // exact cardinality + best-type evidence, one tiny row per attribute
-    val intRe = "^-?\\d{1,18}$"
-    val attrSummary = counts.groupBy("attribute").agg(
-        count(lit(1)).as("cardinality"),
-        min(col("value").rlike(intRe)).as("all_int"),
-        min(col("value").try_cast(DoubleType).isNotNull).as("all_num"),
-        min(lower(col("value")).isin("true", "false")).as("all_bool"),
-        max(when(col("value").rlike(intRe),
-          length(regexp_replace(col("value"), "^-", "")))).as("max_digits"),
-        max(col("value").startsWith("-")).as("any_neg"),
-        max(length(col("value"))).as("max_len"),
-        min(length(col("value"))).as("min_len"))
-      .collect().map(r => r.getAs[String]("attribute") -> r).toMap
+    // ---- pass 2: exact (attribute, value) counts, gated by cardinality ----
+    // Only attributes plausibly under exactCardLimit melt into the counting
+    // shuffle; near-unique attributes (ids, comments) would make `counts`
+    // corpus-sized, and every downstream job here assumes it is bounded by
+    // numCols × exactCardLimit.
+    val exactFields = fields.filter(f => acd(f.name) <= exactCardLimit)
+    val counts =
+      (if (exactFields.isEmpty) melt(fields).limit(0)
+       else melt(exactFields))
+        .groupBy("attribute", "value")
+        .agg(count(lit(1)).as("cnt"))
 
-    // modes: top-5 values occurring more than once (Profile.ecl:35-41).
-    // The window partitions by attribute over COLLAPSED counts (rows =
-    // distinct dup values, not input rows) — bounded, documented.
+    // ONE job over the collapsed counts computes everything they feed:
+    // exact cardinality (count over the attribute partition), top-5 modes
+    // (Profile.ecl:35-41 — row_number ≤ 5 with cnt > 1), and the full
+    // value list for attributes under lcbLimit. The window partitions over
+    // COLLAPSED counts (distinct values, bounded by exactCardLimit — never
+    // input rows); collected rows are bounded by numCols × max(5, lcbLimit).
     val byAttr = Window.partitionBy("attribute")
       .orderBy(col("cnt").desc, col("value").asc)
-    val modes = counts.filter(col("cnt") > 1)
-      .withColumn("rn", row_number().over(byAttr)).filter(col("rn") <= 5)
-      .groupBy("attribute")
-      .agg(collect_list(struct(col("value"), col("cnt"))).as("modes"))
-      .collect().map(r => r.getString(0) -> r.getSeq[Row](1)).toMap
+    val countRows = counts
+      .withColumn("rn", row_number().over(byAttr))
+      .withColumn("card", count(lit(1)).over(Window.partitionBy("attribute")))
+      .filter(col("rn") <= 5 || col("card") <= lcbLimit)
+      .collect()
+    val exactCard: Map[String, Long] = countRows
+      .groupBy(_.getAs[String]("attribute")).view
+      .mapValues(_.head.getAs[Long]("card")).toMap
+    def rankedRows(rs: Array[Row]): Seq[Row] =
+      rs.sortBy(_.getAs[Int]("rn")).toSeq
+        .map(r => Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))
+    val modes: Map[String, Seq[Row]] = countRows
+      .filter(r => r.getAs[Int]("rn") <= 5 && r.getAs[Long]("cnt") > 1)
+      .groupBy(_.getAs[String]("attribute")).view.mapValues(rankedRows).toMap
+    val breakdown: Map[String, Seq[Row]] = countRows
+      .filter(_.getAs[Long]("card") <= lcbLimit)
+      .groupBy(_.getAs[String]("attribute")).view.mapValues(rankedRows).toMap
 
-    // cardinality breakdown only for attributes under the limit, so the
-    // collected rows are bounded by lcbLimit × numCols
-    val lowCardAttrs = attrSummary.collect {
-      case (a, r) if r.getAs[Long]("cardinality") <= lcbLimit => a
-    }.toSeq
-    val breakdown: Map[String, Seq[Row]] =
-      if (lowCardAttrs.isEmpty) Map.empty
-      else counts.filter(col("attribute").isin(lowCardAttrs: _*))
-        .withColumn("rn", row_number().over(byAttr)).drop("rn")
-        .sort(col("cnt").desc, col("value").asc)
-        .groupBy("attribute")
-        .agg(sort_array(collect_list(struct(col("cnt"), col("value"))), asc = false)
-          .as("vals"))
-        .collect().map(r => r.getString(0) -> r.getSeq[Row](1)).toMap
-
-    // patterns: collapse values to palette patterns, deterministic example
-    // (min value) instead of the reference's random pick
-    val patternCounts = counts.groupBy(col("attribute"),
+    // patterns: collapse raw values to palette patterns for ALL attributes
+    // (values reduce to a handful of patterns, so map-side partial
+    // aggregation absorbs the melt amplification before the shuffle);
+    // deterministic example (min value) instead of the reference's random
+    // pick
+    val patternCounts = melt(fields).groupBy(col("attribute"),
         patternOf(col("value"), maxPatternLen).as("data_pattern"))
-      .agg(sum(col("cnt")).as("cnt"), min(col("value")).as("example"))
-      .persist()
+      .agg(count(lit(1)).as("cnt"), min(col("value")).as("example"))
     // both pattern ranks ride ONE job: two row_numbers over the same
     // attribute partitioning, one collect
     val popW = Window.partitionBy("attribute")
@@ -260,29 +285,27 @@ object DataPatterns {
       }
     }
 
-    def kvRows(rows: Seq[Row]): Seq[Row] =
-      rows.map(r => Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))
-
     val out = fields.map { f =>
       val name = f.name
-      val s = attrSummary.get(name)
       val fill = wide.getAs[Long](s"fill__$name")
-      val card = s.map(_.getAs[Long]("cardinality")).getOrElse(0L)
-      val bestType = s match {
-        case None => eclTypeName(f.dataType) // no non-nil values observed
-        case Some(r) =>
-          if (r.getAs[Boolean]("all_bool")) "boolean"
-          else if (r.getAs[Boolean]("all_int")) {
-            val neg = r.getAs[Boolean]("any_neg")
-            val bytes = bytesForDigits(r.getAs[Int]("max_digits"), neg)
-            (if (neg) "integer" else "unsigned") + bytes
-          } else if (r.getAs[Boolean]("all_num")) "real8"
-          else {
-            val mx = r.getAs[Int]("max_len")
-            val mn = r.getAs[Int]("min_len")
-            if (mx == mn) s"string$mx" else "string"
-          }
-      }
+      val card = exactCard.getOrElse(name, acd(name))
+      def flag(prefix: String): Boolean =
+        Option(wide.getAs[Any](s"${prefix}__$name")).contains(true)
+      def intOpt(prefix: String): Option[Int] =
+        Option(wide.getAs[Any](s"${prefix}__$name")).map(_.toString.toInt)
+      val bestType =
+        if (fill == 0) eclTypeName(f.dataType) // no non-nil values observed
+        else if (flag("allbool")) "boolean"
+        else if (flag("allint")) {
+          val neg = flag("anyneg")
+          val bytes = bytesForDigits(intOpt("maxdig").getOrElse(1), neg)
+          (if (neg) "integer" else "unsigned") + bytes
+        } else if (flag("allnum")) "real8"
+        else {
+          val mx = intOpt("maxlen").getOrElse(0)
+          val mn = intOpt("minlen").getOrElse(0)
+          if (mx == mn) s"string$mx" else "string"
+        }
       val isNum = isNumericType(f.dataType) ||
         bestType.startsWith("integer") || bestType.startsWith("unsigned") ||
         bestType.startsWith("real")
@@ -291,24 +314,21 @@ object DataPatterns {
       val quart = Option(wide.getAs[scala.collection.Seq[Any]](s"nq__$name"))
         .filter(_ => isNum).map(_.toSeq.map(_.toString.toDouble))
         .getOrElse(Seq(0.0, 0.0, 0.0))
-      val bd = breakdown.get(name).map(_.map(r =>
-        Row(r.getAs[String]("value"), r.getAs[Long]("cnt")))).getOrElse(Nil)
-      val md = modes.get(name).map(kvRows).getOrElse(Nil)
+      val bd = breakdown.getOrElse(name, Nil)
+      val md = modes.getOrElse(name, Nil)
       val pp = popular.getOrElse(name, Nil)
       val rp = rare.getOrElse(name, Nil)
       Row(name, eclTypeName(f.dataType), bestType, recCount, fill,
         if (recCount == 0) 0.0 else fill.toDouble / recCount * 100.0,
         card, bd, md,
-        s.map(_.getAs[Int]("min_len")).getOrElse(0),
-        s.map(_.getAs[Int]("max_len")).getOrElse(0),
+        intOpt("minlen").getOrElse(0),
+        intOpt("maxlen").getOrElse(0),
         Option(wide.getAs[Any](s"avelen__$name")).map(_.toString.toDouble)
           .getOrElse(0.0),
         pp, rp, isNum, d("nmin"), d("nmax"), d("nmean"), d("nsd"),
         quart(0), quart(1), quart(2),
         corrByAttr.getOrElse(name, Nil).map { case (a, v) => Row(a, v) })
     }
-    counts.unpersist()
-    patternCounts.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), schema)
   }

@@ -82,6 +82,23 @@ class DataPatternsSpec extends SparkSpec {
     assert(cs.map(_.getString(0)).toSet == Set("id"))
   }
 
+  test("exactCardLimit gate: high-card attrs report approx card, skip modes") {
+    // id (5 distinct) exceeds a limit of 3 → approx cardinality path;
+    // color (2 distinct) stays exact with modes intact
+    val p = DataPatterns.profile(df, exactCardLimit = 3L).collect()
+      .map(r => r.getAs[String]("attribute") -> r).toMap
+    // HLL at tiny n is exact in practice; the contract is ±~2%
+    val idCard = p("id").getAs[Long]("cardinality")
+    assert(idCard >= 4 && idCard <= 6)
+    assert(p("id").getSeq[Row](p("id").fieldIndex("modes")).isEmpty)
+    assert(p("color").getAs[Long]("cardinality") == 2)
+    assert(p("color").getSeq[Row](p("color").fieldIndex("modes")).nonEmpty)
+    // patterns still computed for gated attributes (raw-melt path)
+    assert(p("id").getSeq[Row](p("id").fieldIndex("popular_patterns")).nonEmpty)
+    // best-type evidence unaffected by the gate (pass-1 sourced)
+    assert(p("id").getAs[String]("best_attribute_type") == "unsigned1")
+  }
+
   test("benford: digit distribution plus expected row") {
     val b = Seq(11.0, 12.0, 13.0, 21.0, 22.0, 31.0, 105.0, 0.19, 0.0)
       .toDF("x")
