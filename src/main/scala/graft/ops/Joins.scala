@@ -133,8 +133,18 @@ object Joins {
     val tagged = inputs.zipWithIndex
       .map { case (in, i) => in.withColumn("__src", lit(i)) }
       .reduce(_ unionAll _)
+    // Content-derived row id — monotonically_increasing_id is not stable
+    // under task retry / persist eviction (a recomputed partition re-ids
+    // its rows mid-query). Two seeded 64-bit hashes (128 bits) make
+    // cross-content collisions negligible at any corpus size; rows
+    // identical in every column share an id, which is safe here because
+    // qualification depends only on (key, __src) — duplicates qualify
+    // identically and the final rid join preserves their multiplicity.
+    val allCols = tagged.columns.toSeq.map(col)
     val rows = Shape.split(tagged
-      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__rid", struct(
+        xxhash64(lit(1) +: allCols: _*).as("h1"),
+        xxhash64(lit(2) +: allCols: _*).as("h2")))
       .withColumn("__b", floor(col(key) / w)))
     val probes = rows
       .select(col(key).as("__pk"), col("__src").as("__psrc"),

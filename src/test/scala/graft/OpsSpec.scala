@@ -156,6 +156,25 @@ class OpsSpec extends SparkSpec {
     assert(Joins.mergeJoinMofN(Seq(a, b, c), Seq("k"), 3).count() == 0)
   }
 
+  test("mergeJoinProximity: stable under recompute, keeps duplicate rows") {
+    val a = Seq((10, "a1"), (20, "a2"), (20, "a2"), (90, "a3")).toDF("k", "v")
+    val b = Seq((11, "b1"), (50, "b2")).toDF("k", "v")
+    val run = () => Joins.mergeJoinProximity(Seq(a, b), "k", 2L, 2)
+      .select("k", "v").as[(Int, String)].collect().sorted.toSeq
+    val first = run()
+    // 10/11 are within d=2 of each other (2 distinct sources); the
+    // duplicate (20,"a2") rows share a content id but both survive
+    assert(first == Seq((10, "a1"), (11, "b1")))
+    // content-derived ids: recomputation after cache eviction (task retry
+    // analog) yields identical output — monotonically_increasing_id did not
+    spark.catalog.clearCache()
+    assert(run() == first)
+    // duplicates qualify with their multiplicity preserved
+    val dup = Joins.mergeJoinProximity(Seq(a, b), "k", 40L, 2)
+      .select("k", "v").as[(Int, String)].collect().sorted.toSeq
+    assert(dup.count(_ == ((20, "a2"))) == 2)
+  }
+
   test("hash sampling is content-addressed: partitioning-independent") {
     val df = spark.range(0, 1000).toDF("id")
       .withColumn("s", (col("id") % 3).cast("string"))
