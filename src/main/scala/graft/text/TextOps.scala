@@ -220,8 +220,8 @@ object TextOps {
     * whenever `maxHamming < bands` every qualifying pair matches exactly in
     * at least one band — full recall with candidates drawn only from
     * band-bucket collisions (shuffle keyed on (band, key)), never an
-    * all-pairs product. Pairs colliding in several bands are deduped
-    * before the exact hamming verify.
+    * all-pairs product. The exact hamming verify runs on the collisions
+    * in place; only qualifying pairs enter the dedup exchange.
     *
     * With 16-bit fingerprints there are only 2^4 keys per band, so bucket
     * sizes grow linearly with corpus size; at real scale use a wider
@@ -246,14 +246,19 @@ object TextOps {
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("key"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // hamming verify runs BEFORE the dedup: bit_count is a scalar op that
+    // costs nothing per colliding pair, and filtering first means the
+    // distinct() exchange carries only qualifying (doc_a, doc_b, hamming)
+    // rows — strictly fewer and narrower than shuffling every collision
+    // with both 60-bit fingerprints attached (re-verification of
+    // multi-band collisions is cheaper than a wider exchange)
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
-      .distinct()
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** Default English stopword sample used by the language-ID heuristic. */

@@ -111,9 +111,16 @@ class TextOpsSpec extends SparkSpec {
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
       (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f, -4.0f))).toDF("vec_id", "embedding")
-    val b = Embeddings.rpLshBucket(vecs, col("vec_id"), col("embedding"), 8)
+    val b = Embeddings.rpLshBucket(vecs, col("vec_id"), col("embedding"), 8,
+        dim = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(b(0L) == b(1L))
     assert(b(0L) != b(2L)) // opposite vector flips every sign bit
+    // declared dim must match the data — a mismatch would silently hash
+    // into wrong buckets, so the guard fails loudly instead
+    assertThrows[RuntimeException] {
+      Embeddings.rpLshBucket(vecs, col("vec_id"), col("embedding"), 8,
+        dim = 64).collect()
+    }
   }
 }
