@@ -91,6 +91,49 @@ class WorkflowSpec extends SparkSpec {
       .sortBy(_._1) == Seq(0 -> true, 2 -> true, 7 -> false))
   }
 
+  test("events: WHEN fires only after NOTIFY, in order, exactly once") {
+    val sched = new graft.workflow.Events.Scheduler
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    sched.when("jobA_done")(e => fired += s"B:${e.text}")
+    assert(fired.isEmpty) // B must not fire before A notifies
+    sched.notify("jobA_done", "batch1")
+    sched.notify("JOBA_DONE", "batch2") // names are case-insensitive
+    sched.notify("other_event", "x")    // different event: no dispatch
+    assert(fired.toList == List("B:batch1", "B:batch2"))
+  }
+
+  test("events: missed-event replay — subscribe after the notify") {
+    val sched = new graft.workflow.Events.Scheduler
+    sched.notify("fileready", "daily_2026-08-12")
+    sched.notify("fileready", "adhoc")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    // wildcard filter selects only the daily feed; replay delivers the
+    // event notified before this subscription existed
+    sched.when("fileready", "daily_*")(e => got += e.text)
+    assert(got.toList == List("daily_2026-08-12"))
+    sched.notify("fileready", "daily_2026-08-13")
+    assert(got.toList == List("daily_2026-08-12", "daily_2026-08-13"))
+    // a second subscriber has its own cursor: full independent replay
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    sched.when("fileready", "daily_?026-08-1?")(e => got2 += e.text)
+    assert(got2.size == 2)
+  }
+
+  test("events: WAIT parks until a future matching event, with timeout") {
+    val sched = new graft.workflow.Events.Scheduler
+    sched.notify("go", "early") // WAIT must NOT see pre-call events
+    assert(sched.waitFor("go", timeoutMs = 50).isEmpty)
+    val waiter = new Thread {
+      var result: Option[graft.workflow.Events.Event] = None
+      override def run(): Unit = result = sched.waitFor("go", "later*")
+    }
+    waiter.start()
+    Thread.sleep(100)
+    sched.notify("go", "later_batch")
+    waiter.join(5000)
+    assert(waiter.result.map(_.text).contains("later_batch"))
+  }
+
   test("multimodal decode stub + frame sampling preserve plumbing shape") {
     val blobs = Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
