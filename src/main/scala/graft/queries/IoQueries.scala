@@ -202,6 +202,32 @@ object IoQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- Std.File catalog: write → atomic superfile swap → read ----------
+    // Generation rotation, the canonical superfile workflow: gen1 (even
+    // orderkeys) is live, gen2 (odd) replaces it in ONE transaction; the
+    // oracle restates the post-swap membership (odd keys only). A
+    // half-applied swap would leave both or neither generation visible and
+    // hash-mismatch.
+    QueryDef("q123_file_catalog",
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE o_orderkey % 2 = 1 GROUP BY 1 ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+      val cat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog")
+      val o = Tables.orders(s, dir)
+      cat.write("orders_gen1", o.filter(col("o_orderkey") % 2 === 0))
+      cat.write("orders_gen2", o.filter(col("o_orderkey") % 2 =!= 0))
+      cat.createSuperFile("orders_live", allowExist = true)
+      cat.transaction { t =>
+        t.clearSuperFile("orders_live")
+        t.addSuperFile("orders_live", "orders_gen1")
+      }
+      cat.transaction(_.replaceSuperFile("orders_live", "orders_gen1",
+        "orders_gen2"))
+      cat.readSuper("orders_live")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ---- multimodal binary plumbing: decode-stub over blob column --------
     QueryDef("q122_multimodal",
       """SELECT doc_id,

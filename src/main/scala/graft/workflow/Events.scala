@@ -23,8 +23,10 @@ object Events {
 
   final case class Event(name: String, text: String, seq: Long)
 
-  /** `*`/`?` wildcard match (anchored), the event-filter dialect. */
-  private[workflow] def wildcardMatch(pattern: String, s: String): Boolean = {
+  /** `*`/`?` wildcard match (anchored) — the event-filter dialect, also
+    * the LogicalFileList name-pattern dialect ([[graft.sources.FileCatalog]]).
+    */
+  def wildcardMatch(pattern: String, s: String): Boolean = {
     val rx = pattern.flatMap {
       case '*' => ".*"
       case '?' => "."

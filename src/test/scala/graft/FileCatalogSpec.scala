@@ -1,0 +1,105 @@
+package graft
+
+import graft.sources.FileCatalog
+import org.apache.spark.sql.functions._
+
+/** Std.File catalog semantics (ref `ecllibrary/std/File.ecl:126-1065`):
+  * logical-file ops, superfile membership, transactional swap atomicity,
+  * and the versioned-manifest commit protocol.
+  */
+class FileCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCat(tag: String) = new FileCatalog(spark,
+    s"/root/repo/target/graft_io/filecat_spec/$tag-${System.nanoTime()}")
+
+  test("logical files: write/exists/read/rename/list/delete/info") {
+    val cat = newCat("basic")
+    cat.write("a::one", Seq((1, "x"), (2, "y")).toDF("k", "v"))
+    cat.write("a::two", Seq((3, "z")).toDF("k", "v"))
+    assert(cat.exists("a::one") && !cat.exists("a::three"))
+    assert(cat.read("a::one").count() == 2)
+    assert(cat.list("a::*") == Seq("a::one", "a::two"))
+    assert(cat.list("*::t?o") == Seq("a::two"))
+    val Some((_, bytes, modified, parts)) = cat.info("a::one")
+    assert(bytes > 0 && modified > 0 && parts >= 1)
+    // rename is metadata-only; old name gone, data readable under new
+    cat.rename("a::one", "a::uno")
+    assert(!cat.exists("a::one") && cat.read("a::uno").count() == 2)
+    intercept[IllegalArgumentException] { cat.rename("a::gone", "x") }
+    cat.delete("a::uno")
+    assert(!cat.exists("a::uno"))
+    intercept[IllegalArgumentException] { cat.read("a::uno") }
+    cat.delete("a::uno", allowMissing = true) // idempotent with the flag
+  }
+
+  test("superfiles: membership ops + path-union read") {
+    val cat = newCat("super")
+    cat.write("s1", Seq(1, 2).toDF("k"))
+    cat.write("s2", Seq(3).toDF("k"))
+    cat.createSuperFile("all")
+    cat.addSuperFile("all", "s1")
+    cat.addSuperFile("all", "s2")
+    assert(cat.superFileContents("all") == Seq("s1", "s2"))
+    assert(cat.readSuper("all").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    cat.removeSuperFile("all", "s1")
+    assert(cat.readSuper("all").as[Int].collect().toSeq == Seq(3))
+    // deleting a logical file also drops its superfile memberships
+    cat.delete("s2")
+    assert(cat.superFileContents("all").isEmpty)
+  }
+
+  test("a failed transaction publishes NOTHING (atomic swap contract)") {
+    val cat = newCat("atomic")
+    cat.write("g1", Seq(1).toDF("k"))
+    cat.write("g2", Seq(2).toDF("k"))
+    cat.createSuperFile("live")
+    cat.addSuperFile("live", "g1")
+    // the swap dies midway through the op list — remove applied in memory,
+    // add never reached; the catalog must still show the original state
+    intercept[RuntimeException] {
+      cat.transaction { t =>
+        t.removeSuperFile("live", "g1")
+        throw new RuntimeException("crash before commit")
+      }
+    }
+    assert(cat.superFileContents("live") == Seq("g1"))
+    // a bad op anywhere in the batch rolls back the WHOLE batch at commit
+    intercept[IllegalArgumentException] {
+      cat.transaction { t =>
+        t.removeSuperFile("live", "g1")
+        t.addSuperFile("live", "no_such_file")
+      }
+    }
+    assert(cat.superFileContents("live") == Seq("g1"))
+    // and the successful swap applies both ops in one version
+    cat.transaction(_.replaceSuperFile("live", "g1", "g2"))
+    assert(cat.superFileContents("live") == Seq("g2"))
+    assert(cat.readSuper("live").as[Int].collect().toSeq == Seq(2))
+  }
+
+  test("swapSuperFile exchanges two superfiles in one commit") {
+    val cat = newCat("swap")
+    cat.write("d1", Seq(1).toDF("k"))
+    cat.write("d2", Seq(2).toDF("k"))
+    cat.createSuperFile("blue"); cat.createSuperFile("green")
+    cat.addSuperFile("blue", "d1"); cat.addSuperFile("green", "d2")
+    cat.transaction(_.swapSuperFile("blue", "green"))
+    assert(cat.superFileContents("blue") == Seq("d2"))
+    assert(cat.superFileContents("green") == Seq("d1"))
+  }
+
+  test("concurrent committers never lose an update (version race)") {
+    val cat = newCat("race")
+    cat.write("f", Seq(1).toDF("k"))
+    val threads = (1 to 4).map { i =>
+      new Thread {
+        override def run(): Unit =
+          (1 to 5).foreach(j => cat.register(s"t$i::$j", s"/tmp/p$i$j"))
+      }
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // all 20 registrations survive: rename-no-overwrite commits serialize
+    assert(cat.list("t*").size == 20)
+  }
+}
