@@ -581,6 +581,33 @@ object StdlibQueries {
         .orderBy(col("id"))
     },
 
+    // ---- Std.Metaphone3 (Metaphone3.ecl — external-lib proxy in the
+    // reference, from-scratch encoder here): literal-vector oracle pins
+    // all four knob combinations (default / encodeVowels / encodeExact /
+    // maxLength) per word.
+    QueryDef("q148_metaphone3", {
+      val rows = graft.functions.Metaphone3.oracleVectors.zipWithIndex.map {
+        case ((w, p, sd, pv, px, p3), i) =>
+          s"($i, '$w', '$p', '$sd', '$p$sd', '$pv', '$px', '$p3')"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) AS t(id, word, mp, ms, mdbl, mp_vowels, mp_exact, mp_len3)
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.{Metaphone3 => M3}
+      M3.oracleVectors.zipWithIndex
+        .map { case ((w, _, _, _, _, _), i) => (i, w) }.toDF("id", "word")
+        .select(col("id"), col("word"),
+          M3.primaryCol(col("word")).as("mp"),
+          M3.secondaryCol(col("word")).as("ms"),
+          M3.doubleCol(col("word")).as("mdbl"),
+          M3.primaryCol(col("word"), encodeVowels = true).as("mp_vowels"),
+          M3.primaryCol(col("word"), encodeExact = true).as("mp_exact"),
+          M3.primaryCol(col("word"), maxLength = 3).as("mp_len3"))
+        .orderBy(col("id"))
+    },
+
     // ---- Std.Crypto.Hashing + SymmetricEncryption ------------------------
     // md5/sha256 checked digest-for-digest against DuckDB; the AES leg is an
     // encrypt→decrypt roundtrip whose output must equal the oracle's
