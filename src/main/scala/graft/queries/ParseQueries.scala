@@ -115,6 +115,38 @@ object ParseQueries {
           col("__t"), g, "m")
         .select(col("p_partkey"), col("m"))
         .orderBy(col("p_partkey"))
+    },
+
+    // ---- q136: AMBIGUOUS + LEFT-RECURSIVE grammar, ALL selection ---------
+    // The Dragon-book expression grammar exactly as the reference's own
+    // regression runs it (`testing/regress/ecl/parse.ecl`: E := E '+' T |
+    // T; T := T '*' F | F; F := '(' E ')' | id, output "all partial
+    // values"). Left recursion needs the seed-growing fixpoint (a PEG/
+    // regex dies on E := E…); ALL surfaces every derivation length —
+    // "a+a+(b*c)" yields E-matches "a", "a+a", and the full expression.
+    // The oracle reconstructs the ambiguity set arithmetically: i-term
+    // prefixes for i <= k, then the full parenthesized form.
+    QueryDef("q136_parse_ambiguous",
+      """WITH b AS (SELECT p_partkey, p_size % 3 + 1 AS k FROM part),
+        |i AS (SELECT p_partkey,
+        |        CAST(unnest(generate_series(1, k)) AS INTEGER) AS i FROM b)
+        |SELECT p_partkey, m FROM (
+        |  SELECT p_partkey, repeat('a+', i - 1) || 'a' AS m FROM i
+        |  UNION ALL
+        |  SELECT p_partkey, repeat('a+', k) || '(b*c)' FROM b)
+        |ORDER BY p_partkey, length(m), m""".stripMargin) { (s, dir) =>
+      import graft.text.Parse._
+      val g = Grammar(Map(
+        "E" -> GOr(GSeq(GRef("E"), GLit("+"), GRef("T")), GRef("T")),
+        "T" -> GOr(GSeq(GRef("T"), GLit("*"), GRef("F")), GRef("F")),
+        "F" -> GOr(GSeq(GLit("("), GRef("E"), GLit(")")),
+          GTok("[a-z]+"))), "E")
+      val k = (col("p_size") % 3 + 1).cast("int")
+      val text = concat(repeat(lit("a+"), k), lit("(b*c)"))
+      parseGrammar(Tables.part(s, dir).withColumn("__t", text),
+          col("__t"), g, "m", MatchAll)
+        .select(col("p_partkey"), col("m"))
+        .orderBy(col("p_partkey"), length(col("m")), col("m"))
     }
   )
 }

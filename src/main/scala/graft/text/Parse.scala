@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * matching over a text column producing one row per match, with
   * MATCHED()/MATCHTEXT() accessors. The reference ships three engines
   * (`NLPAregexStack/NLPAtomita/NLPAregexHeap`,
-  * `common/thorhelper/thorparse.hpp:28`); the regex engine covers the
-  * overwhelming majority of real uses — Tomita-GLR grammars are a later
-  * phase (SURVEY §7.4).
+  * `common/thorhelper/thorparse.hpp:28`): the regex engine covers plain
+  * patterns ([[parse]]/[[parseGroups]]); recursive, ambiguous, and
+  * left-recursive RULE grammars — the Tomita engine's territory — are
+  * handled by [[Grammar]] with MAX/MIN/ALL selection.
   *
   * PATTERN/RULE compose as plain regex combinators; matching lowers to
   * `regexp_extract_all` + explode — codegen'd scan, no custom runtime.
@@ -60,10 +61,15 @@ object Parse {
     * reference compiles to its Tomita-GLR engine (`ecl/hqlcpp/hqltomita.cpp`,
     * engine selection `common/thorhelper/thorparse.hpp:28`) because regexes
     * cannot count nesting. Interpreted here by a memoized recursive-descent
-    * (packrat) matcher: each (rule, position) is computed once, so a row's
-    * parse is O(text × grammar). Left recursion is rejected at match time
-    * (returns no ends on re-entry) — rewrite as iteration, the standard PEG
-    * discipline.
+    * (packrat) matcher over END-POSITION SETS: each (rule, position)
+    * computes the set of ALL derivation ends, so ambiguity is carried
+    * through rather than resolved greedily — the GLR property that matters
+    * for PARSE's MAX/MIN/ALL selection. LEFT-RECURSIVE rules (the Tomita
+    * engine's signature case, e.g. the Dragon-book `E := E '+' T | T` in
+    * `testing/regress/ecl/parse.ecl`) are supported by seed-growing: a
+    * re-entered rule returns its current seed set and the rule iterates to
+    * the least fixpoint (monotone over position sets, so the chain is
+    * increasing and bounded by text length).
     */
   sealed trait GPat
   final case class GLit(s: String) extends GPat
@@ -80,10 +86,15 @@ object Parse {
   final case class Grammar(rules: Map[String, GPat], start: String) {
     require(rules.contains(start), s"start rule '$start' undefined")
 
-    /** All possible end offsets of a match of `p` beginning at `pos`. */
+    /** All possible end offsets of a match of `p` beginning at `pos`.
+      * `seeds` holds the growing end-sets of in-flight (left-recursive)
+      * rule expansions.
+      */
     private def ends(text: String, p: GPat, pos: Int,
         memo: collection.mutable.Map[(GPat, Int), Set[Int]],
-        inFlight: collection.mutable.Set[(String, Int)]): Set[Int] = p match {
+        inFlight: collection.mutable.Set[(String, Int)],
+        seeds: collection.mutable.Map[(String, Int), Set[Int]]): Set[Int] =
+      p match {
       case GLit(s) =>
         if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
       case GTok(re) =>
@@ -92,11 +103,11 @@ object Parse {
         if (m.lookingAt()) Set(m.end()) else Set.empty
       case GSeq(ps @ _*) =>
         ps.foldLeft(Set(pos)) { (starts, q) =>
-          starts.flatMap(s => ends(text, q, s, memo, inFlight))
+          starts.flatMap(s => ends(text, q, s, memo, inFlight, seeds))
         }
       case GOr(ps @ _*) =>
-        ps.toSet.flatMap((q: GPat) => ends(text, q, pos, memo, inFlight))
-      case GOpt(q) => ends(text, q, pos, memo, inFlight) + pos
+        ps.toSet.flatMap((q: GPat) => ends(text, q, pos, memo, inFlight, seeds))
+      case GOpt(q) => ends(text, q, pos, memo, inFlight, seeds) + pos
       case GRep(q, min, max) =>
         // level(i) = positions reachable with exactly i reps. A nullable
         // inner pattern makes level sequences eventually stationary; on a
@@ -110,7 +121,7 @@ object Parse {
         var i = 0
         var done = false
         while (i < cap && level.nonEmpty && !done) {
-          val next = level.flatMap(s => ends(text, q, s, memo, inFlight))
+          val next = level.flatMap(s => ends(text, q, s, memo, inFlight, seeds))
           i += 1
           if (next == level) { // stationary: counts min..max all reach `next`
             if (i < min) i = min
@@ -123,51 +134,92 @@ object Parse {
       case GRef(name) =>
         val rule = rules.getOrElse(name,
           throw new IllegalArgumentException(s"undefined rule '$name'"))
+        val key = (name, pos)
         memo.get((rule, pos)) match {
           case Some(cached) => cached
+          case None if inFlight.contains(key) =>
+            // left-recursive re-entry: answer with the current seed — the
+            // outer fixpoint loop below grows it until stationary
+            seeds.getOrElse(key, Set.empty)
           case None =>
-            if (!inFlight.add((name, pos))) Set.empty // left-recursion guard
-            else try {
-              val r = ends(text, rule, pos, memo, inFlight)
-              memo((rule, pos)) = r
-              r
-            } finally inFlight.remove((name, pos))
+            inFlight.add(key)
+            try {
+              var seed = Set.empty[Int]
+              var stable = false
+              while (!stable) {
+                seeds(key) = seed
+                val r = ends(text, rule, pos, memo, inFlight, seeds)
+                if (r == seed) stable = true else seed = r
+              }
+              // memoize only when no OTHER growth is active: results
+              // computed against a partial seed of an enclosing rule would
+              // be stale for later positions
+              if (inFlight.size == 1) memo((rule, pos)) = seed
+              seed
+            } finally { inFlight.remove(key); seeds.remove(key) }
         }
     }
 
-    /** SCAN-mode match texts: at each position try the start rule; on a
-      * match emit the LONGEST derivation and resume after it (the
-      * reference's PARSE(...,MAX,SCAN) shape); `all = true` emits every
-      * derivation length at every position instead (full Tomita-style
-      * ambiguity surfaced; scan still resumes after the longest).
+    /** All derivation end offsets of the start rule at `pos` (fresh memo —
+      * the ambiguity set itself, for callers doing their own selection).
       */
-    def scan(text: String, all: Boolean = false): Vector[String] = {
+    def matchEnds(text: String, pos: Int = 0): Set[Int] =
+      ends(text, GRef(start), pos,
+        collection.mutable.Map.empty, collection.mutable.Set.empty,
+        collection.mutable.Map.empty)
+
+    /** SCAN-mode match texts: at each position try the start rule; on a
+      * match apply the selection mode (PARSE's MAX/MIN/ALL keywords —
+      * `getMatchAction` flags in `IHThorParseArg`) and resume after the
+      * longest emitted derivation.
+      */
+    def scan(text: String, mode: MatchMode = MatchMax): Vector[String] = {
       if (text == null) return Vector.empty
       val memo = collection.mutable.Map.empty[(GPat, Int), Set[Int]]
       val inFlight = collection.mutable.Set.empty[(String, Int)]
+      val seeds = collection.mutable.Map.empty[(String, Int), Set[Int]]
       val out = Vector.newBuilder[String]
       var pos = 0
       while (pos < text.length) {
-        val es = ends(text, GRef(start), pos, memo, inFlight).filter(_ > pos)
+        val es = ends(text, GRef(start), pos, memo, inFlight, seeds)
+          .filter(_ > pos)
         if (es.isEmpty) pos += 1
         else {
-          val longest = es.max
-          if (all) es.toVector.sorted.foreach(e => out += text.substring(pos, e))
-          else out += text.substring(pos, longest)
-          pos = longest
+          mode match {
+            case MatchMax => out += text.substring(pos, es.max)
+            case MatchMin => out += text.substring(pos, es.min)
+            case MatchAll =>
+              es.toVector.sorted.foreach(e => out += text.substring(pos, e))
+          }
+          // resume past the longest even in MIN mode — the reference's
+          // SCAN advances beyond the matched region, and restarting inside
+          // the longest derivation would re-emit its sub-derivations
+          pos = es.max
         }
       }
       out.result()
     }
+
+    /** Back-compat boolean form (`all = true` ≡ [[MatchAll]]). */
+    def scan(text: String, all: Boolean): Vector[String] =
+      scan(text, if (all) MatchAll else MatchMax)
   }
+
+  /** Ambiguity-selection modes: PARSE(..., MAX) keeps the longest
+    * derivation per position, MIN the shortest, ALL every derivation.
+    */
+  sealed trait MatchMode
+  case object MatchMax extends MatchMode
+  case object MatchMin extends MatchMode
+  case object MatchAll extends MatchMode
 
   /** PARSE with a recursive grammar: one row per match of the start rule,
     * matched text in `as`. The per-row matcher runs as a scalar UDF —
     * partition-parallel, no shuffle; the explode is the only plan change.
     */
   def parseGrammar(df: DataFrame, field: Column, g: Grammar, as: String,
-      all: Boolean = false): DataFrame = {
-    val fn = udf((s: String) => g.scan(s, all))
+      mode: MatchMode = MatchMax): DataFrame = {
+    val fn = udf((s: String) => g.scan(s, mode))
     df.withColumn(as, explode(fn(field)))
   }
 }

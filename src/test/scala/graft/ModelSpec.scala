@@ -115,15 +115,35 @@ class ModelSpec extends SparkSpec {
     val rep = Grammar(Map(
       "r" -> GRep(GOr(GLit("aa"), GLit("a")), 3, 3)), "r")
     assert(rep.scan("aaa") == Vector("aaa"))
-    // left recursion is rejected, not an infinite loop
+    // LEFT recursion: seed-growing reaches the fixpoint (no infinite loop)
     val leftRec = Grammar(Map(
       "l" -> GOr(GSeq(GRef("l"), GLit("a")), GLit("a"))), "l")
-    assert(leftRec.scan("aaa") == Vector("a", "a", "a"))
+    assert(leftRec.scan("aaa") == Vector("aaa"))
+    assert(leftRec.matchEnds("aaa") == Set(1, 2, 3)) // every derivation
     // DataFrame lowering: one row per match, other columns ride along
     val df = Seq((1, "(a)(bb)")).toDF("id", "t")
     val out = graft.text.Parse.parseGrammar(df, col("t"), balanced, "m")
     assert(out.select("id", "m").as[(Int, String)].collect().toSeq ==
       Seq((1, "(a)"), (1, "(bb)")))
+  }
+
+  test("Dragon expression grammar: left recursion + MAX/MIN/ALL selection") {
+    import graft.text.Parse._
+    // testing/regress/ecl/parse.ecl: E := E '+' T | T; T := T '*' F | F;
+    // F := '(' E ')' | id — left-recursive AND ambiguous in match length;
+    // no regex can parse it (unbounded nesting + left recursion)
+    val g = Grammar(Map(
+      "E" -> GOr(GSeq(GRef("E"), GLit("+"), GRef("T")), GRef("T")),
+      "T" -> GOr(GSeq(GRef("T"), GLit("*"), GRef("F")), GRef("F")),
+      "F" -> GOr(GSeq(GLit("("), GRef("E"), GLit(")")),
+        GTok("[a-z]+"))), "E")
+    assert(g.scan("abc*def+ghi") == Vector("abc*def+ghi")) // MAX default
+    assert(g.scan("abc*def+ghi", MatchMin) == Vector("abc"))
+    assert(g.scan("a+b*c", MatchAll) == Vector("a", "a+b", "a+b*c"))
+    assert(g.scan("(a+b)*(c+d)") == Vector("(a+b)*(c+d)"))
+    // nesting + left recursion together
+    assert(g.scan("((a+b))*c+d") == Vector("((a+b))*c+d"))
+    assert(g.matchEnds("a+b*c") == Set(1, 3, 5))
   }
 
   test("Soapcall retries transient failures and preserves row order fields") {
