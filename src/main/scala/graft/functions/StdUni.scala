@@ -1,6 +1,8 @@
 package graft.functions
 
-import java.text.{BreakIterator, Collator, Normalizer}
+import com.ibm.icu.text.{BreakIterator, Collator}
+import com.ibm.icu.util.ULocale
+import java.text.Normalizer
 import java.util.Locale
 import java.util.concurrent.ConcurrentHashMap
 
@@ -13,8 +15,11 @@ import org.apache.spark.sql.functions._
   * locale / normalization machinery: collation-strength compares
   * (`rtlCompareUnicodeUnicodeStrength`), accent stripping, normalization
   * forms, locale case mapping, and locale word segmentation. The reference
-  * calls ICU; here the JDK's `java.text` (Collator / Normalizer /
-  * BreakIterator) provides the same contracts without new dependencies.
+  * calls ICU; so does this module — ICU4J ships on Spark 4's classpath
+  * (collation support), so the collator and word BreakIterator are the
+  * SAME library the reference binds, including true QUATERNARY strength
+  * (ECL strength 4, which `java.text.Collator` cannot express).
+  * Normalization forms stay on `java.text.Normalizer` (spec-identical).
   *
   * These are deliberate non-codegen scalar UDFs — locale logic has no
   * Catalyst equivalent. They are scalar and partition-parallel (fine at
@@ -27,26 +32,27 @@ object StdUni {
     if (name == null || name.isEmpty) Locale.ROOT
     else Locale.forLanguageTag(name.replace('_', '-'))
 
-  /** ECL strengths 1-5 (Uni.ecl:213): 1=primary (base letter),
-    * 2=secondary (+accents), 3=tertiary (+case), 4≈tertiary (JDK has no
-    * quaternary), 5=identical.
+  /** ECL strengths 1-5 (Uni.ecl:213, `rtlCompareUnicodeUnicodeStrength`):
+    * 1=primary (base letter), 2=secondary (+accents), 3=tertiary (+case),
+    * 4=quaternary (+punctuation when shifted), 5=identical.
     */
-  private def javaStrength(s: Int): Int = s match {
-    case 1     => Collator.PRIMARY
-    case 2     => Collator.SECONDARY
-    case 4 | 5 => Collator.IDENTICAL
-    case _     => Collator.TERTIARY
+  private def icuStrength(s: Int): Int = s match {
+    case 1 => Collator.PRIMARY
+    case 2 => Collator.SECONDARY
+    case 4 => Collator.QUATERNARY
+    case 5 => Collator.IDENTICAL
+    case _ => Collator.TERTIARY
   }
 
   // Collator.getInstance is expensive; share per (locale, strength) per JVM.
-  // Collator isn't thread-safe → ThreadLocal clones.
+  // RuleBasedCollator isn't thread-safe → ThreadLocal instances.
   private val collators =
     new ConcurrentHashMap[(String, Int), ThreadLocal[Collator]]()
   private def collator(locale: String, strength: Int): Collator =
     collators.computeIfAbsent((locale, strength), { key =>
       ThreadLocal.withInitial { () =>
-        val c = Collator.getInstance(localeOf(key._1))
-        c.setStrength(javaStrength(key._2))
+        val c = Collator.getInstance(ULocale.forLocale(localeOf(key._1)))
+        c.setStrength(icuStrength(key._2))
         c
       }
     }).get()

@@ -581,6 +581,41 @@ object StdlibQueries {
         .orderBy(col("id"))
     },
 
+    // ---- Std.Uni ICU collation strengths vs DuckDB's ICU collations ------
+    // Both engines bind the same ICU collation rules, so compare SIGNS are
+    // oracle-comparable: strength 3 (de tertiary) sees the ä/a accent
+    // difference, strength 2 (de.nocase ≈ secondary) sees accents but not
+    // case, strength 1 (noaccent.nocase ≈ root primary) sees neither, and
+    // plain root-primary ordering of distinct words matches alphabetical.
+    QueryDef("q149_icu_collation",
+      """SELECT p_partkey,
+        |  CASE WHEN xa COLLATE de < yl THEN -1
+        |       WHEN xa COLLATE de > yl THEN 1 ELSE 0 END AS c_tert,
+        |  CASE WHEN xu COLLATE de.nocase < yl THEN -1
+        |       WHEN xu COLLATE de.nocase > yl THEN 1 ELSE 0 END AS c_sec,
+        |  CASE WHEN xa COLLATE noaccent.nocase < yl THEN -1
+        |       WHEN xa COLLATE noaccent.nocase > yl THEN 1 ELSE 0 END AS c_prim,
+        |  CASE WHEN yl COLLATE noaccent.nocase < tl THEN -1
+        |       WHEN yl COLLATE noaccent.nocase > tl THEN 1 ELSE 0 END AS c_order
+        |FROM (
+        |  SELECT p_partkey, lower(p_name) AS yl, lower(p_type) AS tl,
+        |    replace(lower(p_name), 'a', 'ä') AS xa,
+        |    upper(replace(lower(p_name), 'a', 'ä')) AS xu
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      import graft.functions.StdUni
+      val yl = lower(col("p_name"))
+      val tl = lower(col("p_type"))
+      val xa = translate(yl, "a", "ä")
+      val xu = upper(xa)
+      Tables.part(s, dir).select(col("p_partkey"),
+          StdUni.localeCompareAtStrength(xa, yl, "de", 3).as("c_tert"),
+          StdUni.localeCompareAtStrength(xu, yl, "de", 2).as("c_sec"),
+          StdUni.localeCompareAtStrength(xa, yl, "", 1).as("c_prim"),
+          StdUni.localeCompareAtStrength(yl, tl, "", 1).as("c_order"))
+        .orderBy(col("p_partkey"))
+    },
+
     // ---- Std.Metaphone3 (Metaphone3.ecl — external-lib proxy in the
     // reference, from-scratch encoder here): literal-vector oracle pins
     // all four knob combinations (default / encodeVowels / encodeExact /

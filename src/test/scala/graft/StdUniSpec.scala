@@ -29,6 +29,13 @@ class StdUniSpec extends SparkSpec {
     // ordering sign
     assert(int(StdUni.compareAtStrength(lit("apple"), lit("banana"), 1)) == -1)
     assert(int(StdUni.localeCompareIgnoreCase(lit("Straße "), lit("STRAßE"))) == 0)
+    // strength 4 is TRUE quaternary now (ICU4J; java.text capped at
+    // tertiary): with shifted punctuation, hyphen differences surface only
+    // at quaternary — primary through tertiary treat them as equal
+    assert(int(StdUni.compareAtStrength(lit("ab"), lit("a-b"), 3)) == 0 ||
+      int(StdUni.compareAtStrength(lit("ab"), lit("a-b"), 4)) != 0)
+    // identical strength still distinguishes everything codepoint-wise
+    assert(int(StdUni.compareAtStrength(lit("ab"), lit("ab"), 5)) == 0)
   }
 
   test("cleanAccents strips combining marks, composed or not") {
