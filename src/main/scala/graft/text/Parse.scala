@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import java.util.concurrent.ConcurrentHashMap
 
 /** PARSE (SURVEY §2.10; TAKparse `rtl/include/eclhelper.hpp:2366`): pattern
   * matching over a text column producing one row per match, with
@@ -86,28 +87,41 @@ object Parse {
   final case class Grammar(rules: Map[String, GPat], start: String) {
     require(rules.contains(start), s"start rule '$start' undefined")
 
-    /** All possible end offsets of a match of `p` beginning at `pos`.
-      * `seeds` holds the growing end-sets of in-flight (left-recursive)
-      * rule expansions.
+    // GTok regexes compile once per grammar instance, not once per matched
+    // position (the matcher probes every position of every row)
+    @transient private lazy val tokRes =
+      new ConcurrentHashMap[String, java.util.regex.Pattern]()
+    private def tokRe(re: String): java.util.regex.Pattern =
+      tokRes.computeIfAbsent(re, java.util.regex.Pattern.compile(_))
+
+    /** Matcher working state: packrat memo, in-flight (growing) rule
+      * expansions with their seed end-sets, and the set of in-flight seeds
+      * the current computation has READ — a result that depended on a
+      * still-growing seed is provisional and must not be memoized.
       */
-    private def ends(text: String, p: GPat, pos: Int,
-        memo: collection.mutable.Map[(GPat, Int), Set[Int]],
-        inFlight: collection.mutable.Set[(String, Int)],
-        seeds: collection.mutable.Map[(String, Int), Set[Int]]): Set[Int] =
+    private final class Ctx {
+      val memo = collection.mutable.Map.empty[(GPat, Int), Set[Int]]
+      val inFlight = collection.mutable.Set.empty[(String, Int)]
+      val seeds = collection.mutable.Map.empty[(String, Int), Set[Int]]
+      var readSeeds = Set.empty[(String, Int)]
+    }
+
+    /** All possible end offsets of a match of `p` beginning at `pos`. */
+    private def ends(text: String, p: GPat, pos: Int, ctx: Ctx): Set[Int] = {
+      import ctx.{memo, inFlight, seeds}
       p match {
       case GLit(s) =>
         if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
       case GTok(re) =>
-        val m = java.util.regex.Pattern.compile(re)
-          .matcher(text).region(pos, text.length)
+        val m = tokRe(re).matcher(text).region(pos, text.length)
         if (m.lookingAt()) Set(m.end()) else Set.empty
       case GSeq(ps @ _*) =>
         ps.foldLeft(Set(pos)) { (starts, q) =>
-          starts.flatMap(s => ends(text, q, s, memo, inFlight, seeds))
+          starts.flatMap(s => ends(text, q, s, ctx))
         }
       case GOr(ps @ _*) =>
-        ps.toSet.flatMap((q: GPat) => ends(text, q, pos, memo, inFlight, seeds))
-      case GOpt(q) => ends(text, q, pos, memo, inFlight, seeds) + pos
+        ps.toSet.flatMap((q: GPat) => ends(text, q, pos, ctx))
+      case GOpt(q) => ends(text, q, pos, ctx) + pos
       case GRep(q, min, max) =>
         // level(i) = positions reachable with exactly i reps. A nullable
         // inner pattern makes level sequences eventually stationary; on a
@@ -121,7 +135,7 @@ object Parse {
         var i = 0
         var done = false
         while (i < cap && level.nonEmpty && !done) {
-          val next = level.flatMap(s => ends(text, q, s, memo, inFlight, seeds))
+          val next = level.flatMap(s => ends(text, q, s, ctx))
           i += 1
           if (next == level) { // stationary: counts min..max all reach `next`
             if (i < min) i = min
@@ -139,34 +153,40 @@ object Parse {
           case Some(cached) => cached
           case None if inFlight.contains(key) =>
             // left-recursive re-entry: answer with the current seed — the
-            // outer fixpoint loop below grows it until stationary
+            // outer fixpoint loop below grows it until stationary — and
+            // record the dependency so provisional results stay unmemoized
+            ctx.readSeeds += key
             seeds.getOrElse(key, Set.empty)
           case None =>
             inFlight.add(key)
+            val outerReads = ctx.readSeeds
             try {
               var seed = Set.empty[Int]
               var stable = false
+              var lastReads = Set.empty[(String, Int)]
               while (!stable) {
                 seeds(key) = seed
-                val r = ends(text, rule, pos, memo, inFlight, seeds)
+                ctx.readSeeds = Set.empty
+                val r = ends(text, rule, pos, ctx)
+                lastReads = ctx.readSeeds
                 if (r == seed) stable = true else seed = r
               }
-              // memoize only when no OTHER growth is active: results
-              // computed against a partial seed of an enclosing rule would
-              // be stale for later positions
-              if (inFlight.size == 1) memo((rule, pos)) = seed
+              // our own converged seed is no longer provisional; memoize
+              // unless the result read some ENCLOSING rule's growing seed
+              val foreign = lastReads - key
+              if (foreign.isEmpty) memo((rule, pos)) = seed
+              ctx.readSeeds = outerReads ++ foreign
               seed
             } finally { inFlight.remove(key); seeds.remove(key) }
         }
+      }
     }
 
     /** All derivation end offsets of the start rule at `pos` (fresh memo —
       * the ambiguity set itself, for callers doing their own selection).
       */
     def matchEnds(text: String, pos: Int = 0): Set[Int] =
-      ends(text, GRef(start), pos,
-        collection.mutable.Map.empty, collection.mutable.Set.empty,
-        collection.mutable.Map.empty)
+      ends(text, GRef(start), pos, new Ctx)
 
     /** SCAN-mode match texts: at each position try the start rule; on a
       * match apply the selection mode (PARSE's MAX/MIN/ALL keywords —
@@ -175,14 +195,11 @@ object Parse {
       */
     def scan(text: String, mode: MatchMode = MatchMax): Vector[String] = {
       if (text == null) return Vector.empty
-      val memo = collection.mutable.Map.empty[(GPat, Int), Set[Int]]
-      val inFlight = collection.mutable.Set.empty[(String, Int)]
-      val seeds = collection.mutable.Map.empty[(String, Int), Set[Int]]
+      val ctx = new Ctx
       val out = Vector.newBuilder[String]
       var pos = 0
       while (pos < text.length) {
-        val es = ends(text, GRef(start), pos, memo, inFlight, seeds)
-          .filter(_ > pos)
+        val es = ends(text, GRef(start), pos, ctx).filter(_ > pos)
         if (es.isEmpty) pos += 1
         else {
           mode match {
