@@ -20,6 +20,39 @@ class ServeSpec extends SparkSpec {
     intercept[NoSuchElementException] { pub.run("top_customers") }
   }
 
+  test("workunits: record/exists/list filters/timestamps/files/messages") {
+    val wu = new graft.serve.Workunits(spark)
+    val dir = "/root/repo/target/graft_io/wu_spec"
+    Seq((1, "x"), (2, "y")).toDF("k", "v").write.mode("overwrite").parquet(dir)
+    val w1 = wu.record("daily_rollup", owner = "alice",
+      messages = Seq("ok")) { spark.read.parquet(dir).filter(col("k") > 0) }
+    val w2 = wu.record("adhoc_probe", owner = "bob") {
+      spark.read.parquet(dir).limit(1)
+    }
+    assert(wu.workunitExists(w1) && !wu.workunitExists("W99999999"))
+    // wildcard filters, rows + elapsed recorded
+    val all = wu.workunitList().collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("daily_rollup", "adhoc_probe"))
+    assert(wu.workunitList(ownerPattern = "ali*").count() == 1)
+    assert(wu.workunitList(namePattern = "*_probe").count() == 1)
+    assert(all.head.getAs[Long]("rows") == 2)
+    // timestamps bracket the run; files-read names the scanned parquet
+    val ts = wu.workunitTimeStamps(w1).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(ts("started") <= ts("finished"))
+    val files = wu.workunitFilesRead(w1).collect().map(_.getString(1))
+    assert(files.exists(_.contains("wu_spec")), files.mkString(","))
+    assert(wu.workunitMessages(w1).collect().map(_.getString(1)).toSeq ==
+      Seq("ok"))
+    // failed runs stay inspectable with state=failed
+    intercept[RuntimeException] {
+      wu.record("boom")(throw new RuntimeException("no plan"))
+    }
+    assert(wu.workunitList(statePattern = "failed").count() == 1)
+    assert(wu.workunitList(statePattern = "completed").count() == 2)
+    assert(wu.workunitExists(w2))
+  }
+
   test("WeightedAvgMicros matches the closed-form ratio exactly") {
     val df = Seq((10L, 2L), (30L, 4L), (20L, 4L)).toDF("pq", "q")
     val wavg = udaf(Aggregators.WeightedAvgMicros)
