@@ -129,6 +129,22 @@ object Embeddings {
     decimalArraySum(zip_with(vec, typedLit(signs.toSeq),
       (v, s) => coalesce(v.cast("double") * s, lit(0.0))))
 
+  /** Plane count that keeps expected LSH bucket occupancy near
+    * `targetBucketSize` at a given corpus size: buckets = 2^planes, and
+    * the within-bucket exact refine is quadratic in occupancy, so planes
+    * MUST grow with log2(corpus) — a fixed plane count that works at SF
+    * 0.1 does ~100× the refine work per 10× corpus growth (measured in
+    * the sf1 rehearsal, SCALE_NOTES.md). Recall lost to narrower buckets
+    * is recovered with more OR-amplification tables
+    * ([[rpLshBucketTables]] numTables), not wider buckets.
+    */
+  def planesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
+    require(corpusSize > 0 && targetBucketSize > 0, "sizes must be positive")
+    val planes = math.ceil(
+      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
+    math.min(math.max(planes, 1), 62)
+  }
+
   /** Guard: planeProj zero-fills positions past `dim`, so a vector whose
     * length differs from the declared dim would silently hash into wrong
     * buckets. Fail loudly instead (folds to +0 on the happy path).

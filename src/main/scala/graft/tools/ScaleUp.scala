@@ -54,7 +54,15 @@ object ScaleUp {
     scaled("documents", Seq("doc_id"), d =>
       d.withColumn("text", concat(col("text"), lit(" uniq"), col("__copy")))
         .withColumn("n_chars", length(col("text")).cast("long")))
-    scaled("embeddings", Seq("vec_id"))
+    // circular-rotate each copy's vectors: exact duplicates would pile
+    // every copy into the same LSH buckets (quadratic candidate growth a
+    // real corpus of distinct vectors doesn't have); rotation preserves
+    // the norm and component distribution while decorrelating projections
+    scaled("embeddings", Seq("vec_id"), d =>
+      d.withColumn("embedding",
+        concat(slice(col("embedding"), col("__copy") + 1,
+            size(col("embedding")) - col("__copy")),
+          slice(col("embedding"), lit(1), col("__copy")))))
     spark.stop()
   }
 }

@@ -106,6 +106,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(1L, 2L))
   }
 
+  test("planesFor scales bucket count with corpus size") {
+    import Embeddings.planesFor
+    // occupancy target holds: corpus / 2^planes <= target (within 2x)
+    for (n <- Seq(1000L, 100000L, 10000000L, 10000000000L)) {
+      val p = planesFor(n, 64)
+      assert(n.toDouble / math.pow(2, p) <= 64.0, s"n=$n planes=$p")
+      assert(n.toDouble / math.pow(2, p) > 16.0 || p == 1, s"n=$n planes=$p")
+    }
+    // 10x corpus → ~3-4 more planes, never fewer
+    assert(planesFor(20000) > planesFor(2000))
+    assert(planesFor(5) == 1 && planesFor(1L << 62) == 56)
+  }
+
   test("rpLshBucket: identical vectors share a bucket") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
