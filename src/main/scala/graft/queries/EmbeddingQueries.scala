@@ -176,6 +176,56 @@ object EmbeddingQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---- embedding-cosine near-dup DEDUP: RP-LSH candidates, exact cosine
+    // refine >= tau, greedy smaller-id-wins removal, survivors out ---------
+    QueryDef("q94_cosine_dedup", {
+      def sumsFor(t: Int) = (0 until 10).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('t${t}_p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d${t}_$p""".stripMargin
+      }.mkString(",\n  ")
+      def bucketFor(t: Int) = (0 until 10).map(p =>
+        s"CASE WHEN d${t}_$p > 0 THEN ${1L << p} ELSE 0 END").mkString(" + ")
+      s"""WITH $VecCte,
+         |ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  ${sumsFor(0)},
+         |  ${sumsFor(1)}
+         |  FROM ex GROUP BY vec_id),
+         |bk AS (
+         |  SELECT vec_id, 0 AS tbl, CAST(${bucketFor(0)} AS BIGINT) AS bucket FROM s
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS tbl, CAST(${bucketFor(1)} AS BIGINT) AS bucket FROM s),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id > b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |removed AS (
+         |  SELECT DISTINCT d.q_id AS vec_id
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id
+         |  WHERE d.dot / (qn.c_norm * cn.c_norm) >= 0.25)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM removed)
+         |ORDER BY e.vec_id""".stripMargin
+    }) { (s, dir) =>
+      Embeddings.cosineNearDupDedup(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), tau = 0.25,
+          numPlanes = 10, numTables = 2)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- Std.BLAS: distributed GEMM (gram matrix of a vector slice) ------
     // A is the 40×64 slice in coordinate form; C = A·Aᵀ contracts over the
     // shared dimension with one equality join + hash aggregate (Blas

@@ -188,6 +188,36 @@ object Embeddings {
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  /** Embedding-cosine near-duplicate DEDUP: keep one representative per
+    * near-dup relation — a vector is removed iff some candidate neighbor
+    * with a SMALLER id has cosine >= `tau` (greedy smaller-id-wins, the
+    * standard corpus-dedup policy: one anti-join, no transitive closure).
+    * Candidates come from multi-table RP-LSH bucket collisions, so no
+    * all-pairs product ever forms; the exact cosine refine touches
+    * candidates only. Returns the surviving (vec_id, embedding) rows.
+    *
+    * numPlanes is the occupancy knob ([[planesFor]]); numTables the recall
+    * knob. A pair the tables miss stays unmerged — recall tuning, not a
+    * correctness hazard (same contract as MinHash-LSH text dedup).
+    */
+  def cosineNearDupDedup(df: DataFrame, id: Column, vec: Column,
+      tau: Double, numPlanes: Int, numTables: Int,
+      dim: Int = 64): DataFrame = {
+    val base = graft.ops.Shape.split(
+      df.select(id.as("vec_id"), vec.as("emb")))
+    val buckets = rpLshBucketTables(base, col("vec_id"), col("emb"),
+      numPlanes, numTables, dim)
+    // orient pairs larger-id-first: q_id is the potential removal
+    val cand = annCandidatePairs(buckets).filter(col("q_id") > col("c_id"))
+    val removed = cand
+      .join(base.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
+      .join(base.select(col("vec_id").as("c_id"), col("emb").as("c_emb")), "c_id")
+      .filter((dotExact(col("q_emb"), col("c_emb")) /
+        (normExact(col("q_emb")) * normExact(col("c_emb")))) >= tau)
+      .select(col("q_id").as("vec_id")).distinct()
+    base.join(removed, Seq("vec_id"), "left_anti")
+  }
+
   /** Candidate pairs that share a bucket in at least one table, deduped —
     * the OR of the per-table collision sets. Equality join on (tbl,
     * bucket); the bucketed frame feeds both sides, so it is persisted.

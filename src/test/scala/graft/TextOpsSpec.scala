@@ -106,6 +106,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(1L, 2L))
   }
 
+  test("cosineNearDupDedup keeps the smallest id of each near-dup set") {
+    // ids 0/1/2 are identical (cosine 1); 3 is orthogonal-ish; 4 negates 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val kept = Embeddings.cosineNearDupDedup(vecs, col("vec_id"),
+        col("embedding"), tau = 0.95, numPlanes = 2, numTables = 4, dim = 4)
+      .select("vec_id").as[Long].collect().toSet
+    // 1 and 2 collapse into 0 (same direction); 3 and 4 survive (cos <= 0)
+    assert(kept.contains(0L) && !kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && kept.contains(4L))
+  }
+
   test("planesFor scales bucket count with corpus size") {
     import Embeddings.planesFor
     // occupancy target holds: corpus / 2^planes <= target (within 2x)
