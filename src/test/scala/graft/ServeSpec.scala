@@ -20,6 +20,36 @@ class ServeSpec extends SparkSpec {
     intercept[NoSuchElementException] { pub.run("top_customers") }
   }
 
+  test("HTTP endpoint serves published queries with params as JSON") {
+    val pub = new graft.serve.Published(spark)
+    pub.publish("top_nation") { (s, stored) =>
+      import s.implicits._
+      val limit = stored.long("limit", 2L).toInt
+      Seq((1, "KENYA"), (2, "PERU"), (3, "JAPAN")).toDF("k", "n").limit(limit)
+    }
+    val port = pub.serve(0)
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val body = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        (code, body)
+      }
+      val (lc, lb) = get("/queries")
+      assert(lc == 200 && lb == "[\"top_nation\"]")
+      // roxie-style response envelope; STORED param honored
+      val (qc, qb) = get("/query/top_nation?limit=3")
+      assert(qc == 200 && qb.contains("\"top_nationResponse\"") &&
+        qb.contains("\"rowCount\":3") && qb.contains("\"n\":\"JAPAN\""))
+      val (dc, db) = get("/query/top_nation")
+      assert(dc == 200 && db.contains("\"rowCount\":2"))
+      val (nc, nb) = get("/query/nope")
+      assert(nc == 404 && nb.contains("not published"))
+    } finally pub.stopServing()
+  }
+
   test("workunits: record/exists/list filters/timestamps/files/messages") {
     val wu = new graft.serve.Workunits(spark)
     val dir = "/root/repo/target/graft_io/wu_spec"
