@@ -147,6 +147,35 @@ object ParseQueries {
           col("__t"), g, "m", MatchAll)
         .select(col("p_partkey"), col("m"))
         .orderBy(col("p_partkey"), length(col("m")), col("m"))
+    },
+
+    // ---- q137: MATCHTEXT(rule) capture (parse2.ecl `MATCHUNICODE(words)`
+    // shape): terms split on ,/; — the TRANSFORM projects the words
+    // sub-rule's span, not the whole match. The oracle reconstructs the
+    // term list with regex splitting.
+    QueryDef("q137_parse_matchtext",
+      """WITH b AS (SELECT p_partkey,
+        |    lower(p_brand) || ',' || lower(p_type) || ';' ||
+        |      CAST(p_size AS VARCHAR) || ',' AS t
+        |  FROM part),
+        |terms AS (
+        |  SELECT p_partkey,
+        |    CAST(unnest(regexp_extract_all(t, '([^,;]+)[,;]', 1)) AS VARCHAR)
+        |      AS words
+        |  FROM b)
+        |SELECT p_partkey, words FROM terms
+        |ORDER BY p_partkey, words""".stripMargin) { (s, dir) =>
+      import graft.text.Parse._
+      val terms = Grammar(Map(
+        "term" -> GSeq(GRef("words"), GTok("[,;]")),
+        "words" -> GTok("[^,;]+")), "term")
+      val text = concat(lower(col("p_brand")), lit(","),
+        lower(col("p_type")), lit(";"), col("p_size").cast("string"),
+        lit(","))
+      parseGrammarExtract(Tables.part(s, dir).withColumn("__t", text),
+          col("__t"), terms, "m", Map("words" -> "words"))
+        .select(col("p_partkey"), col("words"))
+        .orderBy(col("p_partkey"), col("words"))
     }
   )
 }

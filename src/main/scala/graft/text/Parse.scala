@@ -104,6 +104,9 @@ object Parse {
       val inFlight = collection.mutable.Set.empty[(String, Int)]
       val seeds = collection.mutable.Map.empty[(String, Int), Set[Int]]
       var readSeeds = Set.empty[(String, Int)]
+      // cycle guard for derivation reconstruction (nullable left recursion
+      // would otherwise re-derive the same (rule, span) forever)
+      val deriving = collection.mutable.Set.empty[(String, Int, Int)]
     }
 
     /** All possible end offsets of a match of `p` beginning at `pos`. */
@@ -220,6 +223,105 @@ object Parse {
     /** Back-compat boolean form (`all = true` ≡ [[MatchAll]]). */
     def scan(text: String, all: Boolean): Vector[String] =
       scan(text, if (all) MatchAll else MatchMax)
+
+    /** Reconstruct ONE derivation of `p` over [pos, target): the spans of
+      * every GRef fired along it, deterministically biased to the first
+      * alternative and the longest prefix split (the MAX discipline).
+      * Returns None when no derivation reaches `target` — callers pass a
+      * target from [[ends]], so None only happens for sub-splits probed
+      * during search. This is the MATCHED()/MATCHTEXT(rule) machinery:
+      * the reference's parse trees (`getParseTree`) carry the same
+      * (rule, start, end) information.
+      */
+    private def derive(text: String, p: GPat, pos: Int, target: Int,
+        ctx: Ctx): Option[List[(String, Int, Int)]] = p match {
+      case GLit(s) =>
+        if (target == pos + s.length && text.startsWith(s, pos)) Some(Nil)
+        else None
+      case GTok(re) =>
+        val m = tokRe(re).matcher(text).region(pos, text.length)
+        if (m.lookingAt() && m.end() == target) Some(Nil) else None
+      case GSeq(ps @ _*) =>
+        ps.toList match {
+          case Nil => if (target == pos) Some(Nil) else None
+          case q :: rest =>
+            // longest-first split keeps reconstruction aligned with MAX
+            ends(text, q, pos, ctx).filter(_ <= target).toList.sorted.reverse
+              .iterator.flatMap { mid =>
+                for {
+                  a <- derive(text, q, pos, mid, ctx)
+                  b <- derive(text, GSeq(rest: _*), mid, target, ctx)
+                } yield a ++ b
+              }.nextOption()
+        }
+      case GOr(ps @ _*) =>
+        ps.iterator.flatMap(q => derive(text, q, pos, target, ctx))
+          .nextOption()
+      case GOpt(q) =>
+        if (target == pos) Some(Nil) else derive(text, q, pos, target, ctx)
+      case GRep(q, min, max) =>
+        // unroll: zero reps only if allowed and target==pos; else one rep
+        // then the remainder with min-1
+        val zero = if (min <= 0 && target == pos) Some(Nil) else None
+        zero.orElse {
+          if (max <= 0) None
+          else ends(text, q, pos, ctx)
+            .filter(e => e <= target && (e > pos || target == pos))
+            .toList.sorted.reverse.iterator.flatMap { mid =>
+              if (mid == pos) None // zero-width rep: no progress, stop
+              else for {
+                a <- derive(text, q, pos, mid, ctx)
+                b <- derive(text, GRep(q, math.max(min - 1, 0), max - 1),
+                  mid, target, ctx)
+              } yield a ++ b
+            }.nextOption()
+        }
+      case GRef(name) =>
+        val rule = rules(name)
+        val key = (name, pos, target)
+        if (ctx.deriving.contains(key) ||
+            !ends(text, GRef(name), pos, ctx).contains(target)) None
+        else {
+          ctx.deriving.add(key)
+          try derive(text, rule, pos, target, ctx)
+            .map((name, pos, target) :: _)
+          finally ctx.deriving.remove(key)
+        }
+    }
+
+    /** MATCHTEXT(rule): for each scan match (mode semantics as [[scan]]),
+      * the matched text plus the FIRST-fired span of each requested rule
+      * in the reconstructed derivation ('' when the rule did not fire —
+      * the reference's MATCHED()=false / MATCHTEXT()='' contract).
+      */
+    def scanExtract(text: String, ruleNames: Seq[String],
+        mode: MatchMode = MatchMax): Vector[(String, Map[String, String])] = {
+      if (text == null) return Vector.empty
+      val ctx = new Ctx
+      val out = Vector.newBuilder[(String, Map[String, String])]
+      def emit(pos: Int, end: Int): Unit = {
+        val spans = derive(text, GRef(start), pos, end, ctx).getOrElse(Nil)
+        val byRule = ruleNames.map { r =>
+          r -> spans.find(_._1 == r)
+            .map { case (_, s, e) => text.substring(s, e) }.getOrElse("")
+        }.toMap
+        out += text.substring(pos, end) -> byRule
+      }
+      var pos = 0
+      while (pos < text.length) {
+        val es = ends(text, GRef(start), pos, ctx).filter(_ > pos)
+        if (es.isEmpty) pos += 1
+        else {
+          mode match {
+            case MatchMax => emit(pos, es.max)
+            case MatchMin => emit(pos, es.min)
+            case MatchAll => es.toVector.sorted.foreach(e => emit(pos, e))
+          }
+          pos = es.max
+        }
+      }
+      out.result()
+    }
   }
 
   /** Ambiguity-selection modes: PARSE(..., MAX) keeps the longest
@@ -238,5 +340,28 @@ object Parse {
       mode: MatchMode = MatchMax): DataFrame = {
     val fn = udf((s: String) => g.scan(s, mode))
     df.withColumn(as, explode(fn(field)))
+  }
+
+  /** PARSE with per-rule MATCHTEXT capture: one row per match carrying the
+    * match text in `as` plus one column per entry of `ruleCols`
+    * (rule name → output column) holding that rule's first-fired span
+    * ('' when it did not fire). Same UDF+explode lowering as
+    * [[parseGrammar]].
+    */
+  def parseGrammarExtract(df: DataFrame, field: Column, g: Grammar,
+      as: String, ruleCols: Map[String, String],
+      mode: MatchMode = MatchMax): DataFrame = {
+    val ruleNames = ruleCols.keys.toSeq.sorted
+    val fn = udf { (s: String) =>
+      g.scanExtract(s, ruleNames, mode)
+        .map { case (m, by) => m +: ruleNames.map(by) }
+    }
+    val exploded = df.withColumn("__match", explode(fn(field)))
+    val withCols = ruleNames.zipWithIndex.foldLeft(
+      exploded.withColumn(as, col("__match").getItem(0))) {
+      case (d, (r, i)) =>
+        d.withColumn(ruleCols(r), col("__match").getItem(i + 1))
+    }
+    withCols.drop("__match")
   }
 }

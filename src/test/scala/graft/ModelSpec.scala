@@ -146,6 +146,41 @@ class ModelSpec extends SparkSpec {
     assert(g.matchEnds("a+b*c") == Set(1, 3, 5))
   }
 
+  test("scanExtract: MATCHTEXT(rule) spans from the winning derivation") {
+    import graft.text.Parse._
+    val g = Grammar(Map(
+      "E" -> GOr(GSeq(GRef("E"), GLit("+"), GRef("T")), GRef("T")),
+      "T" -> GOr(GSeq(GRef("T"), GLit("*"), GRef("F")), GRef("F")),
+      "F" -> GOr(GSeq(GLit("("), GRef("E"), GLit(")")),
+        GTok("[a-z]+"))), "E")
+    // first-fired spans: E covers the whole match; the first F under MAX
+    // reconstruction is the leftmost id
+    val Vector((m, by)) = g.scanExtract("ab*cd+ef", Seq("E", "T", "F"))
+    assert(m == "ab*cd+ef")
+    assert(by("E") == "ab*cd+ef")
+    assert(by("T") == "ab*cd") // leftmost T of the top-level E+T split
+    assert(by("F") == "ab")
+    // a rule that never fires reports '' (MATCHED()=false contract); a
+    // simple id derives through T and F but never the E+T or T*F branches
+    val Vector((_, by2)) = g.scanExtract("xy", Seq("F", "T"))
+    assert(by2("F") == "xy" && by2("T") == "xy")
+    // parse2.ecl shape: terms separated by , or ; — extract the words rule
+    val terms = Grammar(Map(
+      "term" -> GSeq(GRef("words"), GTok("[,;]")),
+      "words" -> GTok("[^,;]+")), "term")
+    val got = terms.scanExtract("abc,def;", Seq("words", "absent"))
+    assert(got.map(_._2("words")) == Vector("abc", "def"))
+    // a rule that never fires reports '' (MATCHED()=false contract)
+    assert(got.forall(_._2("absent") == ""))
+    // DataFrame lowering: match + rule columns ride along
+    val df = Seq((7, "a+b")).toDF("id", "t")
+    val out = parseGrammarExtract(df, col("t"), g, "m",
+      Map("F" -> "first_f"))
+      .select("id", "m", "first_f").as[(Int, String, String)]
+      .collect().toSeq
+    assert(out == Seq((7, "a+b", "a")))
+  }
+
   test("Soapcall retries transient failures and preserves row order fields") {
     val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "payload")
     // transport fails on first attempt per payload, succeeds on retry
