@@ -102,6 +102,33 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"), col("n"))
   }
 
+  /** Stream-stream INTERVAL JOIN (the streaming analog of the proximity
+    * merge-join, §2.4): rows of `left` and `right` match when keys are
+    * equal AND the right timestamp falls within [left.ts - before,
+    * left.ts + after]. Both sides carry watermarks so Spark can bound the
+    * buffered state to the watermark horizon + interval — the unbounded-
+    * feed scale contract. Stream/batch symmetric: on batch frames the same
+    * predicate runs as an ordinary range-filtered equality join (the
+    * oracle path in StreamingSpec).
+    *
+    * Column name contract: `left` exposes `lts`, `right` exposes `rts` as
+    * their event-time columns (pre-rename before calling), so the range
+    * predicate is unambiguous after the join.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      before: String, after: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val (l, r) =
+      if (left.isStreaming || right.isStreaming)
+        (left.withWatermark("lts", watermark),
+          right.withWatermark("rts", watermark))
+      else (left, right)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      col("rts") >= col("lts") - expr(s"INTERVAL $before") &&
+      col("rts") <= col("lts") + expr(s"INTERVAL $after")
+    keys.foldLeft(l.join(r, cond))((d, k) => d.drop(r(k)))
+  }
+
   /** Streaming DEDUP (§2.7 → §2.12): exactly-once delivery of the first
     * event per key. `dropDuplicatesWithinWatermark` evicts a key's state
     * once the watermark passes it, so state is bounded by the watermark

@@ -67,6 +67,44 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet == expectedUsers)
   }
 
+  test("stream-stream interval join == batch range join") {
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lts"),
+          col("event_id").as("l_id")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("r_id")))
+    val batch = Tables.events(spark, sf)
+    val (bl, br) = sides(batch)
+    val expected = Streams.intervalJoin(bl, br, Seq("user_id"),
+        before = "0 seconds", after = "30 minutes")
+      .select("l_id", "r_id")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    assert(expected.nonEmpty) // the case must exercise real matches
+
+    val stream = Streams.fileSource(spark, streamDir,
+        spark.read.parquet(s"$sf/events.parquet").schema)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (sl, sr) = sides(stream)
+    val q = Streams.intervalJoin(sl, sr, Seq("user_id"),
+        before = "0 seconds", after = "30 minutes",
+        watermark = "10 hours")
+      .select("l_id", "r_id")
+      .writeStream.format("memory").queryName("ij_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ij_test")
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().toSet
+    assert(got == expected)
+  }
+
   test("tumbling window: stream (AvailableNow) == batch on events") {
     val batch = Tables.events(spark, sf)
     val expected = Streams.tumblingCounts(batch, "ts", "1 hour")
