@@ -118,6 +118,34 @@ class PlanAuditSpec extends SparkSpec {
       s"proximity candidates not from bucket equality join:\n$plan")
   }
 
+  test("cosine near-dup dedup: candidates from bucket equality, no cartesian") {
+    val df = graft.text.Embeddings.cosineNearDupDedup(
+      Tables.embeddings(spark, sf), col("vec_id"), col("embedding"),
+      tau = 0.25, numPlanes = 10, numTables = 2)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dedup candidates not from bucket equality join:\n$plan")
+  }
+
+  test("superfile read pushes filters into every member scan") {
+    val cat = new graft.sources.FileCatalog(spark,
+      s"/root/repo/target/graft_io/audit_cat-${System.nanoTime()}")
+    val o = Tables.orders(spark, sf)
+    cat.write("g1", o.filter(col("o_orderkey") % 2 === 0))
+    cat.write("g2", o.filter(col("o_orderkey") % 2 =!= 0))
+    cat.createSuperFile("all")
+    cat.transaction { t =>
+      t.addSuperFile("all", "g1"); t.addSuperFile("all", "g2")
+    }
+    val plan = formatted(cat.readSuper("all")
+      .filter(col("o_totalprice") > 100000).select("o_orderkey"))
+    assert(plan.contains("GreaterThan(o_totalprice,100000"),
+      s"filter not pushed into superfile scan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice"),
+      s"projection not pruned:\n$plan")
+  }
+
   test("index read prunes row groups via pushed key-range predicate") {
     val dir = "/root/repo/target/graft_io/audit_idx"
     graft.sources.IndexedTable.build(
