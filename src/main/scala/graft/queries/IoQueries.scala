@@ -228,6 +228,25 @@ object IoQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- DFU spray: external delimited file → N-part catalog parquet -----
+    // The import must be lossless: sprayed-and-read content hashes equal to
+    // the source table.
+    QueryDef("q124_spray",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val ext = s"${ioDir(dir)}/spray_nation_csv"
+      val src = Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      src.write.mode("overwrite").csv(ext)
+      val cat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog")
+      cat.sprayDelimited("nation_sprayed", ext,
+        StructType(Seq(StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType))), parts = 4)
+      cat.read("nation_sprayed").orderBy(col("n_nationkey"))
+    },
+
     // ---- multimodal binary plumbing: decode-stub over blob column --------
     QueryDef("q122_multimodal",
       """SELECT doc_id,

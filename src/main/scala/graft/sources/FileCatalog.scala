@@ -340,6 +340,44 @@ final class FileCatalog(spark: SparkSession, root: String) {
   def replaceSuperFile(superName: String, oldSub: String, newSub: String): Unit =
     transaction(_.replaceSuperFile(superName, oldSub, newSub))
 
+  // ---- DFU spray/despray (dali/ft/daft.cpp; File.ecl:551 SprayDelimited,
+  // :720 Despray): partitioned import/export between external delimited
+  // files and catalog-managed parquet -------------------------------------
+
+  /** SprayDelimited: import an external delimited file as an N-part
+    * managed logical file. The layout is DECLARED (ICsvParameters
+    * contract — no inference); `parts` maps to the parallelism the DFU
+    * would spread across slaves (a repartition, so the write is
+    * distributed regardless of how few blocks the source has).
+    */
+  def sprayDelimited(name: String, sourcePath: String,
+      schema: org.apache.spark.sql.types.StructType, parts: Int,
+      sep: String = ",", header: Boolean = false): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    write(name, Sources.csvRead(spark, sourcePath, schema, sep, header)
+      .repartition(parts))
+  }
+
+  /** Despray: export a logical file to ONE external delimited file (the
+    * DFU's N-parts→single-file direction). The single-part write is the
+    * point of despray — use OUTPUT/superfiles for big exports.
+    */
+  def despray(name: String, destPath: String, sep: String = ",",
+      header: Boolean = false): Unit = {
+    val tmp = new Path(new Path(root, "_despray"),
+      java.util.UUID.randomUUID().toString)
+    read(name).coalesce(1).write
+      .option("sep", sep).option("header", header).csv(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException("despray: no part file"))
+    val dest = new Path(destPath)
+    fs.delete(dest, false)
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(part, dest), s"despray: rename to $destPath failed")
+    fs.delete(tmp, true)
+  }
+
   /** Superfile read: the path-union parquet scan over current members. */
   def readSuper(name: String): DataFrame = {
     val st = load()

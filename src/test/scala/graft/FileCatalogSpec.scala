@@ -89,6 +89,26 @@ class FileCatalogSpec extends SparkSpec {
     assert(cat.superFileContents("green") == Seq("d1"))
   }
 
+  test("spray imports N parts; despray round-trips to one external file") {
+    import org.apache.spark.sql.types._
+    val cat = newCat("spray")
+    val ext = s"/root/repo/target/graft_io/spray_src-${System.nanoTime()}"
+    Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta"))
+      .toDF("k", "v").coalesce(1).write.csv(ext)
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", StringType)))
+    cat.sprayDelimited("imported", ext, schema, parts = 3)
+    // partitioned managed parquet, catalog-registered, content intact
+    assert(cat.read("imported").rdd.getNumPartitions == 3)
+    assert(cat.read("imported").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")))
+    // despray back out to a single external file
+    val out = s"/root/repo/target/graft_io/despray-${System.nanoTime()}/out.csv"
+    cat.despray("imported", out)
+    val lines = scala.io.Source.fromFile(out).getLines().toSeq.sorted
+    assert(lines == Seq("1,alpha", "2,beta", "3,gamma", "4,delta"))
+  }
+
   test("concurrent committers never lose an update (version race)") {
     val cat = newCat("race")
     cat.write("f", Seq(1).toDF("k"))
