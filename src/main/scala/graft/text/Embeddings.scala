@@ -55,16 +55,20 @@ object Embeddings {
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: Column,
       cid: Column, qvec: Column, cvec: Column, k: Int): DataFrame = {
-    // Broadcast the (small) query set and fold dot + norms per (query,
+    // Broadcast the (small) query set and fold the dot product per (query,
     // corpus) pair — the corpus streams once with no shuffle before the
-    // per-query ranking window. Decimal accumulation keeps scores
-    // bit-identical to the oracle's explode+SUM(DECIMAL) formulation.
+    // per-query ranking window. Norms are computed ONCE PER SIDE before
+    // the join (each corpus norm was previously re-folded per query — ~2/3
+    // of the arithmetic on a 20-query set); decimal accumulation keeps
+    // scores bit-identical to the oracle's explode+SUM(DECIMAL).
     val q = queries.select(qid.as("q_id"), qvec.as("q_emb"))
+      .withColumn("q_norm", normExact(col("q_emb")))
     val c = corpus.select(cid.as("c_id"), cvec.as("c_emb"))
+      .withColumn("c_norm", normExact(col("c_emb")))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         (dotExact(col("q_emb"), col("c_emb")) /
-          (normExact(col("q_emb")) * normExact(col("c_emb")))).as("cos"))
+          (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
