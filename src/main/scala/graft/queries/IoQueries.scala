@@ -247,6 +247,29 @@ object IoQueries {
       cat.read("nation_sprayed").orderBy(col("n_nationkey"))
     },
 
+    // ---- workunitservices: run registry introspection --------------------
+    // Two recorded runs (one failing) listed back with wildcard filtering;
+    // only the deterministic columns (name, state, result rows) are
+    // oracled — timings are runtime values, spec-checked in ServeSpec.
+    QueryDef("q125_workunit_list",
+      """SELECT * FROM (VALUES
+        |  ('daily_orders', 'completed', CAST(100 AS BIGINT)),
+        |  ('daily_orders_bad', 'failed', CAST(-1 AS BIGINT)),
+        |  ('nation_count', 'completed', CAST(25 AS BIGINT)))
+        |  AS t(name, state, rows)
+        |ORDER BY name""".stripMargin) { (s, dir) =>
+      val wu = new graft.serve.Workunits(s)
+      wu.record("daily_orders")(Tables.orders(s, dir).limit(100))
+      wu.record("nation_count")(Tables.nation(s, dir))
+      try wu.record("daily_orders_bad")(
+        throw new RuntimeException("planned failure"))
+      catch { case _: RuntimeException => () }
+      wu.workunitList("daily_orders*", statePattern = "*")
+        .unionAll(wu.workunitList("nation_*"))
+        .select(col("name"), col("state"), col("rows"))
+        .orderBy(col("name"))
+    },
+
     // ---- multimodal binary plumbing: decode-stub over blob column --------
     QueryDef("q122_multimodal",
       """SELECT doc_id,
