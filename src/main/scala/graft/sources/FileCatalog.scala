@@ -128,13 +128,20 @@ final class FileCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Old manifests kept after a commit. The margin covers readers that
+    * listed versions just before a burst of commits; beyond it, history is
+    * garbage (the newest valid manifest is the whole state).
+    */
+  private val gcKeepVersions = 32L
+
   /** Load-modify-commit loop; `mutate` must be a pure function of the
     * state so a lost race can replay it against the fresher version.
     */
   private def commit(mutate: State => State): Unit = {
     fs.mkdirs(catalogDir)
     var attempts = 0
-    while (true) {
+    var committed = -1L
+    while (committed < 0) {
       attempts += 1
       require(attempts <= 1000, "catalog commit: contention limit exceeded")
       val newest = claimedVersions().headOption.getOrElse(-1L)
@@ -146,10 +153,14 @@ final class FileCatalog(spark: SparkSession, root: String) {
           fs.getFileStatus(versionFile(newest)).getModificationTime
         if (age < staleClaimMs) { Thread.sleep(20) }
         else if (claimAndWrite(versionFile(newest + 1),
-          render(mutate(load())))) return
+          render(mutate(load())))) committed = newest + 1
       } else if (claimAndWrite(versionFile(newest + 1),
-        render(mutate(load())))) return
+        render(mutate(load())))) committed = newest + 1
     }
+    // prune ancient manifests so the catalog dir stays O(gcKeepVersions)
+    // regardless of mutation count (each version is the FULL state)
+    claimedVersions().filter(_ < committed - gcKeepVersions)
+      .foreach(v => fs.delete(versionFile(v), false))
   }
 
   private def checkName(n: String): String = {

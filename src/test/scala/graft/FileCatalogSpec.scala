@@ -119,7 +119,19 @@ class FileCatalogSpec extends SparkSpec {
       }
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    // all 20 registrations survive: rename-no-overwrite commits serialize
+    // all 20 registrations survive: create-exclusive commits serialize
     assert(cat.list("t*").size == 20)
+  }
+
+  test("manifest GC bounds catalog-dir growth; state intact") {
+    val root = s"/root/repo/target/graft_io/filecat_spec/gc-${System.nanoTime()}"
+    val cat = new FileCatalog(spark, root)
+    (1 to 50).foreach(i => cat.register(s"f$i", s"/tmp/p$i"))
+    // full state lives in the newest manifest — nothing lost to pruning
+    assert(cat.list("f*").size == 50)
+    // every registration was one version; only the recent window survives
+    val versions = new java.io.File(s"$root/_catalog").listFiles()
+      .count(_.getName.endsWith(".txt"))
+    assert(versions <= 34, s"catalog dir not pruned: $versions manifests")
   }
 }
