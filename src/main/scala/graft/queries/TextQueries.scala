@@ -111,6 +111,37 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- winnowing fingerprints (Schleimer'03 local-minimum selection) ---
+    // Character 8-gram hashes, window 16; emit each doc's FIRST 10
+    // fingerprints (sorted-distinct) — the partial-content-reuse signature
+    // the whole-doc hash (q84) can't give. The oracle replays the same
+    // md5-prefix hashes and sliding minima with list comprehensions.
+    QueryDef("q97_winnow",
+      """WITH b AS (SELECT doc_id,
+        |    regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(length(t) - 6, 1)),
+        |      i -> ('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)), 1, 15))::BIGINT)
+        |      AS gh,
+        |    length(t) AS n
+        |  FROM b),
+        |w AS (SELECT doc_id,
+        |    CASE WHEN len(gh) >= 16 THEN
+        |      list_sort(list_distinct(list_transform(range(1, len(gh) - 14),
+        |        j -> list_min(list_slice(gh, CAST(j AS INTEGER), CAST(j + 15 AS INTEGER))))))
+        |    ELSE [] END AS fps
+        |  FROM g WHERE n >= 8)
+        |SELECT doc_id, CAST(unnest(list_slice(fps, 1, 10)) AS BIGINT) AS fp
+        |FROM w ORDER BY doc_id, fp""".stripMargin) { (s, dir) =>
+      TextOps.winnow(
+          Tables.documents(s, dir).filter(col("doc_id") < 100),
+          col("doc_id"), col("text"), k = 8, window = 16)
+        .select(col("doc_id"),
+          explode(slice(col("fingerprints"), 1, 10)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))
+    },
+
     // ---- word 3-shingling (the n-gram substrate) -------------------------
     QueryDef("q85_shingle_stats",
       s"""WITH $WordsCte

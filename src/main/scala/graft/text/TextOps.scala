@@ -185,6 +185,44 @@ object TextOps {
     conv(substring(md5(c), 1, hexDigits), 16, 10).cast("long")
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the local-minimum selection behind code/plagiarism
+    * near-dup systems): hash every character k-gram of the
+    * whitespace-normalized text, then keep the MINIMUM hash of each
+    * sliding window of `window` consecutive k-grams, deduped and sorted.
+    * Guarantee: any shared substring of length >= window + k - 1
+    * contributes at least one COMMON fingerprint, so fingerprint-set
+    * overlap detects partial-content reuse that the whole-document hash
+    * ([[fingerprint]]) misses.
+    *
+    * Whole computation is per-row array expressions (sequence/transform/
+    * slice/array_min) — scan-speed, no shuffle, no UDF; hashes use
+    * [[hashHex]] so a DuckDB oracle reproduces them digit-for-digit. The
+    * k-gram hash array materializes as a real column between projections —
+    * referencing it from inside the window lambda would otherwise
+    * re-evaluate every md5 per window position. Output:
+    * (doc_id, fingerprints array<long>).
+    */
+  def winnow(df: DataFrame, id: Column, text: Column, k: Int,
+      window: Int): DataFrame = {
+    require(k >= 1 && window >= 1, "k and window must be >= 1")
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    // when-guard: sequence(1, n) DESCENDS for n < 1 — short texts must
+    // yield an empty gram array, not [1, 0]
+    val grams = when(length(norm) >= k,
+      transform(sequence(lit(1), length(norm) - (k - 1)),
+        i => hashHex(norm.substr(i, lit(k)), 15)))
+      .otherwise(array().cast("array<bigint>"))
+    val numWins = size(col("__g")) - (window - 1)
+    df.select(id.as("doc_id"), grams.as("__g"))
+      .select(col("doc_id"),
+        when(numWins >= 1,
+          array_sort(array_distinct(transform(sequence(lit(1), numWins),
+            j => array_min(slice(col("__g"), j, lit(window)))))))
+          .otherwise(array().cast("array<bigint>"))
+          .as("fingerprints"))
+  }
+
   /** SimHash (16-bit, frequency-weighted): bit j of the fingerprint is 1
     * iff sum over word occurrences of ±1 (per bit j of hash16(word)) is
     * positive. One groupBy(doc) of 16 conditional sums — single shuffle.

@@ -106,6 +106,29 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_._2) == Seq(1L, 2L))
   }
 
+  test("winnowing: shared substrings yield common fingerprints") {
+    val common = "the quick brown fox jumps over the lazy dog repeatedly"
+    val docs = Seq(
+      (1L, s"AAAA $common BBBB"),
+      (2L, s"XXXXXX $common YYYY"), // same substring, different context
+      (3L, "completely unrelated content with no overlap at all here"),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs, col("doc_id"), col("text"),
+        k = 8, window = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // guarantee: a shared substring of length >= window+k-1 produces at
+    // least one common fingerprint across documents
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // unrelated docs share (essentially) nothing
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    // shorter than k → empty fingerprint set, not an error
+    assert(fps(4L).isEmpty)
+    // deterministic: sorted-distinct output
+    val again = TextOps.winnow(docs, col("doc_id"), col("text"), 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again == fps)
+  }
+
   test("cosineNearDupDedup keeps the smallest id of each near-dup set") {
     // ids 0/1/2 are identical (cosine 1); 3 is orthogonal-ish; 4 negates 0
     val vecs = Seq(
