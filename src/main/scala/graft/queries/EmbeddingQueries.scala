@@ -176,6 +176,62 @@ object EmbeddingQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---- IVF ANN: spherical coarse quantizer (argmax dot to exemplar
+    // centroids, ties → lowest id), candidates = same-cell pairs, exact
+    // cosine top-3 refine. Exemplars are the 8 lowest-id vectors —
+    // deterministic stand-ins for trained centroids (the assignment and
+    // search machinery is identical either way).
+    QueryDef("q98_ivf_ann",
+      s"""WITH $VecCte,
+         |exd AS (
+         |  SELECT a.c_id AS vec_id, b.c_id AS ex_id, CAST(SUM(CAST(
+         |    CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cx a JOIN cx b ON a.pos = b.pos AND b.c_id < 8
+         |  GROUP BY 1, 2),
+         |cells AS (
+         |  SELECT vec_id, ex_id AS cell FROM (
+         |    SELECT vec_id, ex_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY dot DESC, ex_id) AS rn
+         |    FROM exd) WHERE rn = 1),
+         |pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell
+         |  WHERE a.vec_id <> b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |scored AS (
+         |  SELECT d.q_id, d.c_id, d.dot / (qn.c_norm * cn.c_norm) AS cos
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id)
+         |SELECT q_id, c_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt,
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1).toSeq
+      val cells = graft.ops.Shape.split(
+        Embeddings.ivfAssign(emb, col("vec_id"), col("embedding"), cents))
+      val pairs = cells.select(col("cell"), col("vec_id").as("q_id"))
+        .join(cells.select(col("cell"), col("vec_id").as("c_id")), "cell")
+        .filter(col("q_id") =!= col("c_id"))
+        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
+        .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
+      Embeddings.cosinePairsTopK(pairs, col("q_id"), col("c_id"),
+          col("q_emb"), col("c_emb"), 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
     // ---- embedding-cosine near-dup DEDUP: RP-LSH candidates, exact cosine
     // refine >= tau, greedy smaller-id-wins removal, survivors out ---------
     QueryDef("q94_cosine_dedup", {

@@ -222,6 +222,39 @@ object Embeddings {
     base.join(removed, Seq("vec_id"), "left_anti")
   }
 
+  /** IVF cell assignment — the coarse-quantizer ANN alternative to RP-LSH
+    * (inverted-file search: candidates come from the nearest centroid
+    * cell instead of hash buckets). `centroids` is a SMALL driver-held
+    * array (index, vector) — train it however you like (k-means on a
+    * sample) or use deterministic exemplars. Assignment is SPHERICAL
+    * (argmax dot(v, c), ties to the lowest centroid index — the MIPS /
+    * spherical-k-means quantizer): the per-row cost is C decimal-exact
+    * dot folds over the broadcast centroids, NO shuffle to assign, and the
+    * dot is the same bit-reproducible machinery the refine step uses — no
+    * cross-engine float-summation hazard a squared-L2 centroid-norm term
+    * would reintroduce. Output: (vec_id, cell).
+    *
+    * Scale contract: C grows with sqrt(corpus) in classic IVF; candidates
+    * are bounded by cell occupancy ~N/C — same occupancy math as
+    * [[planesFor]].
+    */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val scored = centroids.map { case (cid, cvec) =>
+      val dot = decimalArraySum(zip_with(vec, typedLit(cvec.toSeq),
+        (v, c) => coalesce(v.cast("double") * c, lit(0.0)))).cast("double")
+      (cid, dot)
+    }
+    val best = scored.foldLeft(
+      struct(lit(Double.MinValue).as("d"), lit(-1).as("i"))) {
+      case (acc, (cid, d)) =>
+        when(d > acc.getField("d"),
+          struct(d.as("d"), lit(cid).as("i"))).otherwise(acc)
+    }
+    df.select(id.as("vec_id"), best.getField("i").as("cell"))
+  }
+
   /** Candidate pairs that share a bucket in at least one table, deduped —
     * the OR of the per-table collision sets. Equality join on (tbl,
     * bucket); the bucketed frame feeds both sides, so it is persisted.

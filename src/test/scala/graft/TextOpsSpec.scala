@@ -145,6 +145,22 @@ class TextOpsSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(4L))
   }
 
+  test("ivfAssign: spherical argmax cells, deterministic tie-break") {
+    val cents = Seq(
+      0 -> Array(1.0, 0.0, 0.0, 0.0),
+      1 -> Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),  // → cell 0
+      (11L, Array(0.1f, 0.9f, 0f, 0f)),  // → cell 1
+      (12L, Array(0.5f, 0.5f, 0f, 0f)),  // exact tie → lowest id cell 0
+      (13L, Array(-1f, -1f, 0f, 0f))     // both dots negative, still argmax
+    ).toDF("vec_id", "embedding")
+    val got = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"),
+        cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 0))
+  }
+
   test("planesFor scales bucket count with corpus size") {
     import Embeddings.planesFor
     // occupancy target holds: corpus / 2^planes <= target (within 2x)
