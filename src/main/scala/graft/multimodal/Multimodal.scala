@@ -50,6 +50,53 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** STUB resize: in production the image resampler; here a deterministic
+    * byte decimation to `targetLen` (every ceil(len/target)-th byte) so the
+    * blob→blob plumbing — binary in, smaller binary out, length contract —
+    * is real and testable. Output replaces the binary column's content.
+    */
+  def resizeStub(df: DataFrame, idCol: String, binCol: String,
+      targetLen: Int): DataFrame = {
+    require(targetLen >= 1, "targetLen must be >= 1")
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("resized", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val step = math.max(1, math.ceil(bytes.length.toDouble / targetLen).toInt)
+        val out = bytes.indices.collect {
+          case i if i % step == 0 => bytes(i)
+        }.take(targetLen).toArray
+        Row(r.get(idIdx), out)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** STUB feature extraction: in production the embedding model; here the
+    * 16-bin high-nibble byte histogram — a deterministic `Array[Float]`
+    * whose shape (fixed-dim dense vector per blob) is exactly what the
+    * ANN machinery ([[graft.text.Embeddings]]) consumes, so blob →
+    * features → similarity search composes end-to-end today and only the
+    * extractor body changes in production.
+    */
+  def featureExtractStub(df: DataFrame, idCol: String, binCol: String)
+      : DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val hist = new Array[Float](16)
+        bytes.foreach(b => hist((b & 0xff) >> 4) += 1f)
+        Row(r.get(idIdx), hist.toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Frame sampling for "video" blobs: every nth 256-byte frame, exploded
     * to one row per sampled frame with its frame index.
     */

@@ -270,6 +270,29 @@ object IoQueries {
         .orderBy(col("name"))
     },
 
+    // ---- multimodal feature extraction: blob → fixed-dim vector ----------
+    // High-nibble byte histogram (stub extractor, real batched plumbing) —
+    // the oracle recomputes the histogram from codepoints (documents are
+    // ASCII, so bytes == codepoints).
+    QueryDef("q126_multimodal_features",
+      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |e AS (SELECT doc_id,
+        |    CAST(unnest(range(0, 16)) AS INTEGER) AS dim, text FROM b)
+        |SELECT doc_id, dim,
+        |  CAST(len(list_filter(
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)) // 16),
+        |    x -> x = dim)) AS INTEGER) AS cnt
+        |FROM e ORDER BY doc_id, dim""".stripMargin) { (s, dir) =>
+      val blobs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.featureExtractStub(blobs, "doc_id", "blob")
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("dim", "f")))
+        .select(col("doc_id"), col("dim"), col("f").cast("int").as("cnt"))
+        .orderBy(col("doc_id"), col("dim"))
+    },
+
     // ---- multimodal binary plumbing: decode-stub over blob column --------
     QueryDef("q122_multimodal",
       """SELECT doc_id,

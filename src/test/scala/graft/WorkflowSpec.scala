@@ -134,6 +134,27 @@ class WorkflowSpec extends SparkSpec {
     assert(waiter.result.map(_.text).contains("later_batch"))
   }
 
+  test("multimodal resize + feature-extract stubs: shape contracts hold") {
+    import graft.multimodal.Multimodal
+    val blobs = Seq(
+      (1L, Array.tabulate(1000)(_.toByte)),
+      (2L, Array[Byte](0x0f, 0x1f, 0x2f)),
+      (3L, Array.empty[Byte])).toDF("id", "blob")
+    // resize: length capped at target, content decimated deterministically
+    val resized = Multimodal.resizeStub(blobs, "id", "blob", 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(resized(1L).length == 100)
+    assert(resized(1L)(0) == 0 && resized(1L)(1) == 10) // every 10th byte
+    assert(resized(2L).toSeq == Seq(0x0f, 0x1f, 0x2f)) // under target: all
+    assert(resized(3L).isEmpty)
+    // features: fixed 16-dim vector; counts sum to blob length
+    val feats = Multimodal.featureExtractStub(blobs, "id", "blob")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats.values.forall(_.size == 16))
+    assert(feats(1L).sum == 1000f && feats(3L).sum == 0f)
+    assert(feats(2L)(0) == 1f && feats(2L)(1) == 1f && feats(2L)(2) == 1f)
+  }
+
   test("multimodal decode stub + frame sampling preserve plumbing shape") {
     val blobs = Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
