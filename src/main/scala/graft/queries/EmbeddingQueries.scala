@@ -177,10 +177,12 @@ object EmbeddingQueries {
     },
 
     // ---- IVF ANN: spherical coarse quantizer (argmax dot to exemplar
-    // centroids, ties → lowest id), candidates = same-cell pairs, exact
-    // cosine top-3 refine. Exemplars are the 8 lowest-id vectors —
-    // deterministic stand-ins for trained centroids (the assignment and
-    // search machinery is identical either way).
+    // centroids, ties → lowest id); QUERY-DRIVEN search — each of the 20
+    // query vectors probes only its own cell (the inverted-file list),
+    // exact cosine top-3 refine on those candidates. Exemplars are the 8
+    // lowest-id vectors — deterministic stand-ins for trained centroids
+    // (assignment and search machinery identical either way). Cost per
+    // query = one cell's occupancy, never all same-cell pairs.
     QueryDef("q98_ivf_ann",
       s"""WITH $VecCte,
          |exd AS (
@@ -197,7 +199,7 @@ object EmbeddingQueries {
          |pairs AS (
          |  SELECT a.vec_id AS q_id, b.vec_id AS c_id
          |  FROM cells a JOIN cells b ON a.cell = b.cell
-         |  WHERE a.vec_id <> b.vec_id),
+         |  WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
          |dots AS (
          |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
          |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
@@ -222,7 +224,8 @@ object EmbeddingQueries {
         .sortBy(_._1).toSeq
       val cells = graft.ops.Shape.split(
         Embeddings.ivfAssign(emb, col("vec_id"), col("embedding"), cents))
-      val pairs = cells.select(col("cell"), col("vec_id").as("q_id"))
+      val pairs = cells.filter(col("vec_id") < 20)
+        .select(col("cell"), col("vec_id").as("q_id"))
         .join(cells.select(col("cell"), col("vec_id").as("c_id")), "cell")
         .filter(col("q_id") =!= col("c_id"))
         .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
