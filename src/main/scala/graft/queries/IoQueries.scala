@@ -247,6 +247,39 @@ object IoQueries {
       cat.read("nation_sprayed").orderBy(col("n_nationkey"))
     },
 
+    // ---- INTERSECT/EXCEPT (SURVEY §2.8: absent in ECL, composed via
+    // JOIN/LEFT ONLY — native set ops are the Spark superset) --------------
+    QueryDef("q127_intersect_except",
+      """WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+        |recent AS (SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT 'both' AS which, o_custkey
+        |FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM recent)
+        |UNION ALL
+        |SELECT 'only_hi', o_custkey
+        |FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM recent)
+        |ORDER BY which, o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val hi = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+      val recent = o.filter(col("o_orderdate") >=
+        lit("1997-01-01 00:00:00").cast("timestamp")).select("o_custkey")
+      hi.intersect(recent).select(lit("both").as("which"), col("o_custkey"))
+        .unionAll(hi.except(recent)
+          .select(lit("only_hi").as("which"), col("o_custkey")))
+        .orderBy(col("which"), col("o_custkey"))
+    },
+
+    // ---- generic pluggable read (TAKnewdiskread :1087 — format-plugin
+    // reader): ORC roundtrip through DataFrameReader.format ----------------
+    QueryDef("q128_orc_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/supplier_orc"
+      Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite").format("orc").save(path)
+      s.read.format("orc").load(path).orderBy(col("s_suppkey"))
+    },
+
     // ---- workunitservices: run registry introspection --------------------
     // Two recorded runs (one failing) listed back with wildcard filtering;
     // only the deterministic columns (name, state, result rows) are

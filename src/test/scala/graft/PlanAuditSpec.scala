@@ -146,6 +146,26 @@ class PlanAuditSpec extends SparkSpec {
       s"projection not pruned:\n$plan")
   }
 
+  test("SMART join failover: AQE broadcasts when runtime stats shrink a side") {
+    // the static estimate for the filtered side is the full scan (the
+    // selective filter's output is unknown at plan time); after the
+    // shuffle runs, AQE sees the real size and downgrades the
+    // shuffle join to a broadcast join — the reference's SMART failover
+    // (thlookupjoinslave.cpp:1724) in reverse, handled by the engine
+    val big = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val tiny = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority").contains("zzzqqq") ||
+        col("o_orderkey") <= 50) // runtime-tiny, statically unknown
+      .select("o_orderkey")
+    val joined = big.join(tiny, big("l_orderkey") === tiny("o_orderkey"),
+        "left_semi")
+      .agg(count(lit(1)))
+    joined.collect() // AQE re-plans during execution
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE did not fail over to broadcast:\n$finalPlan")
+  }
+
   test("index read prunes row groups via pushed key-range predicate") {
     val dir = "/root/repo/target/graft_io/audit_idx"
     graft.sources.IndexedTable.build(
