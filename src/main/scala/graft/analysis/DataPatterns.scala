@@ -333,11 +333,33 @@ object DataPatterns {
       spark.sparkContext.parallelize(out, 1), schema)
   }
 
-  /** Benford's-law first-digit analysis (ref `Benford.ecl`): one row per
+  /** The reference's expected-distribution table (`Benford.ecl:119-122`,
+    * DECIMAL4_1 — digit positions past 4 clamp to the position-4 row) and
+    * its chi-squared critical values at 99% probability
+    * (`Benford.ecl:104,110`: 8 df for position 1, 9 df otherwise).
+    */
+  private val BenfordExpected: Map[Int, Seq[Double]] = Map(
+    1 -> Seq(-1.0, 30.1, 17.6, 12.5, 9.7, 7.9, 6.7, 5.8, 5.1, 4.6),
+    2 -> Seq(12.0, 11.4, 10.9, 10.4, 10.0, 9.7, 9.3, 9.0, 8.8, 8.5),
+    3 -> Seq(10.2, 10.1, 10.1, 10.1, 10.0, 10.0, 9.9, 9.9, 9.9, 9.8),
+    4 -> Seq(10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0))
+
+  private def round1(v: Double): Double = BigDecimal(v)
+    .setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round3(v: Double): Double = BigDecimal(v)
+    .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Benford's-law digit analysis (ref `Benford.ecl`): one row per
     * attribute with the observed distribution of the digit in position
-    * `digit` (1 = most-significant non-zero digit, zero ignored there per
-    * Benford.ecl:33-37) plus the chi-squared statistic against the
-    * expected distribution. One groupBy-free aggregate pass.
+    * `digit` (1 = most-significant non-zero digit; its zero slot is -1
+    * per `Benford.ecl:262`) plus the chi-squared statistic, and one
+    * `--EXPECTED--` row. Numeric contracts mirror the reference exactly:
+    * percentages round to ONE decimal (DECIMAL4_1), chi-squared is
+    * computed FROM the rounded percentages and rounds to three decimals
+    * (DECIMAL7_3), the expected distribution is the reference's hardcoded
+    * table (positions clamp to 4), and the expected row's chi-squared
+    * column carries the 99%-probability critical value. One aggregate
+    * pass over the data.
     */
   def benford(df: DataFrame, fieldNames: Seq[String] = Seq.empty,
       digit: Int = 1): DataFrame = {
@@ -349,29 +371,16 @@ object DataPatterns {
     require(fields.nonEmpty, "benford: no numeric attributes")
     require(digit >= 1, "benford: digit is 1-based")
 
-    // expected Benford frequency of digit d in position k (k=1: log10(1+1/d);
-    // deeper positions computed by summing over leading prefixes)
-    def expected(pos: Int): Seq[Double] = {
-      val ds = if (pos == 1) (1 to 9) else (0 to 9)
-      ds.map { d =>
-        if (pos == 1) math.log10(1.0 + 1.0 / d)
-        else {
-          val lo = math.pow(10, pos - 2).toInt
-          val hi = math.pow(10, pos - 1).toInt
-          (lo until hi).map(p => math.log10(1.0 + 1.0 / (p * 10 + d))).sum
-        }
-      }
-    }
-    val exp = expected(digit)
+    val exp = BenfordExpected(math.min(digit, 4))
+    val criticalValue = if (digit == 1) 20.090 else 21.666
     val digitsOf: Column => Column = c =>
       regexp_replace(regexp_replace(abs(c).cast("string"), "[^0-9]", ""),
         "^0+", "")
     val digitAt: Column => Column = c => substring(digitsOf(c), digit, 1)
 
-    val lowDigit = if (digit == 1) 1 else 0
     val aggs = fields.flatMap { name =>
       val dcol = digitAt(col(name))
-      (lowDigit to 9).map(d =>
+      (0 to 9).map(d =>
         count(when(dcol === d.toString, 1)).as(s"c${d}__$name")) :+
         count(when(length(digitsOf(col(name))) >= digit, 1)).as(s"n__$name")
     }
@@ -379,22 +388,24 @@ object DataPatterns {
 
     val schema = StructType(
       StructField("attribute", StringType) +:
-      (lowDigit to 9).map(d => StructField(s"zero_$d".replace("zero_", "d_"),
-        DoubleType)) :+
+      (0 to 9).map(d => StructField(s"d_$d", DoubleType)) :+
       StructField("chi_squared", DoubleType) :+
       StructField("num_values", LongType))
     val out = fields.map { name =>
       val n = row.getAs[Long](s"n__$name")
-      val obs = (lowDigit to 9).map(d =>
-        if (n == 0) 0.0 else row.getAs[Long](s"c${d}__$name").toDouble / n)
-      val chi2 =
-        if (n == 0) 0.0
-        else obs.zip(exp).map { case (o, e) =>
-          if (e == 0) 0.0 else (o - e) * (o - e) / e
-        }.sum * 100.0
-      Row.fromSeq(name +: obs.map(o => o * 100.0) :+ chi2 :+ n)
-    } :+ Row.fromSeq("--EXPECTED--" +: exp.map(_ * 100.0) :+
-      (if (digit == 1) 15.51 else 16.92) :+ 0L)
+      val obs = (0 to 9).map { d =>
+        if (digit == 1 && d == 0) -1.0
+        else if (n == 0) 0.0
+        else round1(row.getAs[Long](s"c${d}__$name").toDouble / n * 100.0)
+      }
+      // chi-squared over the ROUNDED percentages; the zero slot only
+      // participates past position 1 (ComputeChiSquared, Benford.ecl:285)
+      val chi2 = round3(obs.zip(exp).zipWithIndex.collect {
+        case ((o, e), d) if (d > 0 || digit > 1) && e != 0 =>
+          (o - e) * (o - e) / e
+      }.sum)
+      Row.fromSeq(name +: obs :+ (if (n == 0) 0.0 else chi2) :+ n)
+    } :+ Row.fromSeq("--EXPECTED--" +: exp :+ criticalValue :+ 0L)
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 }

@@ -86,7 +86,9 @@ object AnalysisQueries {
         .orderBy("attribute")
     },
 
-    // ---- DataPatterns.Benford (Benford.ecl) ------------------------------
+    // ---- DataPatterns.Benford (Benford.ecl numeric contracts: DECIMAL4_1
+    // percentages, chi-squared FROM the rounded values at 3 dp, the
+    // hardcoded expected table, 99% critical value on the expected row) ----
     QueryDef("q151_benford",
       """WITH digits AS (
         |  SELECT regexp_replace(regexp_replace(
@@ -98,30 +100,28 @@ object AnalysisQueries {
         |n AS (SELECT count(*) AS total FROM lead),
         |obs AS (
         |  SELECT CAST(d AS INTEGER) AS d,
-        |    round(count(*) * 100.0 / (SELECT total FROM n), 6) AS pct
+        |    round(count(*) * 100.0 / (SELECT total FROM n), 1) AS pct
         |  FROM lead GROUP BY 1),
-        |expd AS (
-        |  SELECT d, round(100.0 * log10(1.0 + 1.0/d), 6) AS pct
-        |  FROM (SELECT unnest(generate_series(1, 9)) AS d))
+        |expd(d, pct) AS (VALUES (1, 30.1), (2, 17.6), (3, 12.5), (4, 9.7),
+        |  (5, 7.9), (6, 6.7), (7, 5.8), (8, 5.1), (9, 4.6)),
+        |o AS (
+        |  SELECT e.d, coalesce(obs.pct, 0.0) AS op, e.pct AS ep
+        |  FROM expd e LEFT JOIN obs ON obs.d = e.d),
+        |chi AS (SELECT round(sum((op - ep) * (op - ep) / ep), 3) AS v FROM o)
         |SELECT 'l_extendedprice' AS attribute,
-        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 1) AS d_1,
-        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 2) AS d_2,
-        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 3) AS d_3,
-        |  (SELECT coalesce(max(pct), 0.0) FROM obs WHERE d = 9) AS d_9,
+        |  (SELECT op FROM o WHERE d = 1) AS d_1,
+        |  (SELECT op FROM o WHERE d = 2) AS d_2,
+        |  (SELECT op FROM o WHERE d = 3) AS d_3,
+        |  (SELECT op FROM o WHERE d = 9) AS d_9,
+        |  (SELECT v FROM chi) AS chi_squared,
         |  (SELECT CAST(total AS BIGINT) FROM n) AS num_values
         |UNION ALL
-        |SELECT '--EXPECTED--',
-        |  (SELECT pct FROM expd WHERE d = 1),
-        |  (SELECT pct FROM expd WHERE d = 2),
-        |  (SELECT pct FROM expd WHERE d = 3),
-        |  (SELECT pct FROM expd WHERE d = 9),
+        |SELECT '--EXPECTED--', 30.1, 17.6, 12.5, 4.6, 20.09,
         |  CAST(0 AS BIGINT)
         |ORDER BY attribute""".stripMargin) { (s, dir) =>
       DataPatterns.benford(Tables.lineitem(s, dir), Seq("l_extendedprice"))
-        .select(col("attribute"),
-          round(col("d_1"), 6).as("d_1"), round(col("d_2"), 6).as("d_2"),
-          round(col("d_3"), 6).as("d_3"), round(col("d_9"), 6).as("d_9"),
-          col("num_values"))
+        .select(col("attribute"), col("d_1"), col("d_2"), col("d_3"),
+          col("d_9"), col("chi_squared"), col("num_values"))
         .orderBy("attribute")
     }
   )

@@ -106,11 +106,50 @@ class DataPatternsSpec extends SparkSpec {
     val x = rows.find(_.getString(0) == "x").get
     val n = x.getAs[Long]("num_values")
     assert(n == 8) // 0.0 has no significant digit
-    // leading digits: 1,1,1,2,2,3,1,1 -> d1 = 5/8
-    assert(math.abs(x.getAs[Double]("d_1") - 62.5) < 1e-9)
-    assert(math.abs(x.getAs[Double]("d_2") - 25.0) < 1e-9)
+    // leading digits: 1,1,1,2,2,3,1,1 -> d1 = 5/8 (DECIMAL4_1 percentages)
+    assert(x.getAs[Double]("d_1") == 62.5)
+    assert(x.getAs[Double]("d_2") == 25.0)
+    assert(x.getAs[Double]("d_0") == -1.0) // position 1: zero slot is -1
     val exp = rows.find(_.getString(0) == "--EXPECTED--").get
-    assert(math.abs(exp.getAs[Double]("d_1") - 30.1029995) < 1e-3)
+    assert(exp.getAs[Double]("d_1") == 30.1) // Benford.ecl:119 table
+    assert(exp.getAs[Double]("chi_squared") == 20.090) // 99% critical value
     assert(exp.getAs[Long]("num_values") == 0)
+  }
+
+  test("benford matches the reference's TestBenford.ecl vectors") {
+    // the reference's own 100-value test dataset (teststd/DataPatterns/
+    // TestBenford.ecl) with its exact expected observed percentages and
+    // chi-squared values for digit positions 1 and 2
+    val data = Seq(
+      39.27, 38.0, 36.06, 37.75, 37.4, 35.5, 36.25, 35.41, 35.76, 34.56,
+      35.05, 33.5, 34.53, 34.11, 33.55, 33.74, 25.2, 24.4, 23.87, 22.73,
+      22.92, 22.33, 23.72, 21.95, 21.53, 21.01, 21.3, 21.16, 21.75, 22.51,
+      22.15, 22.75, 22.9, 21.94, 21.75, 21.5, 21.84, 21.77, 22.44, 23.15,
+      22.6, 22.4, 23.1, 23.0, 23.94, 23.63, 23.46, 23.75, 23.75, 23.75,
+      23.0, 23.27, 23.82, 23.56, 23.5, 22.9, 22.74, 22.13, 22.13, 22.21,
+      22.35, 22.35, 22.35, 22.15, 20.86, 20.7, 20.6, 21.02, 21.0, 21.76,
+      20.99, 22.0, 22.04, 22.45, 22.61, 23.15, 23.41, 21.39, 21.25, 21.09,
+      18.89, 17.71, 17.13, 17.12, 16.99, 16.56, 16.5, 15.71, 15.75, 17.13,
+      16.6, 16.53, 16.87, 18.09, 18.1, 17.83, 18.25, 17.9, 17.91, 18.11)
+      .toDF("n")
+    val d1 = DataPatterns.benford(data, Seq("n"), digit = 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exp1 = d1("--EXPECTED--"); val obs1 = d1("n")
+    assert(exp1.getAs[Double]("d_0") == -1.0 &&
+      exp1.getAs[Double]("d_1") == 30.1 &&
+      exp1.getAs[Double]("chi_squared") == 20.090)
+    assert(obs1.getAs[Double]("d_0") == -1.0)
+    assert(obs1.getAs[Double]("d_1") == 20.0)
+    assert(obs1.getAs[Double]("d_2") == 64.0)
+    assert(obs1.getAs[Double]("d_3") == 16.0)
+    assert(obs1.getAs[Double]("d_4") == 0.0)
+    assert(obs1.getAs[Double]("chi_squared") == 166.496)
+    assert(obs1.getAs[Long]("num_values") == 100)
+    val d2 = DataPatterns.benford(data, Seq("n"), digit = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exp2 = d2("--EXPECTED--")
+    assert(exp2.getAs[Double]("d_0") == 12.0 &&
+      exp2.getAs[Double]("d_1") == 11.4 &&
+      exp2.getAs[Double]("chi_squared") == 21.666)
   }
 }
