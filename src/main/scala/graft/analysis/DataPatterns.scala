@@ -240,7 +240,13 @@ object DataPatterns {
             r.getAs[String]("data_pattern"), r.getAs[Long]("cnt"),
             r.getAs[String]("example")))).toMap
     val popular = topPatterns("rn_pop")
-    val rare = topPatterns("rn_rare")
+    // rare = bottom-N MINUS anything already popular (Profile.ecl:1330
+    // LEFT ONLY join — when every pattern fits in popular, rare is empty)
+    val rare = topPatterns("rn_rare").map { case (a, rows) =>
+      val pop = popular.getOrElse(a, Nil)
+        .map(_.getAs[String](0)).toSet
+      a -> rows.filterNot(r => pop.contains(r.getAs[String](0)))
+    }
 
     // ---- assemble (O(numCols) rows; driver-side by construction) ----------
     val kvSchema = ArrayType(StructType(Seq(
@@ -293,18 +299,23 @@ object DataPatterns {
         Option(wide.getAs[Any](s"${prefix}__$name")).contains(true)
       def intOpt(prefix: String): Option[Int] =
         Option(wide.getAs[Any](s"${prefix}__$name")).map(_.toString.toInt)
+      // best-type MAP (Profile.ecl:1008): a column whose GIVEN type is
+      // already numeric/boolean keeps it; only string-given columns get
+      // evidence-driven inference, and non-numeric strings report
+      // 'string<max_length>' (TestDataPatterns: 'string9' for 3..9 chars)
       val bestType =
         if (fill == 0) eclTypeName(f.dataType) // no non-nil values observed
-        else if (flag("allbool")) "boolean"
-        else if (flag("allint")) {
-          val neg = flag("anyneg")
-          val bytes = bytesForDigits(intOpt("maxdig").getOrElse(1), neg)
-          (if (neg) "integer" else "unsigned") + bytes
-        } else if (flag("allnum")) "real8"
-        else {
-          val mx = intOpt("maxlen").getOrElse(0)
-          val mn = intOpt("minlen").getOrElse(0)
-          if (mx == mn) s"string$mx" else "string"
+        else f.dataType match {
+          case _: NumericType | BooleanType => eclTypeName(f.dataType)
+          case StringType =>
+            if (flag("allbool")) "boolean"
+            else if (flag("allint")) {
+              val neg = flag("anyneg")
+              val bytes = bytesForDigits(intOpt("maxdig").getOrElse(1), neg)
+              (if (neg) "integer" else "unsigned") + bytes
+            } else if (flag("allnum")) "real8"
+            else s"string${intOpt("maxlen").getOrElse(0)}"
+          case _ => eclTypeName(f.dataType)
         }
       val isNum = isNumericType(f.dataType) ||
         bestType.startsWith("integer") || bestType.startsWith("unsigned") ||
@@ -323,8 +334,10 @@ object DataPatterns {
         card, bd, md,
         intOpt("minlen").getOrElse(0),
         intOpt("maxlen").getOrElse(0),
+        // UNSIGNED4 ave_length truncates (TestDataPatterns: lengths
+        // averaging 4.5 assert as 4)
         Option(wide.getAs[Any](s"avelen__$name")).map(_.toString.toDouble)
-          .getOrElse(0.0),
+          .map(math.floor).getOrElse(0.0),
         pp, rp, isNum, d("nmin"), d("nmax"), d("nmean"), d("nsd"),
         quart(0), quart(1), quart(2),
         corrByAttr.getOrElse(name, Nil).map { case (a, v) => Row(a, v) })

@@ -26,7 +26,7 @@ object AnalysisQueries {
        |    AS min_length,
        |  (SELECT CAST(max(length($v)) AS INTEGER) FROM part WHERE $filled)
        |    AS max_length,
-       |  (SELECT round(avg(length($v)), 6) FROM part WHERE $filled)
+       |  (SELECT floor(avg(length($v))) FROM part WHERE $filled)
        |    AS ave_length,
        |  (SELECT x.v FROM (SELECT $v AS v, count(*) AS c FROM part
        |    WHERE $filled GROUP BY 1 HAVING count(*) > 1
@@ -73,7 +73,7 @@ object AnalysisQueries {
         withCorrelations = false)
       prof.select(col("attribute"), col("rec_count"), col("fill_count"),
           col("cardinality"), col("min_length"), col("max_length"),
-          round(col("ave_length"), 6).as("ave_length"),
+          col("ave_length"),
           try_element_at(col("modes"), lit(1)).getField("value").as("mode1"),
           try_element_at(col("modes"), lit(1)).getField("rec_count").as("mode1_cnt"),
           try_element_at(col("popular_patterns"), lit(1)).getField("data_pattern")

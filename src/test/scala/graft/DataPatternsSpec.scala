@@ -58,8 +58,9 @@ class DataPatternsSpec extends SparkSpec {
     assert(fp.map(_.getString(0)).toList == List("B"))
   }
 
-  test("best-type inference: bounded ints, bools, strings") {
-    assert(prof("id").getAs[String]("best_attribute_type") == "unsigned1")
+  test("best-type inference: given numerics kept, strings evidence-driven") {
+    // numeric/boolean GIVEN types pass through (Profile.ecl:1008 MAP)
+    assert(prof("id").getAs[String]("best_attribute_type") == "integer4")
     assert(prof("flag").getAs[String]("best_attribute_type") == "boolean")
     assert(prof("name").getAs[String]("best_attribute_type") == "string5")
     assert(prof("score").getAs[String]("best_attribute_type") == "real8")
@@ -96,7 +97,7 @@ class DataPatternsSpec extends SparkSpec {
     // patterns still computed for gated attributes (raw-melt path)
     assert(p("id").getSeq[Row](p("id").fieldIndex("popular_patterns")).nonEmpty)
     // best-type evidence unaffected by the gate (pass-1 sourced)
-    assert(p("id").getAs[String]("best_attribute_type") == "unsigned1")
+    assert(p("id").getAs[String]("best_attribute_type") == "integer4")
   }
 
   test("benford: digit distribution plus expected row") {
@@ -114,6 +115,54 @@ class DataPatternsSpec extends SparkSpec {
     assert(exp.getAs[Double]("d_1") == 30.1) // Benford.ecl:119 table
     assert(exp.getAs[Double]("chi_squared") == 20.090) // 99% critical value
     assert(exp.getAs[Long]("num_values") == 0)
+  }
+
+  test("profile matches the reference's TestDataPatterns.ecl vectors") {
+    // Basic_String: ['Dan','Steve','','Mike','Dan','Sebastian','Dan']
+    val strProf = DataPatterns.profile(
+      Seq("Dan", "Steve", "", "Mike", "Dan", "Sebastian", "Dan").toDF("s"),
+      withCorrelations = false).head()
+    assert(strProf.getAs[Long]("rec_count") == 7)
+    assert(strProf.getAs[String]("given_attribute_type") == "string")
+    assert(math.abs(strProf.getAs[Double]("fill_rate") - 85.714286) < 1e-4)
+    assert(strProf.getAs[Long]("fill_count") == 6)
+    assert(strProf.getAs[Long]("cardinality") == 4)
+    assert(strProf.getAs[String]("best_attribute_type") == "string9")
+    val modes = strProf.getSeq[Row](strProf.fieldIndex("modes"))
+    assert(modes.map(r => (r.getString(0), r.getLong(1))) == Seq(("Dan", 3L)))
+    assert(strProf.getAs[Int]("min_length") == 3)
+    assert(strProf.getAs[Int]("max_length") == 9)
+    assert(strProf.getAs[Double]("ave_length") == 4.0) // UNSIGNED truncation
+    val pp = strProf.getSeq[Row](strProf.fieldIndex("popular_patterns"))
+    assert(pp.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("Aaa", 3L), ("Aaaa", 1L), ("Aaaaa", 1L), ("Aaaaaaaaa", 1L)))
+    // rare excludes everything already popular → empty here
+    assert(strProf.getSeq[Row](strProf.fieldIndex("rare_patterns")).isEmpty)
+    assert(!strProf.getAs[Boolean]("is_numeric"))
+
+    // Basic_Numeric: [-1000, 500, -250, 2000, 1500, -2000, 2000] (INTEGER)
+    val numProf = DataPatterns.profile(
+      Seq(-1000L, 500L, -250L, 2000L, 1500L, -2000L, 2000L).toDF("n"),
+      withCorrelations = false).head()
+    assert(numProf.getAs[String]("given_attribute_type") == "integer8")
+    assert(numProf.getAs[String]("best_attribute_type") == "integer8")
+    assert(numProf.getAs[Long]("cardinality") == 6)
+    val nmodes = numProf.getSeq[Row](numProf.fieldIndex("modes"))
+    assert(nmodes.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("2000", 2L)))
+    assert(numProf.getAs[Int]("min_length") == 3)
+    assert(numProf.getAs[Int]("max_length") == 5)
+    assert(numProf.getAs[Double]("ave_length") == 4.0)
+    val npp = numProf.getSeq[Row](numProf.fieldIndex("popular_patterns"))
+    assert(npp.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("9999", 3L), ("-9999", 2L), ("-999", 1L), ("999", 1L)))
+    assert(numProf.getAs[Boolean]("is_numeric"))
+    assert(numProf.getAs[Double]("numeric_min") == -2000.0)
+    assert(numProf.getAs[Double]("numeric_max") == 2000.0)
+    assert(math.abs(numProf.getAs[Double]("numeric_mean") - 392.8571) < 1e-3)
+    assert(math.abs(numProf.getAs[Double]("numeric_std_dev") - 1438.3593) < 1e-3)
+    assert(numProf.getAs[Double]("numeric_lower_quartile") == -1000.0)
+    assert(numProf.getAs[Double]("numeric_median") == 500.0)
   }
 
   test("benford matches the reference's TestBenford.ecl vectors") {
