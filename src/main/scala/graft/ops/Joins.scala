@@ -140,7 +140,12 @@ object Joins {
     // identical in every column share an id, which is safe here because
     // qualification depends only on (key, __src) — duplicates qualify
     // identically and the final rid join preserves their multiplicity.
+    // Each column is paired with its isNull flag in the hash input:
+    // Spark's hash expressions skip null children, so without the flag
+    // (x, null) and (null, x) across equal-typed columns would collide
+    // structurally (not probabilistically) on both seeds.
     val allCols = tagged.columns.toSeq.map(col)
+      .flatMap(c => Seq(c.isNull, c))
     val rows = Shape.split(tagged
       .withColumn("__rid", struct(
         xxhash64(lit(1) +: allCols: _*).as("h1"),

@@ -285,6 +285,128 @@ object EmbeddingQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- corpus-ADAPTIVE bucketed ANN: plane count derived from the
+    // corpus size itself (planesFor: smallest p with 64·2^p >= n) so bucket
+    // occupancy — and the quadratic within-bucket refine — stays ~constant
+    // at ANY scale. The fixed-plane q92 gate measured 17.5× growth per 10×
+    // data at sf1 (SCALE_NOTES.md); this is the plan users should run. The
+    // oracle derives the SAME plane count with an integer-exact scalar
+    // subquery and gates each plane's bit by p < np — static SQL, adaptive
+    // behavior. ------------------------------------------------------------
+    QueryDef("q92b_ann_adaptive", {
+      val maxP = 12 // oracle's static sum budget: supports n <= 64·2^12
+      val sums = (0 until maxP).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d$p""".stripMargin
+      }.mkString(",\n  ")
+      val bucket = (0 until maxP).map(p =>
+        s"CASE WHEN $p < np AND d$p > 0 THEN ${1L << p} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $VecCte,
+         |cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |params AS (SELECT GREATEST(1, MIN(t.p)) AS np
+         |  FROM range(0, 40) t(p), cnt
+         |  WHERE 64 * (1::BIGINT << t.p) >= cnt.n),
+         |ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  $sums
+         |  FROM ex GROUP BY vec_id),
+         |bk AS (SELECT vec_id, CAST($bucket AS BIGINT) AS bucket
+         |  FROM s, params),
+         |pairs AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |scored AS (
+         |  SELECT d.q_id, d.c_id, d.dot / (qn.c_norm * cn.c_norm) AS cos
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id)
+         |SELECT q_id, c_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+         |FROM scored QUALIFY rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val bk = Embeddings.rpLshBucketAuto(emb, col("vec_id"), col("embedding"))
+      val withB = emb.join(bk, "vec_id")
+      val q = withB.select(col("vec_id").as("qv_id"),
+        col("embedding").as("q_emb"), col("bucket"))
+      val c = withB.select(col("vec_id").as("cv_id"),
+        col("embedding").as("c_emb"), col("bucket").as("bucket_c"))
+      val pairs = q.join(c, col("bucket") === col("bucket_c") &&
+        col("qv_id") =!= col("cv_id"))
+      Embeddings.cosinePairsTopK(pairs, col("qv_id"), col("cv_id"),
+          col("q_emb"), col("c_emb"), 3)
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- corpus-adaptive cosine near-dup DEDUP: same planesFor contract
+    // wired through cosineNearDupDedupAuto (the library default path) ------
+    QueryDef("q94b_cosine_dedup_adaptive", {
+      val maxP = 12
+      def sumsFor(t: Int) = (0 until maxP).map { p =>
+        s"""SUM(CAST(CAST(v AS DOUBLE) * (CASE WHEN
+           |    ('0x' || substr(md5('t${t}_p${p}_' || CAST(pos AS VARCHAR)), 1, 1))::BIGINT % 2 = 0
+           |    THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+           |    AS DECIMAL(30,12))) AS d${t}_$p""".stripMargin
+      }.mkString(",\n  ")
+      def bucketFor(t: Int) = (0 until maxP).map(p =>
+        s"CASE WHEN $p < np AND d${t}_$p > 0 THEN ${1L << p} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $VecCte,
+         |cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+         |params AS (SELECT GREATEST(1, MIN(t.p)) AS np
+         |  FROM range(0, 40) t(p), cnt
+         |  WHERE 64 * (1::BIGINT << t.p) >= cnt.n),
+         |ex AS (SELECT vec_id,
+         |    UNNEST(embedding) AS v, UNNEST(range(64)) AS pos FROM embeddings),
+         |s AS (SELECT vec_id,
+         |  ${sumsFor(0)},
+         |  ${sumsFor(1)}
+         |  FROM ex GROUP BY vec_id),
+         |bk AS (
+         |  SELECT vec_id, 0 AS tbl, CAST(${bucketFor(0)} AS BIGINT) AS bucket
+         |    FROM s, params
+         |  UNION ALL
+         |  SELECT vec_id, 1 AS tbl, CAST(${bucketFor(1)} AS BIGINT) AS bucket
+         |    FROM s, params),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+         |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |  WHERE a.vec_id > b.vec_id),
+         |dots AS (
+         |  SELECT p.q_id, p.c_id, CAST(SUM(CAST(
+         |    CAST(qa.v AS DOUBLE) * CAST(ca.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM pairs p
+         |  JOIN cx qa ON qa.c_id = p.q_id
+         |  JOIN cx ca ON ca.c_id = p.c_id AND ca.pos = qa.pos
+         |  GROUP BY p.q_id, p.c_id),
+         |removed AS (
+         |  SELECT DISTINCT d.q_id AS vec_id
+         |  FROM dots d
+         |  JOIN cn qn ON qn.c_id = d.q_id
+         |  JOIN cn ON cn.c_id = d.c_id
+         |  WHERE d.dot / (qn.c_norm * cn.c_norm) >= 0.25)
+         |SELECT e.vec_id FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT vec_id FROM removed)
+         |ORDER BY e.vec_id""".stripMargin
+    }) { (s, dir) =>
+      Embeddings.cosineNearDupDedupAuto(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), tau = 0.25, numTables = 2)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- Std.BLAS: distributed GEMM (gram matrix of a vector slice) ------
     // A is the 40×64 slice in coordinate form; C = A·Aᵀ contracts over the
     // shared dimension with one equality join + hash aggregate (Blas

@@ -144,9 +144,14 @@ object Embeddings {
     */
   def planesFor(corpusSize: Long, targetBucketSize: Long = 64L): Int = {
     require(corpusSize > 0 && targetBucketSize > 0, "sizes must be positive")
-    val planes = math.ceil(
-      math.log(corpusSize.toDouble / targetBucketSize) / math.log(2.0)).toInt
-    math.min(math.max(planes, 1), 62)
+    // Integer-exact ceil(log2(corpus/target)): smallest p with
+    // target·2^p >= corpus. Float log2 rounds unpredictably at exact
+    // power-of-two boundaries, and the DuckDB oracle must derive the SAME
+    // plane count — integer arithmetic is identical on both engines.
+    var p = 0
+    var cap = targetBucketSize
+    while (cap < corpusSize && p < 62) { cap <<= 1; p += 1 }
+    math.max(p, 1)
   }
 
   /** Guard: planeProj zero-fills positions past `dim`, so a vector whose
@@ -192,6 +197,25 @@ object Embeddings {
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
+  /** [[rpLshBucket]] with the plane count derived from the corpus itself
+    * ([[planesFor]] over `df.count()`) — the default entry point: a caller
+    * who pins `numPlanes` owns the occupancy math; this overload keeps
+    * bucket occupancy near `targetBucketSize` at ANY corpus size. The
+    * count() is one metadata-cheap job, paid once per query.
+    */
+  def rpLshBucketAuto(df: DataFrame, id: Column, vec: Column,
+      dim: Int = 64, targetBucketSize: Long = 64L): DataFrame =
+    rpLshBucket(df, id, vec, planesFor(df.count(), targetBucketSize), dim)
+
+  /** [[rpLshBucketTables]] with corpus-adaptive plane count (see
+    * [[rpLshBucketAuto]]).
+    */
+  def rpLshBucketTablesAuto(df: DataFrame, id: Column, vec: Column,
+      numTables: Int, dim: Int = 64,
+      targetBucketSize: Long = 64L): DataFrame =
+    rpLshBucketTables(df, id, vec, planesFor(df.count(), targetBucketSize),
+      numTables, dim)
+
   /** Embedding-cosine near-duplicate DEDUP: keep one representative per
     * near-dup relation — a vector is removed iff some candidate neighbor
     * with a SMALLER id has cosine >= `tau` (greedy smaller-id-wins, the
@@ -221,6 +245,17 @@ object Embeddings {
       .select(col("q_id").as("vec_id")).distinct()
     base.join(removed, Seq("vec_id"), "left_anti")
   }
+
+  /** [[cosineNearDupDedup]] with corpus-adaptive plane count — the scale
+    * default. A fixed plane count measured 17.5× more refine work per 10×
+    * corpus growth (SCALE_NOTES.md); [[planesFor]] keeps the within-bucket
+    * quadratic refine bounded by targetBucketSize² per bucket.
+    */
+  def cosineNearDupDedupAuto(df: DataFrame, id: Column, vec: Column,
+      tau: Double, numTables: Int, dim: Int = 64,
+      targetBucketSize: Long = 64L): DataFrame =
+    cosineNearDupDedup(df, id, vec, tau,
+      planesFor(df.count(), targetBucketSize), numTables, dim)
 
   /** IVF cell assignment — the coarse-quantizer ANN alternative to RP-LSH
     * (inverted-file search: candidates come from the nearest centroid

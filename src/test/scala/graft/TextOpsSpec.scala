@@ -174,6 +174,25 @@ class TextOpsSpec extends SparkSpec {
     assert(planesFor(5) == 1 && planesFor(1L << 62) == 56)
   }
 
+  test("rpLshBucketAuto derives the plane count from the corpus itself") {
+    // 300 vectors at target 64 → planesFor = 3 → bucket ids fit in 3 bits;
+    // the auto path must produce the SAME buckets as an explicit
+    // rpLshBucket(numPlanes = planesFor(n)).
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val auto = Embeddings.rpLshBucketAuto(vecs, col("vec_id"),
+        col("embedding"), dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val explicitP = Embeddings.rpLshBucket(vecs, col("vec_id"),
+        col("embedding"), Embeddings.planesFor(300), dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == explicitP)
+    assert(auto.values.forall(b => b >= 0 && b < 8)) // 3 planes → 8 buckets
+    // a 10× corpus widens the bucket id space (default tracks corpus size)
+    assert(Embeddings.planesFor(3000) > Embeddings.planesFor(300))
+  }
+
   test("rpLshBucket: identical vectors share a bucket") {
     val vecs = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
