@@ -9,25 +9,185 @@ import org.apache.spark.sql.types._
   * decoders (the Scala analog of `mapInPandas` — one iterator pass per
   * partition, vectorizable batch shape).
   *
-  * The actual codec calls are STUBBED (this container ships no image/audio
-  * libraries): [[decodeImageStub]] derives deterministic fake metadata from
-  * the bytes. The Spark-side plumbing — binary schema, partition batching,
-  * output struct shape, deterministic partitioning — is real and tested;
-  * swap `decodeBytes` for a JNI/javacv call in production.
+  * IMAGES ARE REAL: [[decodeImage]], [[imagePixels]], [[resizeImage]] and
+  * [[imageHistogram]] decode genuine PNG bytes — DEFLATE decompression,
+  * chunk CRCs, five-filter scanline reconstruction — through the
+  * spec-compliant [[Image]] codec (pure `java.util.zip`, no external
+  * dependency; see Image.scala for why this container's java.desktop /
+  * ImageIO is unusable) and operate on real rasters. Only AUDIO/VIDEO
+  * codecs are environment-limited and stay stubbed ([[decodeBlobStub]] /
+  * [[sampleFrames]] treat the blob as deterministic byte frames); swap
+  * those bodies for a javacv/ffmpeg call in production — the Spark-side
+  * plumbing (binary schema, partition batching, output shape) is identical.
   */
 object Multimodal {
 
-  /** Metadata produced per blob by the (stubbed) decoder. */
+  /** Decode one image blob to its raster, or None if undecodable. */
+  private def readImage(bytes: Array[Byte]): Option[Image.Raster] =
+    Image.decodePng(bytes)
+
+  /** Image metadata schema produced by [[decodeImage]]. */
+  val ImageMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bands", IntegerType),
+    StructField("px_sum", LongType)))
+
+  /** REAL image decode: (id, width, height, bands, px_sum) per blob via
+    * the [[Image]] PNG codec, one batched partition pass. `px_sum` is the
+    * integer sum of all pixel lumas — a deterministic whole-raster
+    * checksum (PNG is lossless, so it is exactly reproducible from the
+    * source pixels).
+    * Undecodable blobs yield (-1, -1, -1, -1) rather than failing the
+    * task (corrupt images are data, not bugs, at 100 TB).
+    */
+  def decodeImage(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +: ImageMetaSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        readImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(img) =>
+            var sum = 0L
+            var y = 0
+            while (y < img.height) {
+              var x = 0
+              while (x < img.width) { sum += img.luma(x, y); x += 1 }
+              y += 1
+            }
+            Row(r.get(idIdx), img.width, img.height, img.bands, sum)
+          case None => Row(r.get(idIdx), -1, -1, -1, -1L)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL pixel extraction: one row per pixel (id, x, y, v) with v the
+    * integer luma — the gateable primitive behind resize/feature checks.
+    */
+  def imagePixels(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("x", IntegerType), StructField("y", IntegerType),
+      StructField("v", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.getAs[Array[Byte]](binIdx)).toSeq.flatMap { img =>
+          for (y <- 0 until img.height; x <- 0 until img.width)
+            yield Row(r.get(idIdx), x, y, img.luma(x, y))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL resize: nearest-neighbor resample to (targetW, targetH) and
+    * re-encode as (lossless) PNG. Nearest-neighbor — source pixel
+    * (x·srcW/dstW, y·srcH/dstH), integer floor — is chosen over filtered
+    * resamplers because it is bit-deterministic across engines, so the
+    * resized raster is oracle-checkable. Output: (id, resized).
+    */
+  def resizeImage(df: DataFrame, idCol: String, binCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, "target dims must be >= 1")
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("resized", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.getAs[Array[Byte]](binIdx)).map { img =>
+          val out = new Array[Byte](targetW * targetH)
+          var y = 0
+          while (y < targetH) {
+            var x = 0
+            while (x < targetW) {
+              out(y * targetW + x) = img.luma(x * img.width / targetW,
+                y * img.height / targetH).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.get(idIdx),
+            Image.encodePng(Image.Raster(targetW, targetH, 1, out)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL feature extraction: `bins`-bin luma histogram per image — a
+    * fixed-dim dense `Array[Float]` per blob, exactly the vector shape the
+    * ANN machinery ([[graft.text.Embeddings]]) consumes, so image →
+    * features → similarity search composes end-to-end on real pixels.
+    */
+  def imageHistogram(df: DataFrame, idCol: String, binCol: String,
+      bins: Int = 16): DataFrame = {
+    require(bins >= 1 && 256 % bins == 0, "bins must divide 256")
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val width = 256 / bins
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        readImage(r.getAs[Array[Byte]](binIdx)).map { img =>
+          val hist = new Array[Float](bins)
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              hist(img.luma(x, y) / width) += 1f; x += 1
+            }
+            y += 1
+          }
+          Row(r.get(idIdx), hist.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Deterministic grayscale PNG: pixel (x,y) = (31x + 17y + seed) mod 256.
+    * The test-data generator for the image gates — a REAL PNG encode
+    * (DEFLATE + Sub/Paeth filters via [[Image.encodePng]]), so decode sees
+    * a genuine compressed image, while the pixel law stays closed-form for
+    * the SQL oracle (PNG is lossless).
+    */
+  def grayPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val data = new Array[Byte](width * height)
+    for (y <- 0 until height; x <- 0 until width)
+      data(y * width + x) = ((31L * x + 17L * y + seed) % 256).toByte
+    Image.encodePng(Image.Raster(width, height, 1, data))
+  }
+
+  /** Column form of [[grayPng]] (batched partition pass, not a row UDF). */
+  def synthGrayPng(df: DataFrame, idCol: String, widthCol: String,
+      heightCol: String, seedCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("img", BinaryType)))
+    val Seq(idIdx, wIdx, hIdx, sIdx) =
+      Seq(idCol, widthCol, heightCol, seedCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(idIdx), grayPng(r.getInt(wIdx), r.getInt(hIdx),
+          r.getLong(sIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Metadata produced per blob by the (stubbed) audio/video decoder. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("byte_len", LongType),
     StructField("first_byte", IntegerType),
     StructField("last_byte", IntegerType),
     StructField("n_frames", LongType)))
 
-  /** STUB decode: in production this is the image/audio codec; here the
-    * metadata is a deterministic function of the raw bytes so tests and
-    * oracles can verify the plumbing end-to-end. "Frames" are 256-byte
-    * chunks (the video frame-sampling analog).
+  /** STUB decode for AUDIO/VIDEO blobs (the one genuinely env-limited
+    * modality — no ffmpeg/javacv in this container): the metadata is a
+    * deterministic function of the raw bytes so tests and oracles verify
+    * the plumbing end-to-end. "Frames" are 256-byte chunks (the video
+    * frame-sampling analog). Images do NOT go through here — use the real
+    * [[decodeImage]].
     */
   def decodeBytes(bytes: Array[Byte]): (Long, Int, Int, Long) = {
     val len = bytes.length.toLong
@@ -38,9 +198,10 @@ object Multimodal {
   }
 
   /** Decode a binary column to a metadata struct via one batched partition
-    * pass. `idCol` must be first in `df`; the binary column second.
+    * pass (audio/video stub path). `idCol` must be first in `df`; the
+    * binary column second.
     */
-  def decodeImageStub(df: DataFrame): DataFrame = {
+  def decodeBlobStub(df: DataFrame): DataFrame = {
     val outSchema = StructType(df.schema.fields.take(1) ++ MetaSchema.fields)
     df.mapPartitions { rows =>
       rows.map { r =>
@@ -50,10 +211,10 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB resize: in production the image resampler; here a deterministic
-    * byte decimation to `targetLen` (every ceil(len/target)-th byte) so the
-    * blob→blob plumbing — binary in, smaller binary out, length contract —
-    * is real and testable. Output replaces the binary column's content.
+  /** STUB resample for audio/video blobs (images use the real
+    * [[resizeImage]]): deterministic byte decimation to `targetLen` (every
+    * ceil(len/target)-th byte) so the blob→blob plumbing — binary in,
+    * smaller binary out, length contract — is real and testable.
     */
   def resizeStub(df: DataFrame, idCol: String, binCol: String,
       targetLen: Int): DataFrame = {
@@ -74,12 +235,11 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB feature extraction: in production the embedding model; here the
-    * 16-bin high-nibble byte histogram — a deterministic `Array[Float]`
-    * whose shape (fixed-dim dense vector per blob) is exactly what the
-    * ANN machinery ([[graft.text.Embeddings]]) consumes, so blob →
-    * features → similarity search composes end-to-end today and only the
-    * extractor body changes in production.
+  /** STUB feature extraction for audio/video blobs (images use the real
+    * [[imageHistogram]]): the 16-bin high-nibble byte histogram — a
+    * deterministic `Array[Float]` whose shape (fixed-dim dense vector per
+    * blob) is exactly what the ANN machinery ([[graft.text.Embeddings]])
+    * consumes; only the extractor body changes in production.
     */
   def featureExtractStub(df: DataFrame, idCol: String, binCol: String)
       : DataFrame = {

@@ -303,31 +303,94 @@ object IoQueries {
         .orderBy(col("name"))
     },
 
-    // ---- multimodal feature extraction: blob → fixed-dim vector ----------
-    // High-nibble byte histogram (stub extractor, real batched plumbing) —
-    // the oracle recomputes the histogram from codepoints (documents are
-    // ASCII, so bytes == codepoints).
+    // ---- REAL image decode: deterministic grayscale PNGs (pixel law
+    // (31x+17y+doc_id) mod 256, dims from doc_id) are ImageIO-encoded,
+    // then genuinely DECODED back — width/height/bands from the raster,
+    // px_sum the integer luma checksum over every decoded pixel. PNG is
+    // lossless, so the oracle recomputes everything from the pixel law. ----
+    QueryDef("q122_multimodal",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents),
+        |g AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        |  FROM d, range(0, 17) xs(x), range(0, 15) ys(y)
+        |  WHERE xs.x < w AND ys.y < h)
+        |SELECT doc_id, w AS width, h AS height, CAST(1 AS INTEGER) AS bands,
+        |  CAST(SUM((31 * x + 17 * y + doc_id) % 256) AS BIGINT) AS px_sum
+        |FROM g GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val specs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 7).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+      val imgs = Multimodal.synthGrayPng(specs, "doc_id", "w", "h", "seed")
+      Multimodal.decodeImage(imgs, "doc_id", "img")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL image resize: nearest-neighbor resample to 5×4, re-encode
+    // as PNG, decode AGAIN, and gate every resized pixel against the
+    // closed-form source sampling (srcX = x·W/5, srcY = y·H/4). -----------
+    QueryDef("q122b_image_resize",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 300),
+        |g AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+        |  FROM d, range(0, 5) xs(x), range(0, 4) ys(y))
+        |SELECT doc_id, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y,
+        |  CAST((31 * ((x * w) // 5) + 17 * ((y * h) // 4) + doc_id) % 256
+        |    AS INTEGER) AS v
+        |FROM g ORDER BY doc_id, y, x""".stripMargin) { (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 7).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+      val imgs = Multimodal.synthGrayPng(specs, "doc_id", "w", "h", "seed")
+      val resized = Multimodal.resizeImage(imgs, "doc_id", "img", 5, 4)
+      Multimodal.imagePixels(resized, "doc_id", "resized")
+        .orderBy(col("doc_id"), col("y"), col("x"))
+    },
+
+    // ---- REAL image feature extraction: 16-bin luma histogram over the
+    // genuinely decoded raster — the fixed-dim vector the ANN machinery
+    // consumes, gated bin-by-bin against the pixel law. --------------------
     QueryDef("q126_multimodal_features",
-      """WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
-        |e AS (SELECT doc_id,
-        |    CAST(unnest(range(0, 16)) AS INTEGER) AS dim, text FROM b)
-        |SELECT doc_id, dim,
-        |  CAST(len(list_filter(
-        |    list_transform(range(1, length(text) + 1),
-        |      i -> ascii(substr(text, CAST(i AS INTEGER), 1)) // 16),
-        |    x -> x = dim)) AS INTEGER) AS cnt
-        |FROM e ORDER BY doc_id, dim""".stripMargin) { (s, dir) =>
-      val blobs = Tables.documents(s, dir).filter(col("doc_id") < 200)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      Multimodal.featureExtractStub(blobs, "doc_id", "blob")
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (SELECT doc_id, ((31 * xs.x + 17 * ys.y + doc_id) % 256) // 16
+        |    AS bin
+        |  FROM d, range(0, 17) xs(x), range(0, 15) ys(y)
+        |  WHERE xs.x < w AND ys.y < h),
+        |e AS (SELECT doc_id, CAST(unnest(range(0, 16)) AS INTEGER) AS dim
+        |  FROM (SELECT DISTINCT doc_id FROM d))
+        |SELECT e.doc_id, e.dim,
+        |  CAST(COALESCE(SUM(CASE WHEN g.bin = e.dim THEN 1 END), 0)
+        |    AS INTEGER) AS cnt
+        |FROM e LEFT JOIN g ON g.doc_id = e.doc_id AND g.bin = e.dim
+        |GROUP BY e.doc_id, e.dim
+        |ORDER BY e.doc_id, e.dim""".stripMargin) { (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 7).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+      val imgs = Multimodal.synthGrayPng(specs, "doc_id", "w", "h", "seed")
+      Multimodal.imageHistogram(imgs, "doc_id", "img")
         .select(col("doc_id"),
           posexplode(col("features")).as(Seq("dim", "f")))
         .select(col("doc_id"), col("dim"), col("f").cast("int").as("cnt"))
         .orderBy(col("doc_id"), col("dim"))
     },
 
-    // ---- multimodal binary plumbing: decode-stub over blob column --------
-    QueryDef("q122_multimodal",
+    // ---- audio/video blob plumbing (codec stub — no ffmpeg in this env):
+    // byte-level metadata over the binary column, batched per partition ----
+    QueryDef("q122c_blob_meta",
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
@@ -336,7 +399,7 @@ object IoQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val blobs = Tables.documents(s, dir)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      Multimodal.decodeImageStub(blobs)
+      Multimodal.decodeBlobStub(blobs)
         .orderBy(col("doc_id"))
     }
   )

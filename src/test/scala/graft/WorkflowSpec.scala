@@ -158,7 +158,7 @@ class WorkflowSpec extends SparkSpec {
   test("multimodal decode stub + frame sampling preserve plumbing shape") {
     val blobs = Seq((1L, "x" * 600), (2L, "ab")).toDF("doc_id", "text")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-    val meta = Multimodal.decodeImageStub(blobs)
+    val meta = Multimodal.decodeBlobStub(blobs)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
     assert(meta(1L) == (600L, 3L)) // 600 bytes → 3 frames of 256
     assert(meta(2L) == (2L, 1L))
@@ -166,5 +166,49 @@ class WorkflowSpec extends SparkSpec {
       .filter(col("doc_id") === 1).select(col("frame_idx"))
       .as[Long].collect().toSet
     assert(frames == Set(0L, 2L)) // every 2nd of frames 0,1,2
+  }
+
+  test("real image decode: spec-compliant PNG codec end-to-end") {
+    import graft.multimodal.{Image, Multimodal}
+    // gray PNG roundtrip is lossless: decoded dims/pixels match the law
+    val png = Multimodal.grayPng(6, 3, seed = 5L)
+    assert(new String(png.slice(1, 4), "US-ASCII") == "PNG")
+    val imgs = Seq((5L, png)).toDF("id", "img")
+    val meta = Multimodal.decodeImage(imgs, "id", "img").collect().head
+    assert(meta.getInt(1) == 6 && meta.getInt(2) == 3 && meta.getInt(3) == 1)
+    val want = (for (y <- 0 until 3; x <- 0 until 6)
+      yield (31L * x + 17L * y + 5L) % 256).sum
+    assert(meta.getLong(4) == want)
+    // pixel explode sees the exact law values
+    val px = Multimodal.imagePixels(imgs, "id", "img")
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(px((2, 1)) == ((31 * 2 + 17 * 1 + 5) % 256))
+    // truecolor PNG exercises the multi-band Rec.601 luma path
+    val rgbPng = Image.encodePng(Image.Raster(2, 1, 3,
+      Array(255, 0, 0, 0, 255, 0).map(_.toByte))) // red px, green px
+    val rgbMeta = Multimodal.decodeImage(
+      Seq((1L, rgbPng)).toDF("id", "img"), "id", "img").collect().head
+    assert(rgbMeta.getInt(3) == 3)
+    assert(rgbMeta.getLong(4) == (255 * 299 / 1000 + 255 * 587 / 1000))
+    // every decode filter path: a wide image with varied content survives
+    // the Sub/Paeth encode → decode roundtrip byte-exactly
+    val noisy = Array.tabulate(40 * 9)(i => ((i * 131 + 7) % 256).toByte)
+    val round = Image.decodePng(Image.encodePng(
+      Image.Raster(40, 9, 1, noisy))).get
+    assert(round.data.toSeq == noisy.toSeq)
+    // undecodable bytes are data, not task failures
+    val bad = Multimodal.decodeImage(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "img"), "id", "img")
+      .collect().head
+    assert(bad.getInt(1) == -1 && bad.getLong(4) == -1L)
+    // nearest-neighbor resize: 6×3 → 3×3 keeps columns 0,2,4 of each row
+    val rs = Multimodal.resizeImage(imgs, "id", "img", 3, 3)
+    val rsPx = Multimodal.imagePixels(rs, "id", "resized")
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(3)).toMap
+    assert(rsPx((1, 2)) == ((31 * 2 + 17 * 2 + 5) % 256))
+    // histogram counts every pixel exactly once
+    val hist = Multimodal.imageHistogram(imgs, "id", "img")
+      .collect().head.getSeq[Float](1)
+    assert(hist.size == 16 && hist.sum == 18f)
   }
 }
