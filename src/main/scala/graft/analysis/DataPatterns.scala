@@ -264,6 +264,12 @@ object DataPatterns {
       StructField("fill_count", LongType),
       StructField("fill_rate", DoubleType),
       StructField("cardinality", LongType),
+      // true when the attribute exceeded exactCardLimit and skipped the
+      // exact counting pass: `cardinality` is then the ±2%
+      // approx_count_distinct sketch and modes/cardinality_breakdown are
+      // empty BY GATING, not because the data lacks them — consumers must
+      // not infer exactness from the limit (ADVICE r7)
+      StructField("cardinality_is_approx", BooleanType),
       StructField("cardinality_breakdown", kvSchema),
       StructField("modes", kvSchema),
       StructField("min_length", IntegerType),
@@ -331,7 +337,7 @@ object DataPatterns {
       val rp = rare.getOrElse(name, Nil)
       Row(name, eclTypeName(f.dataType), bestType, recCount, fill,
         if (recCount == 0) 0.0 else fill.toDouble / recCount * 100.0,
-        card, bd, md,
+        card, acd(name) > exactCardLimit, bd, md,
         intOpt("minlen").getOrElse(0),
         intOpt("maxlen").getOrElse(0),
         // UNSIGNED4 ave_length truncates (TestDataPatterns: lengths

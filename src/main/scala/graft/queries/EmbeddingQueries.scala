@@ -235,6 +235,51 @@ object EmbeddingQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // ---- IVF with TRAINED centroids: one full spherical k-means round —
+    // md5-hash-sample init (RNG-free), unitize, assign, decimal-exact
+    // per-cell means, re-unitize, reassign — unrolled verbatim in the
+    // oracle. Gates ivfInitHashSample + ivfTrain + ivfAssign end-to-end:
+    // a drifted mean, norm, or tie-break anywhere flips assignments. ------
+    QueryDef("q98b_ivf_trained",
+      s"""WITH $VecCte,
+         |init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
+         |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT 8),
+         |u0 AS (SELECT cx.c_id AS ex_id, cx.pos,
+         |    CAST(cx.v AS DOUBLE) / cn.c_norm AS u
+         |  FROM cx JOIN cn USING (c_id) JOIN init ON init.ex_id = cx.c_id),
+         |d1 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
+         |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cx a JOIN u0 b ON a.pos = b.pos GROUP BY 1, 2),
+         |cells1 AS (SELECT vec_id, ex_id AS cell FROM (
+         |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dot DESC, ex_id) AS rn FROM d1) WHERE rn = 1),
+         |mexp AS (SELECT cells1.cell, a.pos,
+         |    CAST(SUM(CAST(CAST(a.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+         |      / COUNT(*) AS m
+         |  FROM cx a JOIN cells1 ON cells1.vec_id = a.c_id GROUP BY 1, 2),
+         |mnorm AS (SELECT cell, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
+         |    AS DOUBLE)) AS norm FROM mexp GROUP BY cell),
+         |u1 AS (SELECT mexp.cell AS ex_id, pos, m / norm AS u
+         |  FROM mexp JOIN mnorm USING (cell)
+         |  UNION ALL
+         |  SELECT u0.ex_id, u0.pos, u0.u FROM u0
+         |  WHERE u0.ex_id NOT IN (SELECT DISTINCT cell FROM cells1)),
+         |d2 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
+         |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cx a JOIN u1 b ON a.pos = b.pos GROUP BY 1, 2)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         |  SELECT vec_id, ex_id AS cell, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, ex_id) AS rn FROM d2)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val init = Embeddings.ivfInitHashSample(emb,
+        col("vec_id"), col("embedding"), 8)
+      val cents = Embeddings.ivfTrain(emb,
+        col("vec_id"), col("embedding"), init, iters = 1)
+      Embeddings.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- embedding-cosine near-dup DEDUP: RP-LSH candidates, exact cosine
     // refine >= tau, greedy smaller-id-wins removal, survivors out ---------
     QueryDef("q94_cosine_dedup", {

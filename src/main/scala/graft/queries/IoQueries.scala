@@ -247,6 +247,52 @@ object IoQueries {
       cat.read("nation_sprayed").orderBy(col("n_nationkey"))
     },
 
+    // ---- DFU SprayFixed: fixed-width binary records → typed catalog
+    // parquet. The source file is raw bytes with NO record separators
+    // (4-char key, 25-char padded name, 2-char regionkey = 31-byte
+    // records); binaryRecords splits it at record boundaries across
+    // executors. Lossless: sprayed content hashes equal the source table.
+    QueryDef("q129_spray_fixed",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val extDir = new java.io.File(s"${ioDir(dir)}/spray_nation_fixed")
+      extDir.mkdirs()
+      val ext = new java.io.File(extDir, "nation.dat")
+      // test-input generator: render the 25-row nation table as 31-byte
+      // fixed records (the engine path under test is the distributed
+      // binaryRecords read, not this writer)
+      val rows = Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val out = new java.io.FileOutputStream(ext)
+      try rows.foreach { r =>
+        out.write("%4d%-25s%2d".format(r.getInt(0), r.getString(1),
+          r.getInt(2)).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      } finally out.close()
+      val cat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog")
+      cat.sprayFixed("nation_fixed", ext.getAbsolutePath, Seq(
+        ("n_nationkey", 4, IntegerType),
+        ("n_name", 25, StringType),
+        ("n_regionkey", 2, IntegerType)), parts = 4)
+      cat.read("nation_fixed").orderBy(col("n_nationkey"))
+    },
+
+    // ---- Std.File Copy ASSUPERFILE: catalog→catalog distributed copy,
+    // wrapped in a target superfile; reading the superfile on the target
+    // catalog must reproduce the source table exactly. -------------------
+    QueryDef("q129b_file_copy",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val srcCat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog")
+      val dstCat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog_b")
+      srcCat.write("nation_src",
+        Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey"))
+      dstCat.remotePull(srcCat, "nation_src", "nation_pulled",
+        asSuperfile = true)
+      dstCat.readSuper("nation_pulled").orderBy(col("n_nationkey"))
+    },
+
     // ---- INTERSECT/EXCEPT (SURVEY §2.8: absent in ECL, composed via
     // JOIN/LEFT ONLY — native set ops are the Spark superset) --------------
     QueryDef("q127_intersect_except",

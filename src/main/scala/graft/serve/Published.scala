@@ -36,13 +36,19 @@ final class Published(spark: SparkSession) {
   private var server: Option[com.sun.net.httpserver.HttpServer] = None
 
   /** Serve the registry over HTTP — the Roxie listener analog
-    * (`roxie/ccd/ccdlistener.cpp` accept loop; JSON response envelope per
-    * `ccdprotocol.cpp` `<query>Response/Results`). JDK built-in server, no
-    * new dependencies:
+    * (`roxie/ccd/ccdlistener.cpp` accept loop; response envelopes per
+    * `ccdprotocol.cpp:565-614`, which speaks BOTH JSON and XML/SOAP). JDK
+    * built-in server, no new dependencies:
     *
     *  - `GET /queries`                 → published names (JSON array)
     *  - `GET /query/<name>?p=v&…`      → run with STORED params, rows as
     *    `{"<name>Response":{"Results":{"rowCount":N,"rows":[…]}}}`
+    *  - XML protocol: `Accept: text/xml` (or `?format=xml`) switches the
+    *    envelope to `<nameResponse><Results><Dataset name="Result 1">
+    *    <Row>…</Row></Dataset></Results></nameResponse>`.
+    *  - `POST /query/<name>` accepts form-encoded bodies AND the Roxie
+    *    SOAP shape (`Envelope/Body/<name>Request/<param>value`); a SOAP
+    *    request gets a SOAP-enveloped XML response.
     *
     * `maxRows` caps the driver-side collect — a serving endpoint returns
     * answer-sized results (Roxie's mindset), not exports; bigger results
@@ -54,9 +60,9 @@ final class Published(spark: SparkSession) {
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
     def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
-        body: String): Unit = {
+        body: String, contentType: String = "application/json"): Unit = {
       val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(code, bytes.length.toLong)
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
@@ -67,29 +73,105 @@ final class Published(spark: SparkSession) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    def xmlEsc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    // SOAP/XML request body → (params, isSoap): child elements of the
+    // first *Request element (or of Body/root when none) become params
+    def xmlParams(body: String): (Map[String, String], Boolean) = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(true) // getLocalName is null otherwise
+      val doc = dbf.newDocumentBuilder()
+        .parse(new org.xml.sax.InputSource(new java.io.StringReader(body)))
+      val isSoap = doc.getDocumentElement.getLocalName == "Envelope"
+      def elems(n: org.w3c.dom.Node): Seq[org.w3c.dom.Element] = {
+        val kids = n.getChildNodes
+        (0 until kids.getLength).map(kids.item)
+          .collect { case e: org.w3c.dom.Element => e }
+      }
+      // descend Envelope/Body if present, then into a *Request wrapper
+      var cur: org.w3c.dom.Element = doc.getDocumentElement
+      if (isSoap) elems(cur).find(_.getLocalName == "Body")
+        .flatMap(b => elems(b).headOption).foreach(cur = _)
+      if (cur.getLocalName.endsWith("Request"))
+        (elems(cur).map(e => e.getLocalName -> e.getTextContent).toMap, isSoap)
+      else (elems(cur).map(e => e.getLocalName -> e.getTextContent).toMap, isSoap)
+    }
     srv.createContext("/queries",
       (ex: com.sun.net.httpserver.HttpExchange) =>
         respond(ex, 200, list.map(jsonStr).mkString("[", ",", "]")))
     srv.createContext("/query/",
       (ex: com.sun.net.httpserver.HttpExchange) => {
         val name = ex.getRequestURI.getPath.stripPrefix("/query/")
-        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val qsParams = Option(ex.getRequestURI.getRawQuery).getOrElse("")
           .split('&').filter(_.contains('=')).map { kv =>
             val Array(k, v) = kv.split("=", 2)
             java.net.URLDecoder.decode(k, "UTF-8") ->
               java.net.URLDecoder.decode(v, "UTF-8")
           }.toMap
+        val bodyText =
+          if (ex.getRequestMethod == "POST")
+            scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+          else ""
+        val contentType = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .getOrElse("")
+        var soapIn = false
+        val bodyParams: Map[String, String] =
+          if (bodyText.isEmpty) Map.empty
+          else if (contentType.contains("xml")) {
+            try { val (p, s) = xmlParams(bodyText); soapIn = s; p }
+            catch { case _: Exception => Map.empty }
+          } else bodyText.split('&').filter(_.contains('=')).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val params = qsParams ++ bodyParams
+        val accept = Option(ex.getRequestHeaders.getFirst("Accept"))
+          .getOrElse("")
+        val wantXml = soapIn || accept.contains("xml") ||
+          params.get("format").contains("xml")
         try {
-          // toJSON keeps the row serialization distributed; only the
-          // capped, answer-sized strings reach the driver
-          val rows = run(name, params).toJSON.take(maxRows)
-          respond(ex, 200,
-            s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}""")
+          val df = run(name, params - "format")
+          if (wantXml) {
+            // to_xml keeps row rendering distributed (same machinery as
+            // OUTPUT,XML); only capped answer-sized strings hit the driver
+            import org.apache.spark.sql.functions.{col, regexp_replace, struct, to_xml}
+            val rows = df.select(regexp_replace(
+                to_xml(struct(df.columns.map(col): _*),
+                  java.util.Map.of("rowTag", "Row")),
+                "\\n\\s*", "").as("xml"))
+              .take(maxRows).map(_.getString(0)).toSeq
+            val core = s"""<${name}Response xmlns="urn:hpccsystems:ecl:$name">""" +
+              s"""<Results><Dataset name="Result 1">${rows.mkString}""" +
+              s"""</Dataset></Results></${name}Response>"""
+            val xml = if (soapIn)
+              """<?xml version="1.0" encoding="UTF-8"?>""" +
+                """<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">""" +
+                s"<soap:Body>$core</soap:Body></soap:Envelope>"
+            else s"""<?xml version="1.0" encoding="UTF-8"?>$core"""
+            respond(ex, 200, xml, "text/xml; charset=utf-8")
+          } else {
+            val rows = df.toJSON.take(maxRows)
+            respond(ex, 200,
+              s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}""")
+          }
         } catch {
-          case _: NoSuchElementException =>
-            respond(ex, 404, s"""{"error":${jsonStr(s"query not published: $name")}}""")
+          case _: NoSuchElementException if !registry.contains(name) =>
+            if (wantXml) respond(ex, 404,
+              s"""<Exception><Message>${xmlEsc(s"query not published: $name")}</Message></Exception>""",
+              "text/xml; charset=utf-8")
+            else respond(ex, 404,
+              s"""{"error":${jsonStr(s"query not published: $name")}}""")
           case t: Throwable =>
-            respond(ex, 500, s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""")
+            if (wantXml) respond(ex, 500,
+              s"""<Exception><Message>${xmlEsc(String.valueOf(t.getMessage))}</Message></Exception>""",
+              "text/xml; charset=utf-8")
+            else respond(ex, 500,
+              s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""")
         }
       })
     srv.start()

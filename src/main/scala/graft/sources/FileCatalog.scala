@@ -104,21 +104,30 @@ final class FileCatalog(spark: SparkSession, root: String) {
     (fLines ++ sLines :+ EndMarker).mkString("\n")
   }
 
-  /** Atomic create-exclusive claim + content write. Local filesystems go
-    * through `File.createNewFile` (O_CREAT|O_EXCL — RawLocalFileSystem's
-    * `create(overwrite=false)` is check-then-create, not atomic); other
-    * schemes use the filesystem's exclusive create.
+  /** Atomic claim WITH content. Local filesystems write the full manifest
+    * to a temp file first and claim via `Files.createLink` (POSIX link(2)
+    * — atomic AND exclusive), so a claim can never exist without its
+    * content: there is no window where a paused committer holds a contentless
+    * claim that a peer could expire and supersede (the lost-update hazard
+    * of claim-then-write). Other schemes use the filesystem's exclusive
+    * `create(overwrite=false)` and stream content after the claim; there
+    * the `#END` guard + stale-claim expiry apply, and commit success is
+    * NOT durable if the committer stalls longer than `staleClaimMs`
+    * between claiming and finishing the stream (documented contract).
     */
   private def claimAndWrite(p: Path, content: String): Boolean = {
     val scheme = Option(p.toUri.getScheme)
       .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
     if (scheme == "file") {
-      val f = new java.io.File(
+      val target = new java.io.File(
         Option(p.toUri.getPath).getOrElse(p.toString))
-      if (!f.createNewFile()) return false
-      val out = new java.io.FileOutputStream(f)
-      try out.write(content.getBytes(UTF_8)) finally out.close()
-      true
+      val tmp = java.io.File.createTempFile("claim-", ".tmp",
+        target.getParentFile)
+      try {
+        java.nio.file.Files.write(tmp.toPath, content.getBytes(UTF_8))
+        try { java.nio.file.Files.createLink(target.toPath, tmp.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally tmp.delete()
     } else {
       try {
         val out = fs.create(p, false)
@@ -368,6 +377,137 @@ final class FileCatalog(spark: SparkSession, root: String) {
     write(name, Sources.csvRead(spark, sourcePath, schema, sep, header)
       .repartition(parts))
   }
+
+  /** SprayVariable (`File.ecl:559`): delimited import with an explicit
+    * record terminator — the "variable-length record" DFU mode. Same
+    * distributed layout contract as [[sprayDelimited]].
+    */
+  def sprayVariable(name: String, sourcePath: String,
+      schema: org.apache.spark.sql.types.StructType, parts: Int,
+      sep: String = ",", terminator: String = "\n",
+      header: Boolean = false): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    val reader = spark.read.schema(schema)
+      .option("sep", sep).option("header", header)
+    val withTerm = if (terminator == "\n") reader
+      else reader.option("lineSep", terminator)
+    write(name, withTerm.csv(sourcePath).repartition(parts))
+  }
+
+  /** SprayFixed (`File.ecl:551`): fixed-width binary record import. The
+    * record layout is DECLARED as (field, byteWidth, targetType) slices —
+    * the ECL fixed RECORD contract, no inference. The read is DISTRIBUTED:
+    * `binaryRecords` splits the source at record boundaries across
+    * executors (the DFU's equal-record-count part split), so a 100 TB
+    * fixed file sprays in parallel. Field bytes decode as ASCII, trim
+    * their pad spaces, and cast to the declared type.
+    */
+  def sprayFixed(name: String, sourcePath: String,
+      fields: Seq[(String, Int, org.apache.spark.sql.types.DataType)],
+      parts: Int): Unit = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    require(parts >= 1, "parts must be >= 1")
+    require(fields.nonEmpty && fields.forall(_._2 > 0),
+      "field widths must be positive")
+    val recLen = fields.map(_._2).sum
+    val offsets = fields.scanLeft(0)(_ + _._2)
+    val rows = spark.sparkContext.binaryRecords(sourcePath, recLen)
+      .map { bytes =>
+        org.apache.spark.sql.Row.fromSeq(fields.indices.map { i =>
+          new String(bytes, offsets(i), fields(i)._2,
+            java.nio.charset.StandardCharsets.US_ASCII).trim
+        })
+      }
+    val raw = spark.createDataFrame(rows,
+      StructType(fields.map { case (n, _, _) => StructField(n, StringType) }))
+    import org.apache.spark.sql.functions.col
+    write(name, raw.select(fields.map { case (n, _, t) =>
+      col(n).cast(t).as(n) }: _*).repartition(parts))
+  }
+
+  /** SprayXml (`File.ecl:647`): XML import over the declared row schema. */
+  def sprayXml(name: String, sourcePath: String,
+      schema: org.apache.spark.sql.types.StructType, parts: Int,
+      rowTag: String = "Row"): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    write(name,
+      Sources.xmlRead(spark, sourcePath, schema, rowTag).repartition(parts))
+  }
+
+  /** SprayJson (`File.ecl:693`): JSON-lines import over the declared
+    * schema.
+    */
+  def sprayJson(name: String, sourcePath: String,
+      schema: org.apache.spark.sql.types.StructType, parts: Int): Unit = {
+    require(parts >= 1, "parts must be >= 1")
+    write(name, Sources.jsonRead(spark, sourcePath, schema).repartition(parts))
+  }
+
+  // ---- external-datastore plugin analog (reference `plugins/mysql
+  // cassandra sqlite3 …` EMBED datasources): JDBC import/export through
+  // Spark's own connector, catalog-integrated like spray/despray ----------
+
+  /** Import a JDBC table/query as a catalog-managed logical file (the
+    * EMBED-datasource read direction). `partitionColumn`+`numPartitions`
+    * split the source read across executors (Spark's stride-partitioned
+    * JDBC scan) — without them the source DB streams through one task, so
+    * ALWAYS pass them for big tables. Ad-hoc federated reads that skip the
+    * catalog are plain `spark.read.jdbc` one-liners.
+    */
+  def jdbcImport(name: String, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      partitionColumn: Option[(String, Long, Long, Int)] = None): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val df = partitionColumn match {
+      case Some((colName, lower, upper, parts)) =>
+        spark.read.jdbc(url, table, colName, lower, upper, parts, p)
+      case None => spark.read.jdbc(url, table, p)
+    }
+    write(name, df)
+  }
+
+  /** Export a logical file to a JDBC table (the write direction). Spark
+    * writes partitions concurrently — `batchsize` in `props` tunes the
+    * insert batching.
+    */
+  def jdbcExport(name: String, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      mode: String = "overwrite"): Unit = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    read(name).write.mode(mode).jdbc(url, table, p)
+  }
+
+  // ---- Copy / RemotePull (File.ecl:759,825): catalog-to-catalog copy -----
+
+  /** Copy (`File.ecl:759`): materialize logical file `name` into `dest`
+    * under `destName` — a DISTRIBUTED parquet read→write (the DFU streams
+    * parts; no driver row traffic), then a metadata commit in the target
+    * catalog. With `asSuperfile` the target also gets a superfile of the
+    * same name wrapping the copy (the ASSUPERFILE flag), so downstream
+    * generation-rotation workflows can append to it transactionally.
+    */
+  def copy(name: String, dest: FileCatalog, destName: String,
+      asSuperfile: Boolean = false): Unit = {
+    dest.write(destName, read(name))
+    if (asSuperfile) {
+      dest.createSuperFile(destName, allowExist = true)
+      dest.transaction { t =>
+        t.clearSuperFile(destName)
+        t.addSuperFile(destName, destName)
+      }
+    }
+  }
+
+  /** RemotePull (`File.ecl:825`): the pull-initiated direction of [[copy]]
+    * — THIS catalog pulls `srcName` from `src`. Same data plane; the
+    * distinction (which cluster drives the transfer) is operational in the
+    * reference, not semantic.
+    */
+  def remotePull(src: FileCatalog, srcName: String, destName: String,
+      asSuperfile: Boolean = false): Unit =
+    src.copy(srcName, this, destName, asSuperfile)
 
   /** Despray: export a logical file to ONE external delimited file (the
     * DFU's N-parts→single-file direction). The single-part write is the

@@ -290,6 +290,78 @@ object Embeddings {
     df.select(id.as("vec_id"), best.getField("i").as("cell"))
   }
 
+  /** Deterministic, RNG-free trainer init — the k-means‖ oversampling
+    * stand-in: the `c` corpus vectors with the smallest
+    * `md5(vec_id)` (content-addressed pseudo-random spread, same idea as
+    * [[graft.ops.Sorting.hashSampleBy]]; md5 because the oracle can
+    * reproduce it in SQL, unlike engine-private hashes). Returned keyed by
+    * the exemplar's own vec_id so downstream tie-breaks are
+    * engine-independent.
+    */
+  def ivfInitHashSample(df: DataFrame, id: Column, vec: Column,
+      c: Int): Seq[(Int, Array[Double])] = {
+    require(c >= 1, "need at least one centroid")
+    df.select(id.cast("int").as("vec_id"), vec.as("emb"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(c).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1).toSeq
+  }
+
+  /** Scale-12 HALF_UP decimal sum of squares → L2 norm: the DRIVER replica
+    * of the engine's `CAST(x*x AS DECIMAL(30,12))` sum, so centroid norms
+    * computed here are bit-identical to an oracle computing them in SQL.
+    */
+  private def unitize(v: Array[Double]): Array[Double] = {
+    val sum = v.foldLeft(java.math.BigDecimal.ZERO) { (acc, x) =>
+      acc.add(new java.math.BigDecimal(x * x)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+    }
+    val norm = math.sqrt(sum.doubleValue)
+    if (norm == 0.0) v else v.map(_ / norm)
+  }
+
+  /** Deterministic spherical k-means trainer for the IVF coarse quantizer
+    * (closes the "centroids are pluggable but nothing trains them" gap):
+    * unitize the init exemplars, then `iters` rounds of
+    * [[ivfAssign]] → per-cell decimal-exact mean → re-unitize. No RNG
+    * anywhere — same data, same init, same centroids, on any cluster
+    * layout (decimal sums are order-independent; ties in assignment break
+    * to the lowest centroid id). Cells that go empty keep their previous
+    * centroid (the standard k-means dead-cell rule).
+    *
+    * Scale contract: each iteration is one broadcast-assign (zero shuffle)
+    * plus one (cell, pos) hash aggregate; only the C×dim centroid table
+    * (C ~ sqrt(N) — ~50 MB at N=10^10, dim=64) ever reaches the driver.
+    */
+  def ivfTrain(df: DataFrame, id: Column, vec: Column,
+      init: Seq[(Int, Array[Double])], iters: Int): Seq[(Int, Array[Double])] = {
+    require(init.nonEmpty && iters >= 0, "need init centroids, iters >= 0")
+    val base = graft.ops.Shape.split(
+      df.select(id.as("vec_id"), vec.as("emb")))
+    var cents = init.map { case (j, v) => (j, unitize(v)) }
+    for (_ <- 1 to iters) {
+      val cells = ivfAssign(base, col("vec_id"), col("emb"), cents)
+      val sums = base.join(cells, "vec_id")
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("double").cast(DecimalType(30, 12))).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val m = new Array[Double](dim)
+        rows.foreach(r =>
+          m(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3))
+        cell -> m
+      }
+      cents = cents.map { case (j, old) =>
+        (j, byCell.get(j).map(unitize).getOrElse(old))
+      }
+    }
+    cents
+  }
+
   /** Candidate pairs that share a bucket in at least one table, deduped —
     * the OR of the per-table collision sets. Equality join on (tbl,
     * bucket); the bucketed frame feeds both sides, so it is persisted.

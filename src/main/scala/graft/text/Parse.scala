@@ -107,6 +107,15 @@ object Parse {
       // cycle guard for derivation reconstruction (nullable left recursion
       // would otherwise re-derive the same (rule, span) forever)
       val deriving = collection.mutable.Set.empty[(String, Int, Int)]
+      // negative memo for derive(): failed (pattern, pos, target) splits —
+      // GSeq/GRep try every split point, so an ambiguous grammar over a
+      // long non-matching span would otherwise backtrack exponentially
+      // (ends() is packrat-bounded; reconstruction must be too). Guarded
+      // by cycleHits: a None produced under an active `deriving` cycle is
+      // provisional (the same span can succeed outside the cycle) and is
+      // never recorded.
+      val deriveFail = collection.mutable.Set.empty[(GPat, Int, Int)]
+      var cycleHits = 0
     }
 
     /** All possible end offsets of a match of `p` beginning at `pos`. */
@@ -234,6 +243,17 @@ object Parse {
       * (rule, start, end) information.
       */
     private def derive(text: String, p: GPat, pos: Int, target: Int,
+        ctx: Ctx): Option[List[(String, Int, Int)]] = {
+      val key = (p, pos, target)
+      if (ctx.deriveFail.contains(key)) return None
+      val hits0 = ctx.cycleHits
+      val r = deriveImpl(text, p, pos, target, ctx)
+      // only a failure that never consulted an in-progress cycle is final
+      if (r.isEmpty && ctx.cycleHits == hits0) ctx.deriveFail.add(key)
+      r
+    }
+
+    private def deriveImpl(text: String, p: GPat, pos: Int, target: Int,
         ctx: Ctx): Option[List[(String, Int, Int)]] = p match {
       case GLit(s) =>
         if (target == pos + s.length && text.startsWith(s, pos)) Some(Nil)
@@ -279,8 +299,8 @@ object Parse {
       case GRef(name) =>
         val rule = rules(name)
         val key = (name, pos, target)
-        if (ctx.deriving.contains(key) ||
-            !ends(text, GRef(name), pos, ctx).contains(target)) None
+        if (ctx.deriving.contains(key)) { ctx.cycleHits += 1; None }
+        else if (!ends(text, GRef(name), pos, ctx).contains(target)) None
         else {
           ctx.deriving.add(key)
           try derive(text, rule, pos, target, ctx)

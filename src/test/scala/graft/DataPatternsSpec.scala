@@ -92,6 +92,9 @@ class DataPatternsSpec extends SparkSpec {
     val idCard = p("id").getAs[Long]("cardinality")
     assert(idCard >= 4 && idCard <= 6)
     assert(p("id").getSeq[Row](p("id").fieldIndex("modes")).isEmpty)
+    // the gate is announced, not inferred: sketched vs exact is explicit
+    assert(p("id").getAs[Boolean]("cardinality_is_approx"))
+    assert(!p("color").getAs[Boolean]("cardinality_is_approx"))
     assert(p("color").getAs[Long]("cardinality") == 2)
     assert(p("color").getSeq[Row](p("color").fieldIndex("modes")).nonEmpty)
     // patterns still computed for gated attributes (raw-melt path)

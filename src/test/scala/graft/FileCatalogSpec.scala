@@ -123,6 +123,59 @@ class FileCatalogSpec extends SparkSpec {
     assert(cat.list("t*").size == 20)
   }
 
+  test("copy / remotePull move logical files across catalog roots") {
+    val a = newCat("copy-a")
+    val b = newCat("copy-b")
+    a.write("src", Seq((1, "x"), (2, "y")).toDF("k", "v"))
+    a.copy("src", b, "plain")
+    assert(b.read("plain").orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "x"), (2, "y")))
+    // pull direction + ASSUPERFILE wrapper
+    b.remotePull(a, "src", "wrapped", asSuperfile = true)
+    assert(b.superFileExists("wrapped"))
+    assert(b.superFileContents("wrapped") == Seq("wrapped"))
+    assert(b.readSuper("wrapped").count() == 2)
+    // the copy is physical: mutating the source doesn't change the copy
+    a.write("src", Seq((9, "z")).toDF("k", "v"))
+    assert(b.read("plain").count() == 2)
+  }
+
+  test("sprayXml / sprayJson import over declared schemas") {
+    import org.apache.spark.sql.types._
+    val cat = newCat("sprayxj")
+    val df = Seq((1, "alpha"), (2, "beta")).toDF("k", "v")
+    val xmlPath = s"/root/repo/target/graft_io/filecat_spec/sxml-${System.nanoTime()}"
+    val jsonPath = s"/root/repo/target/graft_io/filecat_spec/sjson-${System.nanoTime()}"
+    graft.sources.Sources.xmlWrite(df, xmlPath)
+    graft.sources.Sources.jsonWrite(df, jsonPath)
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", StringType)))
+    cat.sprayXml("from_xml", xmlPath, schema, parts = 2)
+    cat.sprayJson("from_json", jsonPath, schema, parts = 2)
+    assert(cat.read("from_xml").orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "alpha"), (2, "beta")))
+    assert(cat.read("from_json").orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "alpha"), (2, "beta")))
+  }
+
+  test("jdbcExport / jdbcImport roundtrip through embedded Derby") {
+    // Derby ships with Spark (metastore dep) — a real in-JVM JDBC engine,
+    // so the plugin-analog surface is gated end-to-end, not stubbed
+    val cat = newCat("jdbc")
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    cat.write("src", Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("k", "v"))
+    cat.jdbcExport("src", url, "exported", props)
+    cat.jdbcImport("back", url, "exported", props)
+    assert(cat.read("back").orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // stride-partitioned import path
+    cat.jdbcImport("back4", url, "exported", props,
+      partitionColumn = Some(("k", 1L, 3L, 2)))
+    assert(cat.read("back4").count() == 3)
+  }
+
   test("manifest GC bounds catalog-dir growth; state intact") {
     val root = s"/root/repo/target/graft_io/filecat_spec/gc-${System.nanoTime()}"
     val cat = new FileCatalog(spark, root)

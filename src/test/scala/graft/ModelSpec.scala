@@ -120,6 +120,15 @@ class ModelSpec extends SparkSpec {
       "l" -> GOr(GSeq(GRef("l"), GLit("a")), GLit("a"))), "l")
     assert(leftRec.scan("aaa") == Vector("aaa"))
     assert(leftRec.matchEnds("aaa") == Set(1, 2, 3)) // every derivation
+    // ambiguous reconstruction over a long span: S → S S | x⁴ | x⁷ makes
+    // every non-representable remainder a failing derive() subproblem that
+    // recurs across split parents — the negative memo keeps scanExtract
+    // polynomial (this grammar + 400 chars hangs without it bounded)
+    val frob = Grammar(Map(
+      "s" -> GOr(GSeq(GRef("s"), GRef("s")), GLit("x" * 4), GLit("x" * 7))),
+      "s")
+    val hits = frob.scanExtract("x" * 400, Seq("s"))
+    assert(hits.size == 1 && hits.head._1.length == 400)
     // DataFrame lowering: one row per match, other columns ride along
     val df = Seq((1, "(a)(bb)")).toDF("id", "t")
     val out = graft.text.Parse.parseGrammar(df, col("t"), balanced, "m")

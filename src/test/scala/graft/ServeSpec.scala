@@ -50,6 +50,66 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("HTTP endpoint speaks the XML/SOAP protocol (ccdprotocol envelope)") {
+    val pub = new graft.serve.Published(spark)
+    pub.publish("top_nation") { (s, stored) =>
+      import s.implicits._
+      val limit = stored.long("limit", 2L).toInt
+      Seq((1, "KENYA"), (2, "PERU"), (3, "JAPAN")).toDF("k", "n").limit(limit)
+    }
+    val port = pub.serve(0)
+    try {
+      def send(path: String, accept: String = "", body: String = "",
+          contentType: String = ""): (Int, String, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        if (accept.nonEmpty) conn.setRequestProperty("Accept", accept)
+        if (body.nonEmpty) {
+          conn.setRequestMethod("POST")
+          conn.setRequestProperty("Content-Type", contentType)
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          try os.write(body.getBytes("UTF-8")) finally os.close()
+        }
+        val code = conn.getResponseCode
+        val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+        val text = scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        (code, text, String.valueOf(conn.getContentType))
+      }
+      // Accept-negotiated XML: the ccdprotocol Response/Results/Dataset/Row
+      // envelope shape, rows rendered by the same machinery as OUTPUT,XML
+      val (xc, xb, xt) = send("/query/top_nation?limit=3", accept = "text/xml")
+      assert(xc == 200 && xt.startsWith("text/xml"))
+      assert(xb.contains("<top_nationResponse xmlns=\"urn:hpccsystems:ecl:top_nation\">"))
+      assert(xb.contains("<Results><Dataset name=\"Result 1\">"))
+      assert(xb.contains("<Row><k>3</k><n>JAPAN</n></Row>"))
+      assert(xb.endsWith("</Dataset></Results></top_nationResponse>"))
+      // ?format=xml works without an Accept header
+      val (fc, fb, _) = send("/query/top_nation?format=xml")
+      assert(fc == 200 && fb.contains("<Dataset name=\"Result 1\">"))
+      // POST form body params merge with (and can replace) query-string ones
+      val (pc, pb, _) = send("/query/top_nation", body = "limit=1",
+        contentType = "application/x-www-form-urlencoded")
+      assert(pc == 200 && pb.contains("\"rowCount\":1"))
+      // SOAP request → params from Body/<name>Request, SOAP-enveloped reply
+      val soap =
+        """<?xml version="1.0"?>
+          |<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+          |<soap:Body><top_nationRequest>
+          |<limit>3</limit>
+          |</top_nationRequest></soap:Body></soap:Envelope>""".stripMargin
+      val (sc, sb, st) = send("/query/top_nation", body = soap,
+        contentType = "text/xml")
+      assert(sc == 200 && st.startsWith("text/xml"))
+      assert(sb.contains("<soap:Body><top_nationResponse"))
+      assert(sb.contains("<Row><k>3</k><n>JAPAN</n></Row>"))
+      assert(sb.contains("</soap:Body></soap:Envelope>"))
+      // XML-mode errors use the Exception envelope
+      val (ec, eb, _) = send("/query/nope?format=xml")
+      assert(ec == 404 && eb.contains("<Exception><Message>"))
+    } finally pub.stopServing()
+  }
+
   test("workunits: record/exists/list filters/timestamps/files/messages") {
     val wu = new graft.serve.Workunits(spark)
     val dir = "/root/repo/target/graft_io/wu_spec"

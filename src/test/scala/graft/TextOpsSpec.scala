@@ -161,6 +161,43 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 0))
   }
 
+  test("ivfTrain: deterministic, converging, dead cells keep centroids") {
+    // two tight clusters around (1,0,..) and (0,1,..) plus a far-out init
+    // exemplar that captures nothing after round 1
+    val vecs = (0 until 30).map { i =>
+      val base = if (i % 2 == 0) Array(10f, 1f, 0f, 0f)
+      else Array(1f, 10f, 0f, 0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 7 + j) % 3) * 0.1f })
+    }.toDF("vec_id", "embedding")
+    val init = Embeddings.ivfInitHashSample(vecs, col("vec_id"),
+      col("embedding"), 3)
+    assert(init.size == 3 && init.map(_._1) == init.map(_._1).sorted)
+    val t1 = Embeddings.ivfTrain(vecs, col("vec_id"), col("embedding"),
+      init, iters = 2)
+    val t2 = Embeddings.ivfTrain(vecs, col("vec_id"), col("embedding"),
+      init, iters = 2)
+    // bit-identical across runs (decimal sums, no RNG)
+    assert(t1.map(_._1) == t2.map(_._1))
+    assert(t1.zip(t2).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // centroids are unit vectors
+    t1.foreach { case (_, c) =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9) }
+    // trained assignment separates the two clusters
+    val cells = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"), t1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the clusters never share a cell (k=3 on 2 clusters may split one —
+    // a legitimate local optimum — but must not merge across clusters)
+    val evenCells = (0 until 30 by 2).map(i => cells(i.toLong)).toSet
+    val oddCells = (1 until 30 by 2).map(i => cells(i.toLong)).toSet
+    assert(evenCells.intersect(oddCells).isEmpty)
+    // a dead cell keeps its previous centroid rather than vanishing
+    val farInit = init :+ (999, Array(-1.0, -1.0, -1.0, -1.0))
+    val t3 = Embeddings.ivfTrain(vecs, col("vec_id"), col("embedding"),
+      farInit, iters = 1)
+    assert(t3.size == 4 && t3.exists(_._1 == 999))
+  }
+
   test("planesFor scales bucket count with corpus size") {
     import Embeddings.planesFor
     // occupancy target holds: corpus / 2^planes <= target (within 2x)
