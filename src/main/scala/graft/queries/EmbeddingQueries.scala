@@ -106,15 +106,17 @@ object EmbeddingQueries {
     }) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val bk = Embeddings.rpLshBucket(emb, col("vec_id"), col("embedding"), 8)
+      // norms fold once per vector BEFORE the pair join (not once per pair)
       val withB = emb.join(bk, "vec_id")
+        .withColumn("__n", Embeddings.normExact(col("embedding")))
       val q = withB.select(col("vec_id").as("qv_id"), col("embedding").as("q_emb"),
-        col("bucket"))
+        col("__n").as("q_n"), col("bucket"))
       val c = withB.select(col("vec_id").as("cv_id"), col("embedding").as("c_emb"),
-        col("bucket").as("bucket_c"))
+        col("__n").as("c_n"), col("bucket").as("bucket_c"))
       val pairs = q.join(c, col("bucket") === col("bucket_c") &&
         col("qv_id") =!= col("cv_id"))
-      Embeddings.cosinePairsTopK(pairs, col("qv_id"), col("cv_id"),
-          col("q_emb"), col("c_emb"), 3)
+      Embeddings.cosinePairsTopKNormed(pairs, col("qv_id"), col("cv_id"),
+          col("q_emb"), col("c_emb"), col("q_n"), col("c_n"), 3)
         .orderBy(col("q_id"), col("rank"))
     },
 
@@ -168,11 +170,15 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       val bk = Embeddings.rpLshBucketTables(emb,
         col("vec_id"), col("embedding"), numPlanes = 10, numTables = 2)
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        Embeddings.normExact(col("embedding")).as("__n"))
       val pairs = Embeddings.annCandidatePairs(bk)
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
-        .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
-      Embeddings.cosinePairsTopK(pairs, col("q_id"), col("c_id"),
-          col("q_emb"), col("c_emb"), 3)
+        .join(withN.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("__n").as("q_n")), "q_id")
+        .join(withN.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("__n").as("c_n")), "c_id")
+      Embeddings.cosinePairsTopKNormed(pairs, col("q_id"), col("c_id"),
+          col("q_emb"), col("c_emb"), col("q_n"), col("c_n"), 3)
         .orderBy(col("q_id"), col("rank"))
     },
 
@@ -224,14 +230,18 @@ object EmbeddingQueries {
         .sortBy(_._1).toSeq
       val cells = graft.ops.Shape.split(
         Embeddings.ivfAssign(emb, col("vec_id"), col("embedding"), cents))
+      val withN = emb.select(col("vec_id"), col("embedding"),
+        Embeddings.normExact(col("embedding")).as("__n"))
       val pairs = cells.filter(col("vec_id") < 20)
         .select(col("cell"), col("vec_id").as("q_id"))
         .join(cells.select(col("cell"), col("vec_id").as("c_id")), "cell")
         .filter(col("q_id") =!= col("c_id"))
-        .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")), "q_id")
-        .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb")), "c_id")
-      Embeddings.cosinePairsTopK(pairs, col("q_id"), col("c_id"),
-          col("q_emb"), col("c_emb"), 3)
+        .join(withN.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("__n").as("q_n")), "q_id")
+        .join(withN.select(col("vec_id").as("c_id"),
+          col("embedding").as("c_emb"), col("__n").as("c_n")), "c_id")
+      Embeddings.cosinePairsTopKNormed(pairs, col("q_id"), col("c_id"),
+          col("q_emb"), col("c_emb"), col("q_n"), col("c_n"), 3)
         .orderBy(col("q_id"), col("rank"))
     },
 
@@ -384,14 +394,16 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       val bk = Embeddings.rpLshBucketAuto(emb, col("vec_id"), col("embedding"))
       val withB = emb.join(bk, "vec_id")
+        .withColumn("__n", Embeddings.normExact(col("embedding")))
       val q = withB.select(col("vec_id").as("qv_id"),
-        col("embedding").as("q_emb"), col("bucket"))
+        col("embedding").as("q_emb"), col("__n").as("q_n"), col("bucket"))
       val c = withB.select(col("vec_id").as("cv_id"),
-        col("embedding").as("c_emb"), col("bucket").as("bucket_c"))
+        col("embedding").as("c_emb"), col("__n").as("c_n"),
+        col("bucket").as("bucket_c"))
       val pairs = q.join(c, col("bucket") === col("bucket_c") &&
         col("qv_id") =!= col("cv_id"))
-      Embeddings.cosinePairsTopK(pairs, col("qv_id"), col("cv_id"),
-          col("q_emb"), col("c_emb"), 3)
+      Embeddings.cosinePairsTopKNormed(pairs, col("qv_id"), col("cv_id"),
+          col("q_emb"), col("c_emb"), col("q_n"), col("c_n"), 3)
         .orderBy(col("q_id"), col("rank"))
     },
 

@@ -82,15 +82,29 @@ object Embeddings {
     * (q_id, c_id, rank).
     */
   def cosinePairsTopK(pairs: DataFrame, qid: Column, cid: Column,
-      qvec: Column, cvec: Column, k: Int): DataFrame = {
-    // Dot and both norms fold per pair row (decimal-exact, same addends as
-    // an explode+agg — identical values), so the ONLY shuffle here is the
+      qvec: Column, cvec: Column, k: Int): DataFrame =
+    // norms fold per pair here — fine when pairs/vector is small; when the
+    // pair frame joins vectors in anyway, precompute norms per SIDE and
+    // use the normed variant below (once per vector beats once per pair —
+    // at ~30 candidates/vector the norm folds are 2/3 of all arithmetic)
+    cosinePairsTopKNormed(pairs, qid, cid, qvec, cvec,
+      normExact(qvec), normExact(cvec), k)
+
+  /** [[cosinePairsTopK]] with CALLER-SUPPLIED norm columns — the shape to
+    * use when norms were computed once per vector before the pair join
+    * (dot and the divide are the only per-pair arithmetic left). Same
+    * decimal-exact scores, same output.
+    */
+  def cosinePairsTopKNormed(pairs: DataFrame, qid: Column, cid: Column,
+      qvec: Column, cvec: Column, qnorm: Column, cnorm: Column,
+      k: Int): DataFrame = {
+    // Dot folds per pair row (decimal-exact, same addends as an
+    // explode+agg — identical values), so the ONLY shuffle here is the
     // per-query ranking window. The previous explode + hash-agg + 3-way
     // norm join shape shuffled 64× the pair count and re-planned the pair
     // source three times — measured 8× slower on the q93 candidate set.
     val scored = pairs.select(qid.as("q_id"), cid.as("c_id"),
-        (dotExact(qvec, cvec) / (normExact(qvec) * normExact(cvec)))
-          .as("cos"))
+        (dotExact(qvec, cvec) / (qnorm * cnorm)).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -231,19 +245,24 @@ object Embeddings {
   def cosineNearDupDedup(df: DataFrame, id: Column, vec: Column,
       tau: Double, numPlanes: Int, numTables: Int,
       dim: Int = 64): DataFrame = {
+    // norms ride the persisted base: folded once per VECTOR, not once per
+    // candidate pair (pairs/vector grows with near-dup density)
     val base = graft.ops.Shape.split(
-      df.select(id.as("vec_id"), vec.as("emb")))
+      df.select(id.as("vec_id"), vec.as("emb"))
+        .withColumn("__norm", normExact(col("emb"))))
     val buckets = rpLshBucketTables(base, col("vec_id"), col("emb"),
       numPlanes, numTables, dim)
     // orient pairs larger-id-first: q_id is the potential removal
     val cand = annCandidatePairs(buckets).filter(col("q_id") > col("c_id"))
     val removed = cand
-      .join(base.select(col("vec_id").as("q_id"), col("emb").as("q_emb")), "q_id")
-      .join(base.select(col("vec_id").as("c_id"), col("emb").as("c_emb")), "c_id")
+      .join(base.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("__norm").as("q_norm")), "q_id")
+      .join(base.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("__norm").as("c_norm")), "c_id")
       .filter((dotExact(col("q_emb"), col("c_emb")) /
-        (normExact(col("q_emb")) * normExact(col("c_emb")))) >= tau)
+        (col("q_norm") * col("c_norm"))) >= tau)
       .select(col("q_id").as("vec_id")).distinct()
-    base.join(removed, Seq("vec_id"), "left_anti")
+    base.join(removed, Seq("vec_id"), "left_anti").drop("__norm")
   }
 
   /** [[cosineNearDupDedup]] with corpus-adaptive plane count — the scale
@@ -276,18 +295,20 @@ object Embeddings {
   def ivfAssign(df: DataFrame, id: Column, vec: Column,
       centroids: Seq[(Int, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val scored = centroids.map { case (cid, cvec) =>
-      val dot = decimalArraySum(zip_with(vec, typedLit(cvec.toSeq),
+    // Each dot expression appears EXACTLY ONCE, in an array; argmax is
+    // array_max + array_position (first occurrence = lowest centroid index
+    // on ties, same contract as a strict-greater fold). The previous
+    // when()-fold nested the accumulator twice per centroid — a 2^C
+    // expression tree that cost ~14 s of compile at C=8 and would never
+    // survive C ~ sqrt(N) at real scale.
+    val dots = centroids.map { case (_, cvec) =>
+      decimalArraySum(zip_with(vec, typedLit(cvec.toSeq),
         (v, c) => coalesce(v.cast("double") * c, lit(0.0)))).cast("double")
-      (cid, dot)
     }
-    val best = scored.foldLeft(
-      struct(lit(Double.MinValue).as("d"), lit(-1).as("i"))) {
-      case (acc, (cid, d)) =>
-        when(d > acc.getField("d"),
-          struct(d.as("d"), lit(cid).as("i"))).otherwise(acc)
-    }
-    df.select(id.as("vec_id"), best.getField("i").as("cell"))
+    val arr = array(dots: _*)
+    val idx = array_position(arr, array_max(arr)).cast("int")
+    df.select(id.as("vec_id"),
+      element_at(typedLit(centroids.map(_._1)), idx).as("cell"))
   }
 
   /** Deterministic, RNG-free trainer init — the k-means‖ oversampling
