@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for near-duplicate CLUSTER resolution —
+  * the step after candidate generation + exact refine: near-dup relations
+  * are rarely transitive-closed by construction (A~B, B~C but A!~C), so
+  * corpus dedup at scale labels each document with its connected
+  * component and keeps one representative per component.
+  *
+  * Reference contract: the reference resolves link clusters with
+  * iterative JOIN + ROLLUP graph loops (`thorlcr/thorutil/thgraph`
+  * loop-activity machinery; SALT's clustering generates exactly this
+  * shape). Spark-native re-expression: DataFrame rounds with
+  * localCheckpoint lineage truncation.
+  */
+object Graph {
+
+  /** Canonical edge signature: (count, sum of xxhash64(u,v)). Consecutive
+    * equal signatures on canonically-oriented, distinct edge sets mean the
+    * star-contraction reached its fixpoint. One single-row action.
+    */
+  private def signature(edges: DataFrame): (Long, String) = {
+    // decimal accumulator: a Long sum of 64-bit hashes overflows under
+    // ANSI arithmetic
+    val r = edges
+      .agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).cast("string"))
+      .head()
+    (r.getLong(0), r.getString(1))
+  }
+
+  /** Large-star round: every node connects its LARGER neighbors to its
+    * minimum known neighbor (or itself). Input/output edges oriented
+    * u > v; output is distinct. One groupBy shuffle + one join.
+    */
+  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node connects its SMALLER neighbors (its
+    * whole out-neighborhood under the u > v orientation) plus itself to
+    * its minimum neighbor. Output oriented u > v, distinct.
+    */
+  private[ops] def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+    edges.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): O(log² n) rounds worst-case and a handful on real
+    * near-dup graphs, each round two hash-shuffles. The naive
+    * label-propagation alternative needs O(diameter) rounds — a chain of
+    * 1M near-identical crawl snapshots would take 1M shuffles; star
+    * contraction collapses it in ~log n. Rounds are localCheckpoint-ed so
+    * lineage (and the plan Catalyst must analyze) stays O(1) per round,
+    * not O(rounds) — the standard iterative-algorithm discipline on
+    * Spark.
+    *
+    * `vertices`/`vid`: one row per node (isolated nodes label
+    * themselves). `edges`/`src`/`dst`: undirected relation rows, any
+    * orientation, self-loops ignored. Returns (id, component) where
+    * component = MIN node id of the connected component — deterministic
+    * regardless of partitioning or round count.
+    */
+  def connectedComponents(vertices: DataFrame, vid: Column,
+      edges: DataFrame, src: Column, dst: Column,
+      maxRounds: Int = 30): DataFrame = {
+    val verts = vertices.select(vid.cast("long").as("id"))
+    var e = edges
+      .select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(e)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextSig = signature(next)
+      e.unpersist()
+      converged = nextSig == sig
+      sig = nextSig
+      e = next
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxRounds rounds")
+    // Fixpoint is a star forest oriented child > root: child's component
+    // is its (unique) out-neighbor; roots and isolated nodes label
+    // themselves.
+    val roots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("m"))
+    verts.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("component"))
+  }
+}

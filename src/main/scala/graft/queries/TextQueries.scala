@@ -299,6 +299,54 @@ object TextQueries {
         col("text"), nBits = 60)
       TextOps.simhashNearDup(sh, nBits = 60)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // ---- near-dup CLUSTER resolution: connected components over the
+    // verified (jaccard >= 0.5) LSH pair graph. Near-dup relations aren't
+    // transitive, so corpus dedup labels components and keeps min-id per
+    // component. Engine: alternating large-star/small-star contraction
+    // (O(log n) rounds, each a bucket-local shuffle). The oracle's
+    // recursive-CTE transitive closure is the SPEC, not the plan — closure
+    // materializes O(component²) tuples and only DuckDB at sf0.01 can
+    // afford it.
+    QueryDef("q99_dedup_components",
+      s"""WITH RECURSIVE $MinhashCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |e AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id)
+         |SELECT id AS doc_id, MIN(r) AS component,
+         |  CASE WHEN id = MIN(r) THEN 1 ELSE 0 END AS is_keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sets = graft.ops.Shape.split(TextOps.shingleSet(
+        Tables.documents(s, dir), col("doc_id"), col("text"), 3))
+      val bands = graft.ops.Shape.split(
+        TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
+      val edges = TextOps.jaccardSets(TextOps.lshCandidates(bands), sets)
+        .filter(col("jac") >= 0.5)
+      graft.ops.Graph.connectedComponents(
+          Tables.documents(s, dir), col("doc_id"),
+          edges, col("doc_a"), col("doc_b"))
+        .select(col("id").as("doc_id"), col("component"),
+          when(col("id") === col("component"), 1)
+            .otherwise(0).cast("int").as("is_keeper"))
+        .orderBy(col("doc_id"))
     }
   )
 }
