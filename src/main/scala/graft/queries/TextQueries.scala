@@ -45,6 +45,100 @@ object TextQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- PII audit + scrub: the redaction pass every training pipeline
+    // runs before anything else. The corpus carries no natural PII, so the
+    // query synthesizes it deterministically on BOTH engines (the q106
+    // literal-vector pattern), then counts pre-scrub and fingerprints the
+    // scrubbed text. Patterns are RE2-compatible so DuckDB applies the
+    // identical expressions (with 'g' — DuckDB replaces first-only by
+    // default, Spark replaces all).
+    QueryDef("q70_pii_scrub", {
+      val Seq(email, ssn, phone, ip) = TextOps.PiiPatterns.map(_._1)
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || CASE
+         |    WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |    WHEN doc_id % 3 = 1 THEN ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or 123-45-6789'
+         |    ELSE ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+         |  END AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ssn')) AS BIGINT) AS n_ssn,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    t, '$email', '<EMAIL>', 'g'), '$ssn', '<SSN>', 'g'),
+         |    '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g')) AS scrubbed_fp
+         |FROM aug ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val Seq(email, ssn, phone, ip) = TextOps.PiiPatterns.map(_._1)
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit(" call (555) 123-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+              lit(" or 123-45-6789")))
+          .otherwise(concat(lit(" from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7")))).as("t"))
+      aug.select(col("doc_id"),
+          TextOps.piiCount(col("t"), email).as("n_email"),
+          TextOps.piiCount(col("t"), ssn).as("n_ssn"),
+          TextOps.piiCount(col("t"), phone).as("n_phone"),
+          TextOps.piiCount(col("t"), ip).as("n_ip"),
+          md5(TextOps.scrubPii(col("t"))).as("scrubbed_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- benchmark decontamination: training docs sharing any 8-gram
+    // with the (broadcast) eval split. Eval set = doc_id % 97 == 0.
+    QueryDef("q71_decontaminate", {
+      val leads = (1 to 7).map(j => s"LEAD(word,$j) OVER w").mkString(" || ' ' || ")
+      s"""WITH $WordsCte,
+         |g8 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, word || ' ' || $leads AS shingle
+         |  FROM wp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL)),
+         |ev AS (SELECT DISTINCT shingle FROM g8 WHERE doc_id % 97 = 0),
+         |h AS (SELECT t.doc_id, COUNT(DISTINCT t.shingle) AS n
+         |      FROM g8 t JOIN ev ON ev.shingle = t.shingle
+         |      WHERE t.doc_id % 97 <> 0 GROUP BY t.doc_id)
+         |SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         |LEFT JOIN h ON h.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      TextOps.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          col("doc_id"), col("text"), 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-document duplicate passages: 5-grams in >= 2 docs. One
+    // linear gram shuffle (exact variant; winnow anchors are the sampled
+    // scale path, q97).
+    QueryDef("q73_dup_passages", {
+      val leads = (1 to 4).map(j => s"LEAD(word,$j) OVER w").mkString(" || ' ' || ")
+      s"""WITH $WordsCte,
+         |p5 AS (SELECT doc_id, shingle FROM (
+         |  SELECT doc_id, word || ' ' || $leads AS shingle
+         |  FROM wp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL))
+         |SELECT shingle,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         |FROM p5 GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY shingle""".stripMargin
+    }) { (s, dir) =>
+      TextOps.duplicatePassages(Tables.documents(s, dir),
+          col("doc_id"), col("text"), 5)
+        .orderBy(col("shingle"))
+    },
+
     // ---- exact dedup: content-hash clusters, keep min doc_id -------------
     QueryDef("q80_dedup_exact",
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keeper

@@ -332,4 +332,78 @@ object TextOps {
   /** Content fingerprint: md5 of whitespace-normalized lowercase text. */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // ---- PII detection / scrubbing (training-data pipeline) ----------------
+
+  /** (pattern, replacement) in APPLICATION ORDER — specific before general
+    * (an SSN would otherwise be half-eaten by a looser digit pattern).
+    * Patterns stay inside the RE2-compatible subset (no lookaround) so the
+    * DuckDB oracle can apply the very same expressions.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}-\\d{2}-\\d{4}\\b" -> "<SSN>",
+    "\\(\\d{3}\\) ?\\d{3}-\\d{4}" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>")
+
+  /** Occurrence count of one PII pattern — computed on the PRE-scrub text
+    * (the audit side of the pipeline: how much PII did this doc carry).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Redact every [[PiiPatterns]] match with its placeholder — one chained
+    * regexp_replace projection, scan-speed, zero shuffles.
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
+
+  /** Like [[shingles]] but keeps EVERY occurrence (passage-level duplicate
+    * mining needs occurrence counts, not set membership).
+    */
+  def shinglesAll(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val window = (1 until k).map(_ => "\\S+ ").mkString + "\\S+"
+    val pattern = s"(?=($window))\\S+ ?"
+    df.select(id.as("doc_id"),
+      explode(regexp_extract_all(
+        regexp_replace(trim(text), "\\s+", " "), lit(pattern), lit(1)))
+        .as("shingle"))
+  }
+
+  /** Cross-document duplicate passages: word k-grams occurring in >= 2
+    * DISTINCT documents (the exact-substring signal behind "deduplicating
+    * training data" pipelines). One linear hash-shuffle on the gram — never
+    * a doc×doc product. At 100 TB run the same aggregate over [[winnow]]
+    * fingerprints instead of all grams (anchors sample ~2/(w+1) of
+    * positions with a coverage guarantee); the gram path is the exact
+    * variant.
+    */
+  def duplicatePassages(df: DataFrame, id: Column, text: Column,
+      k: Int, minDocs: Int = 2): DataFrame =
+    shinglesAll(df, id, text, k)
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Benchmark decontamination: flag training docs that share any word
+    * k-gram with an eval corpus — the published n-gram-overlap procedure
+    * (GPT-3 appendix C / PaLM style, typically k = 8..13). The eval gram
+    * set is tiny next to the training corpus, so it BROADCASTS and the
+    * training side streams once — no shuffle of the corpus, no join
+    * re-partitioning. Output: (doc_id, n_hits) per TRAINING doc, n_hits =
+    * distinct contaminated grams (0 = clean).
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, id: Column,
+      text: Column, k: Int): DataFrame = {
+    val evalGrams = shingles(evalDocs, id, text, k)
+      .select(col("shingle")).distinct()
+    val hits = shingles(train, id, text, k)
+      .join(broadcast(evalGrams), "shingle")
+      .groupBy("doc_id").agg(countDistinct(col("shingle")).as("n_hits"))
+    train.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
 }

@@ -247,4 +247,39 @@ class TextOpsSpec extends SparkSpec {
         dim = 64).collect()
     }
   }
+
+  test("scrubPii redacts every pattern class; SSN survives next to a phone") {
+    val df = Seq(
+      "call (555) 123-4567 or mail bob.smith+x@ex-ample.org ssn 123-45-6789 ip 10.0.255.7")
+      .toDF("t")
+    val out = df.select(TextOps.scrubPii(col("t"))).as[String].head()
+    assert(out == "call <PHONE> or mail <EMAIL> ssn <SSN> ip <IP>")
+    val counts = df.select(
+      TextOps.PiiPatterns.map { case (p, _) => TextOps.piiCount(col("t"), p) }: _*)
+      .as[(Long, Long, Long, Long)].head()
+    assert(counts == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("decontaminate: overlap flags, clean docs 0, short docs included as 0") {
+    val train = Seq(
+      (1L, "a b c d e f g h tail words here"), // shares the 8-gram prefix
+      (2L, "totally different words with no overlap at all whatsoever"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d e f g h and more")).toDF("doc_id", "text")
+    val hits = TextOps.decontaminate(train, eval_, col("doc_id"), col("text"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hits(1L) >= 1L && hits(2L) == 0L && hits(3L) == 0L)
+    assert(hits.size == 3)
+  }
+
+  test("duplicatePassages counts occurrences and distinct docs per gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "see the quick brown fox jumps high"),
+      (3L, "the quick brown fox jumps the quick brown fox jumps")).toDF("doc_id", "text")
+    val out = TextOps.duplicatePassages(docs, col("doc_id"), col("text"), 5)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("the quick brown fox jumps") == ((3L, 4L, 1L, 3L)))
+  }
 }
