@@ -94,8 +94,13 @@ object Graph {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // checkpoint between the stars: smallStar consumes its input twice
+      // (groupBy + join) and Catalyst does not CSE across the self-join —
+      // without this the large-star shuffle chain runs twice per round
+      val ls = largeStar(e).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
       val nextSig = signature(next)
+      ls.unpersist()
       e.unpersist()
       converged = nextSig == sig
       sig = nextSig

@@ -177,4 +177,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(l_partkey,100)") &&
       plan.contains("LessThanOrEqual(l_partkey,120)"), s"plan:\n$plan")
   }
+
+  test("decontaminate broadcasts the eval gram set — the corpus never shuffles") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.text.TextOps.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0),
+      docs.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), 8)
+    val plan = out.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams did not broadcast:\n$plan")
+  }
 }
