@@ -62,6 +62,13 @@ object Graph {
       .distinct()
   }
 
+  /** Formatted physical plan of one large-star round (PLANS.md evidence —
+    * the component loop itself is iterative, one such plan per round).
+    */
+  def largeStarPlan(edges: DataFrame): String =
+    largeStar(edges).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14): O(log² n) rounds worst-case and a handful on real
