@@ -139,6 +139,38 @@ object TextQueries {
         .orderBy(col("shingle"))
     },
 
+    // ---- BM25 relevance scoring (data-curation quality/relevance
+    // feature). Per-term scores are raw double math, identical expression
+    // trees on both engines; the per-doc sum routes through DECIMAL(25,6)
+    // so summation order can't smear low bits.
+    QueryDef("q74_bm25",
+      """WITH w AS (SELECT doc_id,
+        |    UNNEST(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |dls AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |  WHERE term IN ('spark', 'hash', 'join', 'window')
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |s AS (SELECT tf.doc_id,
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |             / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * 2.2)
+        |    / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(dl AS DOUBLE)
+        |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
+        |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id)
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(CAST(sc AS DECIMAL(25,6))) AS DOUBLE) AS bm25
+        |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin) { (s, dir) =>
+      TextOps.bm25(Tables.documents(s, dir), col("doc_id"), col("text"),
+          Seq("spark", "hash", "join", "window"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
     // ---- exact dedup: content-hash clusters, keep min doc_id -------------
     QueryDef("q80_dedup_exact",
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keeper

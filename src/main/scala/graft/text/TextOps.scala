@@ -388,6 +388,43 @@ object TextOps {
         max(col("doc_id")).as("last_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** BM25 relevance of each document to a bag of query terms (Robertson/
+    * Lucene idf variant: ln(1 + (N-df+0.5)/(df+0.5))) — the standard
+    * relevance/quality-classifier feature in data-curation pipelines.
+    * Shape: the term explode FILTERS to query terms before its groupBy
+    * (the only corpus-sized shuffle carries just matching (doc, term)
+    * rows); doc-frequency and corpus stats are single-row/tiny frames that
+    * BROADCAST into the scoring join. Per-term scores are plain double
+    * math (bit-identical to the oracle's); the per-doc sum routes through
+    * DECIMAL(25,6) so summation order can't smear the low bits.
+    * Output: (doc_id, bm25) for docs matching >= 1 term.
+    */
+  def bm25(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dls = df.select(id.as("doc_id"),
+      size(words(text)).cast("long").as("dl"))
+    val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = df.select(id.as("doc_id"), explode(words(text)).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dls, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("s", col("idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .groupBy("doc_id")
+      .agg(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(25, 6)))
+        .cast("double").as("bm25"))
+  }
+
   /** Benchmark decontamination: flag training docs that share any word
     * k-gram with an eval corpus — the published n-gram-overlap procedure
     * (GPT-3 appendix C / PaLM style, typically k = 8..13). The eval gram
