@@ -699,6 +699,50 @@ object StdlibQueries {
           Pki.verifySignature(Pki.sign(col("msg"), PkiFixture.PrivatePem),
             concat(col("msg"), lit("x")), PkiFixture.PublicPem).as("tampered"))
         .orderBy(col("id"))
+    },
+
+    // ---- Std.OpenSSL: EVP password ciphers + digest-by-name. Cipher
+    // expectations were produced by `openssl enc -md md5 -pass -S` (the
+    // PUBLIC EVP_BytesToKey derivation), sha3 by the NIST vector, the
+    // rest by `openssl dgst` — the q152 cross-check pattern: the oracle
+    // carries OpenSSL's own answers, the engine must reproduce them.
+    QueryDef("q75_openssl",
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'af0676eacaf32f4f11949c31088a45fc66fdfbf9e7adedfc038c9cb195211af3'),
+        |  (CAST(1 AS BIGINT), 'ccf3259315f6e24d97c3a8fd64ba033f29e3bf1f8e302a3d348b5e3e362e3b83'),
+        |  (CAST(2 AS BIGINT), '9c298007ec968fa5b8de22a5356f4bd8a865daf2'),
+        |  (CAST(3 AS BIGINT), '15af9ec8be783f25c583626e9491dbf129dd6dd620466fdf05b3a1d0bb8381d30f4d3ec29f923ff1e09a0f6b337365a6'),
+        |  (CAST(4 AS BIGINT), '9c44f55c8de907639d0523a52334481349eceb2026e01915e6ef670097086f5d1c95a486fe5736af87dd4e9f79fbd59814cf8b4d73bcfda3cf6e7f23b081e077'),
+        |  (CAST(5 AS BIGINT), '3a985da74fe225b2045c172d6bd390bd855f086e3e9d525b46bfe24511431532'),
+        |  (CAST(6 AS BIGINT), 'roundtrip text'),
+        |  (CAST(7 AS BIGINT), 'NULL')) AS t(id, result)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      import graft.functions.OpenSsl
+      import s.implicits._
+      val in = Seq(
+        (0L, "the quick brown fox"), (1L, "the quick brown fox"),
+        (2L, "graft"), (3L, "the quick brown fox"), (4L, "graft"),
+        (5L, "abc"), (6L, "roundtrip text"), (7L, "roundtrip text"))
+        .toDF("id", "t")
+      in.select(col("id"),
+          when(col("id") === 0, lower(hex(OpenSsl.cipherEncrypt(col("t"),
+            "aes-256-cbc", "secret", "0011223344556677"))))
+          .when(col("id") === 1, lower(hex(OpenSsl.cipherEncrypt(col("t"),
+            "aes-128-cbc", "pw2", "aabbccddeeff0011"))))
+          .when(col("id") === 2, OpenSsl.digestHex(col("t"), "sha1"))
+          .when(col("id") === 3, OpenSsl.digestHex(col("t"), "sha384"))
+          .when(col("id") === 4, OpenSsl.digestHex(col("t"), "sha512"))
+          .when(col("id") === 5, OpenSsl.digestHex(col("t"), "sha3-256"))
+          .when(col("id") === 6, OpenSsl.cipherDecrypt(
+            OpenSsl.cipherEncrypt(col("t"), "aes-256-gcm", "k",
+              "0102030405060708"),
+            "aes-256-gcm", "k", "0102030405060708"))
+          .otherwise(coalesce(OpenSsl.cipherDecrypt(
+            OpenSsl.cipherEncrypt(col("t"), "aes-256-cbc", "right",
+              "0011223344556677"),
+            "aes-256-cbc", "wrong", "0011223344556677"), lit("NULL")))
+          .as("result"))
+        .orderBy(col("id"))
     }
   )
 }
