@@ -1,7 +1,7 @@
 package graft
 
 import graft.agg.Aggregators
-import graft.serve.Published
+import graft.serve.{Audit, Published}
 import org.apache.spark.sql.functions._
 
 class ServeSpec extends SparkSpec {
@@ -155,5 +155,21 @@ class ServeSpec extends SparkSpec {
     val best = udaf(Aggregators.BestByScore)
     val got = df.agg(best(col("s"), col("id"))).head.getLong(0)
     assert(got == 2L) // score tie at 3.0 → smaller id wins
+  }
+
+  test("Std.Audit: entries append, escape, read back; bad type fails loudly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    assert(Audit.audit(root, "ACCESS_SUCCESS", "user \"bob\" logged in",
+      Array[Byte](1, 2, 3)))
+    assert(Audit.audit(root, "ERROR", "line1\nline2"))
+    val rows = Audit.read(spark, root)
+      .select(col("audit_type"), col("msg"), col("data"))
+      .as[(String, String, String)].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == (("ACCESS_SUCCESS", "user \"bob\" logged in", "AQID")))
+    assert(rows(1)._2 == "line1\nline2")
+    assertThrows[IllegalArgumentException] {
+      Audit.audit(root, "FATAL", "not a reference audit type")
+    }
   }
 }
