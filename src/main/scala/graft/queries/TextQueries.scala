@@ -171,6 +171,113 @@ object TextQueries {
         .orderBy(col("bm25").desc, col("doc_id"))
     },
 
+    // ---- the FLAGSHIP composite: a full curation pipeline in one plan.
+    // quality filter → lang-ID → exact dedup (min-id per fingerprint) →
+    // near-dup component dedup (LSH edges + connected components, keep
+    // component min) → drop the eval split + 8-gram-contaminated docs →
+    // deterministic 50% hash sample → PII-scrubbed content fingerprint.
+    // Every stage reuses an individually-gated operator (q80-q99 family);
+    // this gate proves they COMPOSE — the "documents in, training set
+    // out" contract a pipeline user actually runs.
+    QueryDef("q76_curation_pipeline", {
+      val stops = TextOps.EnStopwords.map(w => s"'$w'").mkString(",")
+      val leads8 = (1 to 7).map(j => s"LEAD(word,$j) OVER w").mkString(" || ' ' || ")
+      val scrub = TextOps.PiiPatterns.foldLeft("text") {
+        case (e, (p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+      }
+      s"""WITH RECURSIVE
+         |docs_q AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE len(string_split_regex(trim(text), '\\s+')) >= 50
+         |    AND CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |          w -> w IN ($stops))) AS DOUBLE)
+         |        / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+         |          >= 0.03),
+         |docs_f AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+         |    FROM docs_q)
+         |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+         |${MinhashCte.replace("FROM documents)", "FROM docs_f)")},
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |e AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM docs_f
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+         |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+         |nd AS (SELECT d.doc_id, d.text FROM docs_f d
+         |       JOIN comp c ON c.id = d.doc_id AND c.id = c.component),
+         |train AS (SELECT doc_id, text FROM nd WHERE doc_id % 97 <> 0),
+         |basea AS (SELECT doc_id, trim(text) AS t FROM documents),
+         |wpa AS (
+         |  SELECT doc_id,
+         |    UNNEST(string_split_regex(t, '\\s+')) AS word,
+         |    UNNEST(range(len(string_split_regex(t, '\\s+')))) AS pos
+         |  FROM basea),
+         |g8 AS (SELECT DISTINCT doc_id, shingle FROM (
+         |  SELECT doc_id, word || ' ' || $leads8 AS shingle
+         |  FROM wpa WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+         |  QUALIFY shingle IS NOT NULL)),
+         |ev AS (SELECT DISTINCT shingle FROM g8 WHERE doc_id % 97 = 0),
+         |clean AS (SELECT t.doc_id, t.text FROM train t WHERE NOT EXISTS (
+         |  SELECT 1 FROM g8 g JOIN ev ON ev.shingle = g.shingle
+         |  WHERE g.doc_id = t.doc_id)),
+         |sampled AS (SELECT doc_id, text FROM clean
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+         |        % 100 < 50)
+         |SELECT doc_id, md5($scrub) AS content_fp
+         |FROM sampled ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // 1+2: quality + language gate (scan-speed scalar predicates)
+      val qual = docs.filter(size(TextOps.words(col("text"))) >= 50 &&
+        TextOps.langIdEn(col("text")) === "en")
+      // 3: exact dedup — min doc_id per content fingerprint
+      val fpd = qual.select(col("doc_id"), col("text"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val mins = fpd.groupBy("fp").agg(min(col("doc_id")).as("mn"))
+      val base = graft.ops.Shape.split(fpd.join(mins, "fp")
+        .filter(col("doc_id") === col("mn")).select("doc_id", "text"))
+      // 4: near-dup components over the survivors, keep component min
+      val sets = graft.ops.Shape.split(TextOps.shingleSet(
+        base, col("doc_id"), col("text"), 3))
+      val bands = graft.ops.Shape.split(
+        TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
+      val edges = TextOps.jaccardSets(TextOps.lshCandidates(bands), sets)
+        .filter(col("jac") >= 0.5)
+      val comp = graft.ops.Graph.connectedComponents(
+        base, col("doc_id"), edges, col("doc_a"), col("doc_b"))
+      val nd = base.join(comp.filter(col("id") === col("component"))
+        .select(col("id").as("doc_id")), "doc_id")
+      // 5: decontamination — drop the eval split and overlapping docs
+      val train = nd.filter(col("doc_id") % 97 =!= 0)
+      val hits = TextOps.decontaminate(train,
+        docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"), 8)
+      val clean = train.join(
+        hits.filter(col("n_hits") === 0).select("doc_id"), "doc_id")
+      // 6+7: deterministic sample, PII-scrubbed content fingerprint
+      clean.filter(graft.ops.Sorting.hashSamplePred(col("doc_id"), lit(50)))
+        .select(col("doc_id"),
+          md5(TextOps.scrubPii(col("text"))).as("content_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- exact dedup: content-hash clusters, keep min doc_id -------------
     QueryDef("q80_dedup_exact",
       """SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keeper
