@@ -109,6 +109,12 @@ object OpenSsl {
     * `openssl enc -<name> -md md5 -pass pass:… -S <salt>` (vectors pinned
     * in OpenSslSpec). Key derivation happens ONCE on the driver; the
     * per-row UDF only runs the block cipher.
+    *
+    * CAVEAT (same as the reference's caller-supplied-iv contract): one
+    * (key, iv) pair serves EVERY row of the column. For the GCM suites
+    * nonce reuse across distinct plaintexts forfeits GCM's guarantees —
+    * encrypt one value per (salt, iv), or use [[rsaSeal]] for bulk data
+    * (fresh key+nonce per envelope).
     */
   def cipherEncrypt(plain: Column, algorithm: String, passphrase: String,
       saltHex: String, ivHex: String = ""): Column = {

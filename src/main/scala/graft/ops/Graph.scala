@@ -17,20 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Canonical edge signature: (count, sum of xxhash64(u,v)). Consecutive
-    * equal signatures on canonically-oriented, distinct edge sets mean the
-    * star-contraction reached its fixpoint. One single-row action.
+  /** EXACT fixpoint test for two canonically-oriented distinct edge sets:
+    * equal count + empty anti-join ⇒ equal sets. Both inputs are already
+    * checkpointed, so this is two cheap jobs over materialized frames — a
+    * hash-signature shortcut would make convergence probabilistic, and a
+    * false stop silently mislabels components.
     */
-  private def signature(edges: DataFrame): (Long, String) = {
-    // decimal accumulator: a Long sum of 64-bit hashes overflows under
-    // ANSI arithmetic
-    val r = edges
-      .agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).cast("string"))
-      .head()
-    (r.getLong(0), r.getString(1))
-  }
+  private def sameEdges(a: DataFrame, b: DataFrame,
+      aCount: Long, bCount: Long): Boolean =
+    aCount == bCount &&
+      b.join(a, Seq("u", "v"), "left_anti").isEmpty
 
   /** Large-star round: every node connects its LARGER neighbors to its
     * minimum known neighbor (or itself). Input/output edges oriented
@@ -97,7 +93,7 @@ object Graph {
         least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint()
-    var sig = signature(e)
+    var eCount = e.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -106,11 +102,11 @@ object Graph {
       // without this the large-star shuffle chain runs twice per round
       val ls = largeStar(e).localCheckpoint()
       val next = smallStar(ls).localCheckpoint()
-      val nextSig = signature(next)
+      val nextCount = next.count()
       ls.unpersist()
+      converged = sameEdges(e, next, eCount, nextCount)
       e.unpersist()
-      converged = nextSig == sig
-      sig = nextSig
+      eCount = nextCount
       e = next
       rounds += 1
     }

@@ -18,6 +18,35 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object Parse {
 
+  /** The packrat matcher's recursion depth is bounded by derivation
+    * depth, which adversarial grammars push past the ~1 MiB default task
+    * thread stack (e.g. S → S S over hundreds of chars — linear depth,
+    * but tens of frames per level). Grammar entry points therefore run on
+    * a per-calling-thread cached worker with a 64 MiB stack: one daemon
+    * worker per executor core, ~µs handoff per call — the standard JVM
+    * remedy for deep recursive descent without rewriting the matcher into
+    * an explicit-stack machine.
+    */
+  private object DeepStack {
+    private val workers =
+      new ThreadLocal[java.util.concurrent.ExecutorService]() {
+        override def initialValue(): java.util.concurrent.ExecutorService =
+          java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+            val t = new Thread(null, r, "graft-parse-deepstack", 64L << 20)
+            t.setDaemon(true)
+            t
+          }
+      }
+    def apply[A](f: => A): A = {
+      val fut = workers.get().submit(
+        new java.util.concurrent.Callable[A] { def call(): A = f })
+      try fut.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+  }
+
   /** PATTERN combinators (compile-time objects, §1.2 pattern types). */
   sealed trait Pattern { def re: String }
   final case class Lit(s: String) extends Pattern {
@@ -198,15 +227,18 @@ object Parse {
       * the ambiguity set itself, for callers doing their own selection).
       */
     def matchEnds(text: String, pos: Int = 0): Set[Int] =
-      ends(text, GRef(start), pos, new Ctx)
+      DeepStack { ends(text, GRef(start), pos, new Ctx) }
 
     /** SCAN-mode match texts: at each position try the start rule; on a
       * match apply the selection mode (PARSE's MAX/MIN/ALL keywords —
       * `getMatchAction` flags in `IHThorParseArg`) and resume after the
       * longest emitted derivation.
       */
-    def scan(text: String, mode: MatchMode = MatchMax): Vector[String] = {
-      if (text == null) return Vector.empty
+    def scan(text: String, mode: MatchMode = MatchMax): Vector[String] = DeepStack {
+      if (text == null) Vector.empty else scanImpl(text, mode)
+    }
+
+    private def scanImpl(text: String, mode: MatchMode): Vector[String] = {
       val ctx = new Ctx
       val out = Vector.newBuilder[String]
       var pos = 0
@@ -315,8 +347,14 @@ object Parse {
       * the reference's MATCHED()=false / MATCHTEXT()='' contract).
       */
     def scanExtract(text: String, ruleNames: Seq[String],
-        mode: MatchMode = MatchMax): Vector[(String, Map[String, String])] = {
-      if (text == null) return Vector.empty
+        mode: MatchMode = MatchMax): Vector[(String, Map[String, String])] =
+      DeepStack {
+        if (text == null) Vector.empty
+        else scanExtractImpl(text, ruleNames, mode)
+      }
+
+    private def scanExtractImpl(text: String, ruleNames: Seq[String],
+        mode: MatchMode): Vector[(String, Map[String, String])] = {
       val ctx = new Ctx
       val out = Vector.newBuilder[(String, Map[String, String])]
       def emit(pos: Int, end: Int): Unit = {

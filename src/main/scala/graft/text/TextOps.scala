@@ -404,9 +404,12 @@ object TextOps {
     val dls = df.select(id.as("doc_id"),
       size(words(text)).cast("long").as("dl"))
     val stats = dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val tf = df.select(id.as("doc_id"), explode(words(text)).as("term"))
-      .filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // TAKsplit: tf feeds BOTH dfreq and the scoring join — persist or the
+    // corpus explode+shuffle runs twice
+    val tf = graft.ops.Shape.split(
+      df.select(id.as("doc_id"), explode(words(text)).as("term"))
+        .filter(col("term").isin(queryTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfreq), "term")
       .join(dls, "doc_id")
