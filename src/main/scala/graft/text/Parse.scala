@@ -147,8 +147,34 @@ object Parse {
       var cycleHits = 0
     }
 
-    /** All possible end offsets of a match of `p` beginning at `pos`. */
-    private def ends(text: String, p: GPat, pos: Int, ctx: Ctx): Set[Int] = {
+    /** All possible end offsets of a match of `p` beginning at `pos`.
+      * Packrat-memoized for EVERY composite node, not just rule bodies:
+      * [[derive]] prunes its split search through these sets, so each
+      * (pattern, position) must be O(1) after first computation or the
+      * reconstruction inherits a per-probe recomputation factor. A result
+      * computed while it READ some enclosing rule's still-growing seed is
+      * provisional and is not memoized (same discipline as GRef).
+      */
+    private def ends(text: String, p: GPat, pos: Int, ctx: Ctx): Set[Int] =
+      p match {
+        case GLit(s) =>
+          if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
+        case _: GRef => endsImpl(text, p, pos, ctx)
+        case _ =>
+          ctx.memo.get((p, pos)) match {
+            case Some(cached) => cached
+            case None =>
+              val outerReads = ctx.readSeeds
+              ctx.readSeeds = Set.empty
+              val r = endsImpl(text, p, pos, ctx)
+              val reads = ctx.readSeeds
+              if (reads.isEmpty) ctx.memo((p, pos)) = r
+              ctx.readSeeds = outerReads ++ reads
+              r
+          }
+      }
+
+    private def endsImpl(text: String, p: GPat, pos: Int, ctx: Ctx): Set[Int] = {
       import ctx.{memo, inFlight, seeds}
       p match {
       case GLit(s) =>
@@ -276,6 +302,11 @@ object Parse {
       */
     private def derive(text: String, p: GPat, pos: Int, target: Int,
         ctx: Ctx): Option[List[(String, Int, Int)]] = {
+      // viability gate: reconstruction never descends a span the memoized
+      // ends() table rules out — this is what keeps derive() polynomial on
+      // ambiguous grammars (the split search below only proposes mids that
+      // pass this same gate, so non-cycle failures cannot occur at all)
+      if (!ends(text, p, pos, ctx).contains(target)) return None
       val key = (p, pos, target)
       if (ctx.deriveFail.contains(key)) return None
       val hits0 = ctx.cycleHits
@@ -297,12 +328,19 @@ object Parse {
         ps.toList match {
           case Nil => if (target == pos) Some(Nil) else None
           case q :: rest =>
-            // longest-first split keeps reconstruction aligned with MAX
-            ends(text, q, pos, ctx).filter(_ <= target).toList.sorted.reverse
+            // longest-first split keeps reconstruction aligned with MAX;
+            // a mid is proposed only when BOTH halves' memoized end-sets
+            // admit it, so the recursion below cannot fail except through
+            // a derivation cycle (nullable left recursion)
+            val restP = GSeq(rest: _*)
+            ends(text, q, pos, ctx)
+              .filter(m => m <= target &&
+                ends(text, restP, m, ctx).contains(target))
+              .toList.sorted.reverse
               .iterator.flatMap { mid =>
                 for {
                   a <- derive(text, q, pos, mid, ctx)
-                  b <- derive(text, GSeq(rest: _*), mid, target, ctx)
+                  b <- derive(text, restP, mid, target, ctx)
                 } yield a ++ b
               }.nextOption()
         }
@@ -317,16 +355,20 @@ object Parse {
         val zero = if (min <= 0 && target == pos) Some(Nil) else None
         zero.orElse {
           if (max <= 0) None
-          else ends(text, q, pos, ctx)
-            .filter(e => e <= target && (e > pos || target == pos))
-            .toList.sorted.reverse.iterator.flatMap { mid =>
-              if (mid == pos) None // zero-width rep: no progress, stop
-              else for {
-                a <- derive(text, q, pos, mid, ctx)
-                b <- derive(text, GRep(q, math.max(min - 1, 0), max - 1),
-                  mid, target, ctx)
-              } yield a ++ b
-            }.nextOption()
+          else {
+            val restP = GRep(q, math.max(min - 1, 0), max - 1)
+            ends(text, q, pos, ctx)
+              // zero-width first rep makes no progress — skip it; any end
+              // position it reaches is reachable without it
+              .filter(m => m > pos && m <= target &&
+                ends(text, restP, m, ctx).contains(target))
+              .toList.sorted.reverse.iterator.flatMap { mid =>
+                for {
+                  a <- derive(text, q, pos, mid, ctx)
+                  b <- derive(text, restP, mid, target, ctx)
+                } yield a ++ b
+              }.nextOption()
+          }
         }
       case GRef(name) =>
         val rule = rules(name)

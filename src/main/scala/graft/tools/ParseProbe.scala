@@ -8,7 +8,10 @@ object ParseProbe {
     val frob = Grammar(Map(
       "s" -> GOr(GSeq(GRef("s"), GRef("s")), GLit("x" * 4), GLit("x" * 7))),
       "s")
-    for (n <- Seq(8, 12, 16, 20, 24, 28, 32, 36, 40)) {
+    val ns =
+      if (args.nonEmpty) args.toSeq.map(_.toInt)
+      else Seq(8, 16, 32, 64, 100, 200, 400, 800, 1600)
+    for (n <- ns) {
       val t0 = System.nanoTime()
       val hits = frob.scanExtract("x" * n, Seq("s"))
       val ms = (System.nanoTime() - t0) / 1e6

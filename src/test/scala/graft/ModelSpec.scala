@@ -120,10 +120,11 @@ class ModelSpec extends SparkSpec {
       "l" -> GOr(GSeq(GRef("l"), GLit("a")), GLit("a"))), "l")
     assert(leftRec.scan("aaa") == Vector("aaa"))
     assert(leftRec.matchEnds("aaa") == Set(1, 2, 3)) // every derivation
-    // ambiguous reconstruction over a long span: S → S S | x⁴ | x⁷ makes
-    // every non-representable remainder a failing derive() subproblem that
-    // recurs across split parents — the negative memo keeps scanExtract
-    // polynomial (this grammar + 400 chars hangs without it bounded)
+    // ambiguous reconstruction over a long span: S → S S | x⁴ | x⁷ has
+    // exponentially many derivations of 400 chars — derive() stays
+    // polynomial because every split is pre-gated through the memoized
+    // ends() sets (both halves must admit it), so reconstruction never
+    // descends a subproblem that cannot reach its target
     val frob = Grammar(Map(
       "s" -> GOr(GSeq(GRef("s"), GRef("s")), GLit("x" * 4), GLit("x" * 7))),
       "s")
