@@ -110,20 +110,57 @@ object OpenSsl {
     * in OpenSslSpec). Key derivation happens ONCE on the driver; the
     * per-row UDF only runs the block cipher.
     *
-    * CAVEAT (same as the reference's caller-supplied-iv contract): one
-    * (key, iv) pair serves EVERY row of the column. For the GCM suites
-    * nonce reuse across distinct plaintexts forfeits GCM's guarantees —
-    * encrypt one value per (salt, iv), or use [[rsaSeal]] for bulk data
-    * (fresh key+nonce per envelope).
+    * One (key, iv) pair serves EVERY row of the column, which is exactly
+    * the CBC `openssl enc` contract — but for the GCM suites nonce reuse
+    * across distinct plaintexts forfeits authenticity AND confidentiality,
+    * so GCM is REJECTED here: use [[cipherEncryptGcm]] with a per-row iv
+    * column, or [[rsaSeal]] (fresh key+nonce per envelope).
     */
   def cipherEncrypt(plain: Column, algorithm: String, passphrase: String,
       saltHex: String, ivHex: String = ""): Column = {
+    require(!algorithm.endsWith("gcm"),
+      s"$algorithm with one shared iv across a column reuses the GCM nonce; " +
+        "use cipherEncryptGcm(plain, ivCol, ...) or rsaSeal")
     val (key, iv) = deriveKeyIv(algorithm, passphrase, saltHex, ivHex)
     val f = udf { (bytes: Array[Byte]) =>
       if (bytes == null) null
       else initCipher(Cipher.ENCRYPT_MODE, algorithm, key, iv).doFinal(bytes)
     }
     f(plain.cast("binary"))
+  }
+
+  /** GCM suites over a column require a DISTINCT 12-byte nonce per row —
+    * supplied as a binary column (a row id, counter, or random bytes;
+    * uniqueness per (passphrase, salt) is the caller's contract, as with
+    * any AEAD API). Key derivation is EVP_BytesToKey as [[cipherEncrypt]];
+    * the derived iv is ignored in favor of `iv`.
+    */
+  def cipherEncryptGcm(plain: Column, iv: Column, algorithm: String,
+      passphrase: String, saltHex: String): Column = {
+    require(algorithm.endsWith("gcm"), s"$algorithm is not a GCM suite")
+    val (key, _) = deriveKeyIv(algorithm, passphrase, saltHex, "")
+    val f = udf { (bytes: Array[Byte], ivb: Array[Byte]) =>
+      if (bytes == null || ivb == null) null
+      else initCipher(Cipher.ENCRYPT_MODE, algorithm, key, ivb).doFinal(bytes)
+    }
+    f(plain.cast("binary"), iv)
+  }
+
+  /** Decrypt counterpart of [[cipherEncryptGcm]] (per-row iv column);
+    * authentication failure is data (null), not an exception.
+    */
+  def cipherDecryptGcm(cipher: Column, iv: Column, algorithm: String,
+      passphrase: String, saltHex: String): Column = {
+    require(algorithm.endsWith("gcm"), s"$algorithm is not a GCM suite")
+    val (key, _) = deriveKeyIv(algorithm, passphrase, saltHex, "")
+    val f = udf { (bytes: Array[Byte], ivb: Array[Byte]) =>
+      if (bytes == null || ivb == null) null
+      else try new String(
+        initCipher(Cipher.DECRYPT_MODE, algorithm, key, ivb).doFinal(bytes),
+        java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Exception => null }
+    }
+    f(cipher, iv)
   }
 
   /** Ciphers.Decrypt (OpenSSL.ecl:182) → UTF-8 string; wrong key/salt is

@@ -141,6 +141,11 @@ object Image {
         val len = ByteBuffer.wrap(bytes, pos, 4).getInt
         val typ = new String(bytes, pos + 4, 4, "US-ASCII")
         if (len < 0 || pos + 12 + len > bytes.length) return None
+        // chunk CRC-32 over type+data (ISO 15948 §5.3) — corruption is None
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, pos + 4, 4 + len)
+        if (crc.getValue.toInt != ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt)
+          return None
         typ match {
           case "IHDR" =>
             val b = ByteBuffer.wrap(bytes, pos + 8, len)
@@ -162,8 +167,16 @@ object Image {
         pos += 12 + len
       }
       if (!ok || width <= 0 || height <= 0) return None
+      // adversarial-IHDR guard: bound the decode buffer BEFORE allocating.
+      // Deflate expands at most ~1032:1, so a raw size beyond that bound
+      // cannot be filled by the IDAT we actually have — and an absolute cap
+      // keeps a forged 46000×46000 header from a multi-GB allocation (OOM
+      // is an Error, not an Exception — it would kill the task, not None)
+      val rawLen = (width.toLong * bands + 1) * height
+      val maxByInput = idat.size().toLong * 1032 + 64
+      if (rawLen > (1L << 28) || rawLen > maxByInput) return None
       val stride = width * bands
-      val raw = new Array[Byte]((stride + 1) * height)
+      val raw = new Array[Byte](rawLen.toInt)
       val inflater = new Inflater()
       inflater.setInput(idat.toByteArray)
       var off = 0

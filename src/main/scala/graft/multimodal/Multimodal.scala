@@ -86,7 +86,8 @@ object Multimodal {
     * re-encode as (lossless) PNG. Nearest-neighbor — source pixel
     * (x·srcW/dstW, y·srcH/dstH), integer floor — is chosen over filtered
     * resamplers because it is bit-deterministic across engines, so the
-    * resized raster is oracle-checkable. Output: (id, resized).
+    * resized raster is oracle-checkable. ALL bands are resampled: a color
+    * input stays color (band count is preserved). Output: (id, resized).
     */
   def resizeImage(df: DataFrame, idCol: String, binCol: String,
       targetW: Int, targetH: Int): DataFrame = {
@@ -98,19 +99,25 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         readImage(r.getAs[Array[Byte]](binIdx)).map { img =>
-          val out = new Array[Byte](targetW * targetH)
+          val nb = img.bands
+          val out = new Array[Byte](targetW * targetH * nb)
           var y = 0
           while (y < targetH) {
+            val sy = y * img.height / targetH
             var x = 0
             while (x < targetW) {
-              out(y * targetW + x) = img.luma(x * img.width / targetW,
-                y * img.height / targetH).toByte
+              val sx = x * img.width / targetW
+              var b = 0
+              while (b < nb) {
+                out((y * targetW + x) * nb + b) = img.sample(sx, sy, b).toByte
+                b += 1
+              }
               x += 1
             }
             y += 1
           }
           Row(r.get(idIdx),
-            Image.encodePng(Image.Raster(targetW, targetH, 1, out)))
+            Image.encodePng(Image.Raster(targetW, targetH, nb, out)))
         }
       }
     }(Encoders.row(outSchema))

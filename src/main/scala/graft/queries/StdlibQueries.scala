@@ -733,9 +733,11 @@ object StdlibQueries {
           .when(col("id") === 3, OpenSsl.digestHex(col("t"), "sha384"))
           .when(col("id") === 4, OpenSsl.digestHex(col("t"), "sha512"))
           .when(col("id") === 5, OpenSsl.digestHex(col("t"), "sha3-256"))
-          .when(col("id") === 6, OpenSsl.cipherDecrypt(
-            OpenSsl.cipherEncrypt(col("t"), "aes-256-gcm", "k",
+          .when(col("id") === 6, OpenSsl.cipherDecryptGcm(
+            OpenSsl.cipherEncryptGcm(col("t"),
+              unhex(lpad(hex(col("id")), 24, "0")), "aes-256-gcm", "k",
               "0102030405060708"),
+            unhex(lpad(hex(col("id")), 24, "0")),
             "aes-256-gcm", "k", "0102030405060708"))
           .otherwise(coalesce(OpenSsl.cipherDecrypt(
             OpenSsl.cipherEncrypt(col("t"), "aes-256-cbc", "right",

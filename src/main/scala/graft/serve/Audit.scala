@@ -50,8 +50,18 @@ object Audit {
     } catch { case _: java.io.IOException => false }
   }
 
-  /** The audit trail as a DataFrame (at, audit_type, msg, data). */
-  def read(spark: SparkSession, root: String): DataFrame =
-    spark.read.schema("at LONG, audit_type STRING, msg STRING, data STRING")
-      .json(java.nio.file.Paths.get(root, "audit.jsonl").toString)
+  /** The audit trail as a DataFrame (at, audit_type, msg, data). An
+    * empty trail (nothing audited yet) is an empty frame with the same
+    * schema, not an error. Note [[audit]] serializes appends per-JVM
+    * only — the driver is the intended writer; executor-side callers in
+    * separate JVMs would interleave at OS append granularity.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val schema = "at LONG, audit_type STRING, msg STRING, data STRING"
+    val path = java.nio.file.Paths.get(root, "audit.jsonl")
+    if (!java.nio.file.Files.exists(path))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    else spark.read.schema(schema).json(path.toString)
+  }
 }

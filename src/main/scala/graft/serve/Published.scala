@@ -84,6 +84,13 @@ final class Published(spark: SparkSession) {
     def xmlParams(body: String): (Map[String, String], Boolean) = {
       val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       dbf.setNamespaceAware(true) // getLocalName is null otherwise
+      // request bodies are untrusted: no DOCTYPE (kills both XXE file
+      // read/SSRF and billion-laughs expansion), no external entities
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
       val doc = dbf.newDocumentBuilder()
         .parse(new org.xml.sax.InputSource(new java.io.StringReader(body)))
       val isSoap = doc.getDocumentElement.getLocalName == "Envelope"

@@ -22,11 +22,22 @@ class OpenSslSpec extends SparkSpec {
       col("t"), "aes-128-cbc", "pw2", "aabbccddeeff0011")))).as[String].head()
     assert(ct128 ==
       "ccf3259315f6e24d97c3a8fd64ba033f29e3bf1f8e302a3d348b5e3e362e3b83")
-    // roundtrip, and a wrong passphrase is data (null), not an exception
-    val rt = df.select(OpenSsl.cipherDecrypt(OpenSsl.cipherEncrypt(
-      col("t"), "aes-256-gcm", "k", "0102030405060708"),
-      "aes-256-gcm", "k", "0102030405060708")).as[String].head()
+    // GCM with one shared iv across a column is nonce reuse — rejected;
+    // the per-row-iv variant roundtrips
+    assertThrows[IllegalArgumentException] {
+      OpenSsl.cipherEncrypt(col("t"), "aes-256-gcm", "k", "0102030405060708")
+    }
+    val ivc = unhex(lit("000000000000000000000001"))
+    val rt = df.select(OpenSsl.cipherDecryptGcm(OpenSsl.cipherEncryptGcm(
+      col("t"), ivc, "aes-256-gcm", "k", "0102030405060708"),
+      ivc, "aes-256-gcm", "k", "0102030405060708")).as[String].head()
     assert(rt == "the quick brown fox")
+    // distinct ivs give distinct ciphertexts under the same key
+    val cts = Seq(("a", "000000000000000000000001"),
+      ("a", "000000000000000000000002")).toDF("t", "ivh")
+      .select(hex(OpenSsl.cipherEncryptGcm(col("t"), unhex(col("ivh")),
+        "aes-256-gcm", "k", "0102030405060708"))).as[String].collect()
+    assert(cts.distinct.length == 2)
     val bad = df.select(OpenSsl.cipherDecrypt(OpenSsl.cipherEncrypt(
       col("t"), "aes-256-cbc", "right", "0011223344556677"),
       "aes-256-cbc", "wrong", "0011223344556677")).as[Option[String]].head()

@@ -107,6 +107,19 @@ class ServeSpec extends SparkSpec {
       // XML-mode errors use the Exception envelope
       val (ec, eb, _) = send("/query/nope?format=xml")
       assert(ec == 404 && eb.contains("<Exception><Message>"))
+      // XXE hardening: a DOCTYPE in the request body is refused outright —
+      // the entity must never resolve (no file read, no expansion bomb)
+      val xxe =
+        """<?xml version="1.0"?>
+          |<!DOCTYPE r [<!ENTITY x SYSTEM "file:///etc/hostname">]>
+          |<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">
+          |<soap:Body><top_nationRequest>
+          |<limit>&x;</limit>
+          |</top_nationRequest></soap:Body></soap:Envelope>""".stripMargin
+      val (dc, db, _) = send("/query/top_nation", body = xxe,
+        contentType = "text/xml")
+      // parse is rejected → no params → default limit; never the entity value
+      assert(dc == 200 && !db.contains("Exception"))
     } finally pub.stopServing()
   }
 
@@ -159,6 +172,10 @@ class ServeSpec extends SparkSpec {
 
   test("Std.Audit: entries append, escape, read back; bad type fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_audit").toString
+    // an empty trail is an empty frame with the declared schema, not an error
+    val empty = Audit.read(spark, root)
+    assert(empty.isEmpty && empty.columns.toSeq ==
+      Seq("at", "audit_type", "msg", "data"))
     assert(Audit.audit(root, "ACCESS_SUCCESS", "user \"bob\" logged in",
       Array[Byte](1, 2, 3)))
     assert(Audit.audit(root, "ERROR", "line1\nline2"))

@@ -201,6 +201,35 @@ class WorkflowSpec extends SparkSpec {
       Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "img"), "id", "img")
       .collect().head
     assert(bad.getInt(1) == -1 && bad.getLong(4) == -1L)
+    // a corrupted content byte breaks that chunk's CRC-32 → None
+    val tampered = rgbPng.clone()
+    tampered(18) = (tampered(18) ^ 1).toByte // inside the IHDR payload
+    assert(Image.decodePng(tampered).isEmpty)
+    // adversarial IHDR (46000×46000, valid CRCs): rejected by the size
+    // bound BEFORE any allocation — not an executor-killing OOM
+    val forged = new java.io.ByteArrayOutputStream()
+    forged.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    def wchunk(typ: String, payload: Array[Byte]): Unit = {
+      forged.write(java.nio.ByteBuffer.allocate(4).putInt(payload.length).array())
+      val tb = typ.getBytes("US-ASCII")
+      forged.write(tb); forged.write(payload)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(payload)
+      forged.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    }
+    wchunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(46000).putInt(46000)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array())
+    wchunk("IDAT", Array[Byte](1, 2, 3))
+    wchunk("IEND", Array.emptyByteArray)
+    assert(Image.decodePng(forged.toByteArray).isEmpty)
+    // color survives resize: band count and channel values preserved
+    val rgbRs = Multimodal.resizeImage(
+      Seq((1L, rgbPng)).toDF("id", "img"), "id", "img", 1, 1)
+      .collect().head.getAs[Array[Byte]](1)
+    val rgbRaster = Image.decodePng(rgbRs).get
+    assert(rgbRaster.bands == 3)
+    assert(rgbRaster.sample(0, 0, 0) == 255 && rgbRaster.sample(0, 0, 1) == 0)
     // nearest-neighbor resize: 6×3 → 3×3 keeps columns 0,2,4 of each row
     val rs = Multimodal.resizeImage(imgs, "id", "img", 3, 3)
     val rsPx = Multimodal.imagePixels(rs, "id", "resized")
