@@ -81,17 +81,25 @@ object ParseQueries {
         .orderBy(col("o_orderkey"))
     },
 
-    // ---- SOAPCALL with deterministic stub transport (zero-egress env;
-    // the mapPartitions pool/retry plumbing is the thing under test) -------
+    // ---- SOAPCALL over GENUINE HTTP: a published echo query served on a
+    // loopback socket, driven per-row by the real transport (bounded async
+    // pool + retry). The call window is fixed-size and single-partition:
+    // the loopback service answers with driver-side Spark jobs, so outer
+    // tasks must not occupy every slot (on a cluster the endpoint is
+    // external and this constraint disappears). --------------------------
     QueryDef("q134_soapcall",
       """SELECT o_orderkey, reverse(o_orderpriority) AS response
         |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      Soapcall.callPerRow(
-        Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
-          .select(col("o_orderkey"), col("o_orderpriority")),
-        Soapcall.Config("stub://svc", parallelism = 4), "o_orderpriority",
-        "response")((_, payload) => payload.reverse)
-        .select(col("o_orderkey"), col("response"))
+      val url = graft.serve.Published.loopbackEchoUrl(s)
+      val in = Tables.orders(s, dir).filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          concat(lit("v="), url_encode(col("o_orderpriority"))).as("payload"))
+        .coalesce(1)
+      Soapcall.callPerRow(in, Soapcall.Config(url, parallelism = 8),
+        "payload", "raw")(Soapcall.httpTransport())
+        .select(col("o_orderkey"),
+          get_json_object(col("raw"), "$.echoResponse.Results.rows[0].r")
+            .as("response"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -35,6 +35,44 @@ final class Published(spark: SparkSession) {
 
   private var server: Option[com.sun.net.httpserver.HttpServer] = None
 
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Driver-side row → JSON (null fields omitted, matching `toJSON`).
+    * Serving answers are maxRows-capped, so rendering on the driver is
+    * answer-sized work — and it keeps a LocalRelation-backed response
+    * (e.g. the loopback echo) entirely job-free: `take` short-circuits
+    * through `LocalTableScanExec.executeTake`, so a served call does not
+    * schedule a Spark job per request.
+    */
+  private def jsonVal(v: Any): String = v match {
+    case s: String => jsonStr(s)
+    case b: Array[Byte] =>
+      jsonStr(java.util.Base64.getEncoder.encodeToString(b))
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case t: java.sql.Timestamp => jsonStr(t.toInstant.toString)
+    case t: java.time.Instant => jsonStr(t.toString)
+    case d: java.sql.Date => jsonStr(d.toString)
+    case d: java.time.LocalDate => jsonStr(d.toString)
+    case r: org.apache.spark.sql.Row => jsonRow(r)
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => jsonStr(String.valueOf(k)) + ":" + jsonVal(x) }
+        .mkString("{", ",", "}")
+    case seq: scala.collection.Seq[_] =>
+      seq.map(jsonVal).mkString("[", ",", "]")
+    case other => String.valueOf(other) // boolean / numeric
+  }
+
+  private def jsonRow(r: org.apache.spark.sql.Row): String =
+    r.schema.fields.indices.filterNot(r.isNullAt)
+      .map(i => jsonStr(r.schema.fields(i).name) + ":" + jsonVal(r.get(i)))
+      .mkString("{", ",", "}")
+
   /** Serve the registry over HTTP — the Roxie listener analog
     * (`roxie/ccd/ccdlistener.cpp` accept loop; response envelopes per
     * `ccdprotocol.cpp:565-614`, which speaks BOTH JSON and XML/SOAP). JDK
@@ -57,8 +95,21 @@ final class Published(spark: SparkSession) {
     */
   def serve(port: Int = 0, maxRows: Int = 10000): Int = synchronized {
     require(server.isEmpty, "already serving")
+    // TCP_NODELAY on accepted sockets: headers and body go out as separate
+    // small writes, and with Nagle on, the second waits out the peer's
+    // delayed ACK — ~40ms PER REQUEST on loopback. Must be set before the
+    // first HttpServer.create loads the JDK's ServerConfig.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val srv = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", port), 0)
+    // parallel request handling on daemon threads: SOAPCALL's bounded
+    // per-row pool issues concurrent calls, and a serving endpoint must
+    // not serialize them through the accept loop
+    srv.setExecutor(java.util.concurrent.Executors.newCachedThreadPool { r =>
+      val t = new Thread(r, "graft-publish-http")
+      t.setDaemon(true)
+      t
+    })
     def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
         body: String, contentType: String = "application/json"): Unit = {
       val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -67,12 +118,6 @@ final class Published(spark: SparkSession) {
       val os = ex.getResponseBody
       try os.write(bytes) finally os.close()
     }
-    def jsonStr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     def xmlEsc(s: String): String = s.flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
@@ -162,7 +207,7 @@ final class Published(spark: SparkSession) {
             else s"""<?xml version="1.0" encoding="UTF-8"?>$core"""
             respond(ex, 200, xml, "text/xml; charset=utf-8")
           } else {
-            val rows = df.toJSON.take(maxRows)
+            val rows = df.take(maxRows).map(jsonRow)
             respond(ex, 200,
               s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}""")
           }
@@ -190,5 +235,52 @@ final class Published(spark: SparkSession) {
   def stopServing(): Unit = synchronized {
     server.foreach(_.stop(0))
     server = None
+  }
+}
+
+object Published {
+
+  private var loopback: Option[Published] = None
+  private var loopbackUrl: String = _
+
+  /** In-process echo service for exercising SOAPCALL/HTTPCALL over a REAL
+    * socket with zero egress: publishes `echo` (param `v` → one row
+    * `r = reverse(v)`) and serves it on an ephemeral loopback port, once
+    * per JVM. The listener stops when the SparkContext ends (or via
+    * [[stopLoopbackEcho]]). This is the local-mode harness for the
+    * transport; on a cluster SOAPCALL targets an external service URL —
+    * and note the served query runs driver-side Spark jobs, so callers
+    * inside a local-mode dataflow must leave task slots free (a fixed
+    * outbound-call window on one partition, as q134 does).
+    */
+  def loopbackEchoUrl(spark: SparkSession): String = synchronized {
+    if (loopback.isEmpty) {
+      val pub = new Published(spark)
+      // schema precomputed once: per-request `toDF` would re-derive the
+      // encoder through ScalaReflection (a global lock, tens of ms) —
+      // serving latency must not pay reflection per call
+      val echoSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.StringType)))
+      pub.publish("echo") { (s, stored) =>
+        s.createDataFrame(java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(stored("v", "").reverse)), echoSchema)
+      }
+      val port = pub.serve(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            stopLoopbackEcho()
+        })
+      loopback = Some(pub)
+      loopbackUrl = s"http://127.0.0.1:$port/query/echo"
+    }
+    loopbackUrl
+  }
+
+  def stopLoopbackEcho(): Unit = synchronized {
+    loopback.foreach(_.stopServing())
+    loopback = None
   }
 }

@@ -29,6 +29,39 @@ object Soapcall {
       retries: Int = 2,
       timeoutMs: Long = 30000)
 
+  /** A REAL transport: POST the payload, return the response body. Plain
+    * `HttpURLConnection` — no new dependencies, serializable (captures
+    * only primitives), connection keep-alive via the JDK cache. Non-2xx
+    * responses throw (feeding [[callPerRow]]'s retry/backoff), as do
+    * connect/read timeouts — these bound each ATTEMPT below the pool's
+    * own per-attempt deadline so a hung socket is surfaced as a retryable
+    * failure, not a zombie worker.
+    */
+  def httpTransport(
+      contentType: String = "application/x-www-form-urlencoded",
+      connectTimeoutMs: Int = 5000,
+      readTimeoutMs: Int = 25000): Transport = (url, payload) => {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", contentType)
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body =
+      if (is == null) ""
+      else try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    if (code >= 400)
+      throw new java.io.IOException(s"HTTP $code from $url: ${body.take(200)}")
+    body
+  }
+
   /** SOAPCALL(ds, url, svc, t) dataset→dataset: each row's `payload` column
     * is POSTed; the response lands in `responseCol`.
     *

@@ -170,6 +170,32 @@ class ServeSpec extends SparkSpec {
     assert(got == 2L) // score tie at 3.0 → smaller id wins
   }
 
+  test("SOAPCALL drives real per-row HTTP against the published loopback") {
+    import graft.sources.Soapcall
+    val url = Published.loopbackEchoUrl(spark)
+    try {
+      val in = Seq("abc", "NOT SPECIFIED", "x&y=z").toDF("t")
+        .select(col("t"),
+          concat(lit("v="), url_encode(col("t"))).as("payload"))
+        .coalesce(1) // leave slots for the loopback's server-side jobs
+      val out = Soapcall.callPerRow(in,
+        Soapcall.Config(url, parallelism = 4), "payload", "raw")(
+        Soapcall.httpTransport())
+        .select(col("t"), get_json_object(col("raw"),
+          "$.echoResponse.Results.rows[0].r").as("r"))
+        .as[(String, String)].collect().toMap
+      assert(out("abc") == "cba")
+      assert(out("NOT SPECIFIED") == "DEIFICEPS TON") // '+'-encoding roundtrips
+      assert(out("x&y=z") == "z=y&x") // form metachars survive the encode
+      // a genuine HTTP error status propagates as a task failure
+      val bad = Soapcall.callPerRow(
+        Seq("v=1").toDF("payload").coalesce(1),
+        Soapcall.Config(url.stripSuffix("echo") + "nope", retries = 0),
+        "payload", "raw")(Soapcall.httpTransport())
+      assertThrows[org.apache.spark.SparkException] { bad.collect() }
+    } finally Published.stopLoopbackEcho()
+  }
+
   test("Std.Audit: entries append, escape, read back; bad type fails loudly") {
     val root = java.nio.file.Files.createTempDirectory("graft_audit").toString
     // an empty trail is an empty frame with the declared schema, not an error
