@@ -23,6 +23,32 @@ object IoQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- Std.System.Store: namespaced KV on the shared manifest engine.
+    // The gate scripts upsert / exclusive-create winner-loser / delete /
+    // namespace-drop, then reads the store back as a table; the oracle
+    // pins the surviving state literally (the q106 VALUES pattern). -------
+    QueryDef("q77_store_kv",
+      """SELECT * FROM (VALUES
+        |  ('app', 'alpha', '2'),
+        |  ('app', 'beta', 'first'),
+        |  ('jobs', 'run1', 'ok')) AS t(ns, k, v)
+        |ORDER BY ns, k""".stripMargin) { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_store_q77").toString
+      val st = new graft.sources.Store(s, root)
+      st.set("app", "alpha", "1")
+      st.set("app", "alpha", "2") // upsert: last write wins
+      require(st.setExclusive("app", "beta", "first"))
+      require(!st.setExclusive("app", "beta", "second")) // loser: no effect
+      st.set("app", "gamma", "tmp")
+      require(st.delete("app", "gamma"))
+      st.set("jobs", "run1", "ok")
+      st.set("scratch", "x", "y")
+      require(st.deleteNamespace("scratch"))
+      st.asDataFrame.select(col("namespace").as("ns"), col("key").as("k"),
+        col("value").as("v")).orderBy("ns", "k")
+    },
+
     // ---- CSV write + declared-schema read roundtrip ----------------------
     QueryDef("q110_csv_roundtrip",
       """SELECT n_nationkey, n_name, n_regionkey FROM nation

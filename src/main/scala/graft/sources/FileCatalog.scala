@@ -13,19 +13,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * StartSuperFileTransaction / `:1065` FinishSuperFileTransaction).
   *
   * Catalog state is a single versioned manifest under
-  * `<root>/_catalog/v%016d.txt`. Every mutation (or transaction of
-  * mutations) loads the newest VALID version, applies in memory, and
-  * commits by atomically CLAIMING the next version number with a
-  * create-exclusive (O_EXCL — `File.createNewFile` on local filesystems,
-  * `FileSystem.create(overwrite=false)` on HDFS-likes, both atomic winner
-  * election) and then writing the manifest terminated by an `#END` line.
-  * Two racing committers cannot both claim a version (optimistic
-  * concurrency, the Dali lock analog); readers accept only
-  * `#END`-terminated files, so a crash mid-write leaves a junk claim that
-  * readers skip and committers expire. This is a lakehouse-style log
-  * protocol reduced to the catalog's needs — POSIX rename is NOT used for
-  * commits because it silently overwrites, which would drop a racing
-  * committer's update.
+  * `<root>/_catalog/v%016d.txt`, committed through [[VersionedManifest]]
+  * (atomic claim-with-content winner election, `#END`-guarded reads,
+  * stale-claim expiry — see its scaladoc; the engine is shared with the
+  * [[Store]] KV service). POSIX rename is NOT used for commits because it
+  * silently overwrites, which would drop a racing committer's update.
   *
   * Data-plane reads stay fully distributed: [[readSuper]] is the
   * path-union parquet scan ([[Sources.superfile]]); only name→path
@@ -44,40 +36,6 @@ final class FileCatalog(spark: SparkSession, root: String) {
   private final case class State(files: Map[String, String],
       supers: Map[String, Vector[String]])
 
-  private val EndMarker = "#END"
-  /** A claimed-but-unterminated manifest older than this is a crashed
-    * committer's junk: readers already skip it; committers claim past it.
-    */
-  private val staleClaimMs = 60000L
-
-  private def versionOf(p: Path): Long = {
-    val n = p.getName
-    if (n.startsWith("v") && n.endsWith(".txt"))
-      try n.substring(1, n.length - 4).toLong catch { case _: Exception => -1L }
-    else -1L
-  }
-
-  private def versionFile(v: Long) = new Path(catalogDir, f"v$v%016d.txt")
-
-  /** All claimed version numbers, descending (valid or not). */
-  private def claimedVersions(): Seq[Long] =
-    if (!fs.exists(catalogDir)) Nil
-    else fs.listStatus(catalogDir).map(s => versionOf(s.getPath))
-      .filter(_ >= 0).sorted.reverse.toSeq
-
-  /** Manifest content iff the file is complete (`#END`-terminated). */
-  private def readValid(v: Long): Option[String] = {
-    val p = versionFile(v)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val t = text.stripLineEnd
-    if (t == EndMarker || t.endsWith("\n" + EndMarker))
-      Some(t.stripSuffix(EndMarker)) else None
-  }
-
   // line format: F\tname\tpath | S\tname\tsub1\tsub2… (names may not
   // contain tab/newline — enforced at registration)
   private def parse(text: String): State = {
@@ -91,86 +49,20 @@ final class FileCatalog(spark: SparkSession, root: String) {
       }.toMap)
   }
 
-  /** Newest complete state (crashed half-written claims are skipped). */
-  private def load(): State =
-    claimedVersions().iterator.flatMap(readValid).map(parse).nextOption()
-      .getOrElse(State(Map.empty, Map.empty))
-
   private def render(s: State): String = {
     val fLines = s.files.toSeq.sorted.map { case (n, p) => s"F\t$n\t$p" }
     val sLines = s.supers.toSeq.sortBy(_._1).map { case (n, subs) =>
       (Seq("S", n) ++ subs).mkString("\t")
     }
-    (fLines ++ sLines :+ EndMarker).mkString("\n")
+    (fLines ++ sLines).mkString("\n")
   }
 
-  /** Atomic claim WITH content. Local filesystems write the full manifest
-    * to a temp file first and claim via `Files.createLink` (POSIX link(2)
-    * — atomic AND exclusive), so a claim can never exist without its
-    * content: there is no window where a paused committer holds a contentless
-    * claim that a peer could expire and supersede (the lost-update hazard
-    * of claim-then-write). Other schemes use the filesystem's exclusive
-    * `create(overwrite=false)` and stream content after the claim; there
-    * the `#END` guard + stale-claim expiry apply, and commit success is
-    * NOT durable if the committer stalls longer than `staleClaimMs`
-    * between claiming and finishing the stream (documented contract).
-    */
-  private def claimAndWrite(p: Path, content: String): Boolean = {
-    val scheme = Option(p.toUri.getScheme)
-      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    if (scheme == "file") {
-      val target = new java.io.File(
-        Option(p.toUri.getPath).getOrElse(p.toString))
-      val tmp = java.io.File.createTempFile("claim-", ".tmp",
-        target.getParentFile)
-      try {
-        java.nio.file.Files.write(tmp.toPath, content.getBytes(UTF_8))
-        try { java.nio.file.Files.createLink(target.toPath, tmp.toPath); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally tmp.delete()
-    } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(content.getBytes(UTF_8)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
+  private val manifest = new VersionedManifest[State](spark,
+    catalogDir.toString, State(Map.empty, Map.empty), parse, render)
 
-  /** Old manifests kept after a commit. The margin covers readers that
-    * listed versions just before a burst of commits; beyond it, history is
-    * garbage (the newest valid manifest is the whole state).
-    */
-  private val gcKeepVersions = 32L
+  private def load(): State = manifest.load()
 
-  /** Load-modify-commit loop; `mutate` must be a pure function of the
-    * state so a lost race can replay it against the fresher version.
-    */
-  private def commit(mutate: State => State): Unit = {
-    fs.mkdirs(catalogDir)
-    var attempts = 0
-    var committed = -1L
-    while (committed < 0) {
-      attempts += 1
-      require(attempts <= 1000, "catalog commit: contention limit exceeded")
-      val newest = claimedVersions().headOption.getOrElse(-1L)
-      if (newest >= 0 && readValid(newest).isEmpty) {
-        // a claim without content: a committer is mid-write (wait for it —
-        // committing past it would build on a stale base and drop its
-        // update) or crashed (expire after staleClaimMs and claim past)
-        val age = System.currentTimeMillis() -
-          fs.getFileStatus(versionFile(newest)).getModificationTime
-        if (age < staleClaimMs) { Thread.sleep(20) }
-        else if (claimAndWrite(versionFile(newest + 1),
-          render(mutate(load())))) committed = newest + 1
-      } else if (claimAndWrite(versionFile(newest + 1),
-        render(mutate(load())))) committed = newest + 1
-    }
-    // prune ancient manifests so the catalog dir stays O(gcKeepVersions)
-    // regardless of mutation count (each version is the FULL state)
-    claimedVersions().filter(_ < committed - gcKeepVersions)
-      .foreach(v => fs.delete(versionFile(v), false))
-  }
+  private def commit(mutate: State => State): Unit = manifest.commit(mutate)
 
   private def checkName(n: String): String = {
     require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n'),
