@@ -178,6 +178,23 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("LessThanOrEqual(l_partkey,120)"), s"plan:\n$plan")
   }
 
+  test("curation pipeline (q76) composes scale-sane: bucket-equality LSH, broadcast grams, persisted reuse") {
+    val df = SparkEntry.queries("q76_curation_pipeline")(spark, sf)
+    val plan = executed(df)
+    // every pair-generating join is an equality join on hash/bucket keys —
+    // composing seven stages must never degrade to an all-pairs product
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    // the decontamination gram set broadcasts (the corpus side, which
+    // scales with SF, never shuffles for it)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval grams did not broadcast:\n$plan")
+    // each stage consumed by more than one downstream (dedup base, shingle
+    // sets, band keys) is persisted once and re-read, not recomputed
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 3,
+      s"reused stages not persisted:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval gram set — the corpus never shuffles") {
     val docs = Tables.documents(spark, sf)
     val out = graft.text.TextOps.decontaminate(
