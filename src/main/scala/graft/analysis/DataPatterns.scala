@@ -427,4 +427,116 @@ object DataPatterns {
     } :+ Row.fromSeq("--EXPECTED--" +: exp :+ criticalValue :+ 0L)
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
+
+  // ---- BestRecordStructure (BestRecordStructure.ecl:1-471) ---------------
+
+  /** ECL "generic" type class — coercion is needed in the emitted
+    * TRANSFORM iff the class changes (`GenericType`,
+    * BestRecordStructure.ecl:71-93).
+    */
+  private def genericType(t: String): String = {
+    val l = t.toLowerCase
+    if (l.startsWith("integer") || l.startsWith("real") ||
+      l.startsWith("decimal") || l.startsWith("udecimal") ||
+      l.startsWith("unsigned")) "numeric"
+    else if (l.startsWith("string") || l.startsWith("varstring") ||
+      l.startsWith("qstring") || l.startsWith("utf")) "string"
+    else l
+  }
+
+  /** DataPatterns.BestRecordStructure (BestRecordStructure.ecl:1-471):
+    * the tightest ECL RECORD definition the profiled evidence supports,
+    * as an ordered dataset of source lines — `NewLayout := RECORD`, one
+    * `    TYPE name;` per field (best type UPPERCASED, the reference's
+    * emission), `END;`. With `emitTransform`, also the OldLayout
+    * definition and a `Make_NewLayout` TRANSFORM whose assignments coerce
+    * exactly the fields whose generic type class changed
+    * (`__NeedCoercion`), plus the sample PROJECT kickoff lines.
+    *
+    * Output columns (idx, s): idx preserves emission order so the result
+    * is oracle-checkable; the reference's recordset-of-strings is ordered
+    * by construction.
+    */
+  def bestRecordStructure(df: DataFrame, emitTransform: Boolean = false,
+      profiled: Option[DataFrame] = None): DataFrame = {
+    val spark = df.sparkSession
+    // best_attribute_type per attribute from the (driver-bounded) profile;
+    // non-profiled fields (non-scalar) keep their given type, matching the
+    // reference's LEFT OUTER join against Profile's output (:225-238)
+    val prof = profiled.getOrElse(
+      profile(df, withCorrelations = false, maxPatterns = 1))
+    val best = prof.select(col("attribute"), col("best_attribute_type"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val fields = df.schema.fields.toSeq
+    def givenOf(f: StructField): String = eclTypeName(f.dataType).toUpperCase
+    def bestOf(f: StructField): String =
+      best.getOrElse(f.name, eclTypeName(f.dataType)).toUpperCase
+    def recDef(layout: String, typeOf: StructField => String): Seq[String] =
+      s"$layout := RECORD" +:
+        fields.map(f => s"    ${typeOf(f)} ${f.name};") :+ "END;"
+    val newDef = recDef("NewLayout", bestOf)
+    val lines =
+      if (!emitTransform) newDef
+      else {
+        val coerce = fields.flatMap { f =>
+          if (genericType(givenOf(f)) != genericType(bestOf(f)))
+            Some(s"    SELF.${f.name} := (${bestOf(f)})r.${f.name};")
+          else None
+        }
+        newDef ++ Seq("//----------") ++ recDef("OldLayout", givenOf) ++
+          Seq("//----------",
+            "NewLayout Make_NewLayout(OldLayout r) := TRANSFORM") ++
+          coerce ++ Seq("    SELF := r;", "END;", "//----------",
+            "oldDS := DATASET([], OldLayout);",
+            "newDS := PROJECT(oldDS, Make_NewLayout(LEFT));")
+      }
+    val schema = StructType(Seq(StructField("idx", IntegerType),
+      StructField("s", StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        lines.zipWithIndex.map { case (s, i) => Row(i, s) }, 1), schema)
+  }
+
+  /** The Spark-side twin of [[bestRecordStructure]]: the tightest
+    * StructType the evidence supports (the type a user would pass to a
+    * re-read/rewrite of the data). ECL widths map to the smallest Spark
+    * type that CONTAINS them — unsigned widths need the next signed size
+    * up (Spark has no unsigned integers; unsigned8 keeps LongType and the
+    * overflow caveat is the reference's own INTEGER8 cast behavior).
+    */
+  def bestStructType(df: DataFrame,
+      profiled: Option[DataFrame] = None): StructType = {
+    val prof = profiled.getOrElse(
+      profile(df, withCorrelations = false, maxPatterns = 1))
+    val best = prof.select(col("attribute"), col("best_attribute_type"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def sparkTypeOf(t: String, fallback: DataType): DataType = {
+      val l = t.toLowerCase
+      def width(prefix: String): Int =
+        l.stripPrefix(prefix).takeWhile(_.isDigit) match {
+          case "" => 8
+          case d => d.toInt
+        }
+      if (l == "boolean") BooleanType
+      else if (l.startsWith("integer")) width("integer") match {
+        case 1 => ByteType
+        case 2 => ShortType
+        case 3 | 4 => IntegerType
+        case _ => LongType
+      }
+      else if (l.startsWith("unsigned")) width("unsigned") match {
+        case 1 => ShortType
+        case 2 | 3 => IntegerType
+        case _ => LongType
+      }
+      else if (l == "real4") FloatType
+      else if (l == "real8") DoubleType
+      else if (l.startsWith("string")) StringType
+      else fallback
+    }
+    StructType(df.schema.fields.map { f =>
+      f.copy(dataType = best.get(f.name)
+        .map(sparkTypeOf(_, f.dataType)).getOrElse(f.dataType))
+    })
+  }
 }

@@ -86,6 +86,48 @@ object AnalysisQueries {
         .orderBy("attribute")
     },
 
+    // ---- DataPatterns.BestRecordStructure (BestRecordStructure.ecl:1-471):
+    // fixed evidence table → the tightest RECORD + coercing TRANSFORM,
+    // pinned line-for-line by the oracle (the q106 VALUES pattern; the
+    // emission literals are the reference's own). ------------------------
+    QueryDef("q78_best_record",
+      """SELECT * FROM (VALUES
+        |  (0, 'NewLayout := RECORD'),
+        |  (1, '    UNSIGNED2 u;'),
+        |  (2, '    INTEGER1 i;'),
+        |  (3, '    BOOLEAN b;'),
+        |  (4, '    REAL8 f;'),
+        |  (5, '    STRING5 t;'),
+        |  (6, 'END;'),
+        |  (7, '//----------'),
+        |  (8, 'OldLayout := RECORD'),
+        |  (9, '    STRING u;'),
+        |  (10, '    STRING i;'),
+        |  (11, '    STRING b;'),
+        |  (12, '    STRING f;'),
+        |  (13, '    STRING t;'),
+        |  (14, 'END;'),
+        |  (15, '//----------'),
+        |  (16, 'NewLayout Make_NewLayout(OldLayout r) := TRANSFORM'),
+        |  (17, '    SELF.u := (UNSIGNED2)r.u;'),
+        |  (18, '    SELF.i := (INTEGER1)r.i;'),
+        |  (19, '    SELF.b := (BOOLEAN)r.b;'),
+        |  (20, '    SELF.f := (REAL8)r.f;'),
+        |  (21, '    SELF := r;'),
+        |  (22, 'END;'),
+        |  (23, '//----------'),
+        |  (24, 'oldDS := DATASET([], OldLayout);'),
+        |  (25, 'newDS := PROJECT(oldDS, Make_NewLayout(LEFT));')
+        |) AS t(idx, s) ORDER BY idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val in = Seq(
+        ("12", "-3", "true", "1.5", "abc"),
+        ("345", "7", "false", "2.25", "defgh"),
+        ("6", "-89", "true", "0.75", "ij")).toDF("u", "i", "b", "f", "t")
+      DataPatterns.bestRecordStructure(in, emitTransform = true)
+        .orderBy("idx")
+    },
+
     // ---- DataPatterns.Benford (Benford.ecl numeric contracts: DECIMAL4_1
     // percentages, chi-squared FROM the rounded values at 3 dp, the
     // hardcoded expected table, 99% critical value on the expected row) ----

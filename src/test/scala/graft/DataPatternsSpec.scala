@@ -67,6 +67,52 @@ class DataPatternsSpec extends SparkSpec {
     assert(prof("id").getAs[String]("given_attribute_type") == "integer4")
   }
 
+  test("BestRecordStructure: tightest RECORD + coercing TRANSFORM, reference emission") {
+    val in = Seq(("12", "-3", "true", "1.5", "abc"),
+      ("345", "7", "false", "2.25", "defgh"),
+      ("6", "-89", "true", "0.75", "ij")).toDF("u", "i", "b", "f", "t")
+    val plain = DataPatterns.bestRecordStructure(in)
+      .orderBy("idx").collect().map(_.getString(1)).toSeq
+    assert(plain == Seq(
+      "NewLayout := RECORD",
+      "    UNSIGNED2 u;", "    INTEGER1 i;", "    BOOLEAN b;",
+      "    REAL8 f;", "    STRING5 t;",
+      "END;"))
+    val withTf = DataPatterns.bestRecordStructure(in, emitTransform = true)
+      .orderBy("idx").collect().map(_.getString(1)).toSeq
+    // the TRANSFORM coerces exactly the fields whose generic type class
+    // changed (string→numeric/boolean); t stays string, so no assignment
+    assert(withTf.contains("NewLayout Make_NewLayout(OldLayout r) := TRANSFORM"))
+    assert(withTf.contains("    SELF.u := (UNSIGNED2)r.u;"))
+    assert(withTf.contains("    SELF.b := (BOOLEAN)r.b;"))
+    assert(!withTf.exists(_.contains("SELF.t :=")))
+    assert(withTf.takeRight(2) == Seq("oldDS := DATASET([], OldLayout);",
+      "newDS := PROJECT(oldDS, Make_NewLayout(LEFT));"))
+    // given non-string types pass through the emission unchanged
+    val given = DataPatterns.bestRecordStructure(df)
+      .orderBy("idx").collect().map(_.getString(1)).toSeq
+    assert(given.contains("    INTEGER4 id;"))
+    assert(given.contains("    BOOLEAN flag;"))
+  }
+
+  test("bestStructType maps evidence to the tightest containing Spark types") {
+    import org.apache.spark.sql.types._
+    val in = Seq(("12", "-3", "true", "1.5", "abc"),
+      ("345", "7", "false", "2.25", "defgh"),
+      ("6", "-89", "true", "0.75", "ij")).toDF("u", "i", "b", "f", "t")
+    val st = DataPatterns.bestStructType(in)
+    assert(st("u").dataType == IntegerType) // unsigned2 needs the next signed size
+    assert(st("i").dataType == ByteType)
+    assert(st("b").dataType == BooleanType)
+    assert(st("f").dataType == DoubleType)
+    assert(st("t").dataType == StringType)
+    // the tightened schema actually reads the data back
+    val casted = in.select(st.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    assert(casted.schema == st)
+    assert(casted.count() == 3)
+  }
+
   test("numeric stats ignore nils and zero-out non-numerics") {
     assert(prof("score").getAs[Boolean]("is_numeric"))
     assert(prof("score").getAs[Double]("numeric_min") == 10.0)
