@@ -127,24 +127,75 @@ object Parse {
       * expansions with their seed end-sets, and the set of in-flight seeds
       * the current computation has READ — a result that depended on a
       * still-growing seed is provisional and must not be memoized.
+      *
+      * The memo is IDENTITY-keyed (pattern node → position → end set):
+      * grammar ASTs are fixed object graphs, and structural keys would
+      * recompute a deep case-class hashCode on every probe — measurably
+      * slow on the hot scan path. The two node shapes the matcher
+      * synthesizes (GSeq tails and GRep rests during [[derive]]'s unroll)
+      * are interned per Ctx so each logical subpattern is ONE object.
       */
     private final class Ctx {
-      val memo = collection.mutable.Map.empty[(GPat, Int), Set[Int]]
+      private val memo =
+        new java.util.IdentityHashMap[GPat, java.util.HashMap[Int, Set[Int]]]()
+      def memoGet(p: GPat, pos: Int): Set[Int] = {
+        val m = memo.get(p)
+        if (m == null) null else m.get(pos)
+      }
+      def memoPut(p: GPat, pos: Int, v: Set[Int]): Unit = {
+        var m = memo.get(p)
+        if (m == null) {
+          m = new java.util.HashMap[Int, Set[Int]]()
+          memo.put(p, m)
+        }
+        m.put(pos, v)
+      }
+      private val interned = new java.util.IdentityHashMap[GPat, GPat]()
+      /** GSeq(q, rest…) → the interned GSeq(rest…). */
+      def tailOf(s: GSeq): GPat = {
+        var t = interned.get(s)
+        if (t == null) { t = GSeq(s.ps.drop(1): _*); interned.put(s, t) }
+        t
+      }
+      /** GRep(q, min, max) → the interned GRep(q, min-1, max-1). */
+      def restOf(r: GRep): GPat = {
+        var t = interned.get(r)
+        if (t == null) {
+          t = GRep(r.p, math.max(r.min - 1, 0), r.max - 1)
+          interned.put(r, t)
+        }
+        t
+      }
       val inFlight = collection.mutable.Set.empty[(String, Int)]
       val seeds = collection.mutable.Map.empty[(String, Int), Set[Int]]
       var readSeeds = Set.empty[(String, Int)]
       // cycle guard for derivation reconstruction (nullable left recursion
       // would otherwise re-derive the same (rule, span) forever)
       val deriving = collection.mutable.Set.empty[(String, Int, Int)]
-      // negative memo for derive(): failed (pattern, pos, target) splits —
-      // GSeq/GRep try every split point, so an ambiguous grammar over a
-      // long non-matching span would otherwise backtrack exponentially
-      // (ends() is packrat-bounded; reconstruction must be too). Guarded
-      // by cycleHits: a None produced under an active `deriving` cycle is
-      // provisional (the same span can succeed outside the cycle) and is
-      // never recorded.
-      val deriveFail = collection.mutable.Set.empty[(GPat, Int, Int)]
+      // negative memo for derive(): a (pattern, pos, target) that failed
+      // without consulting an in-progress cycle is final (identity-keyed,
+      // spans packed into one long). With the ends() viability gate, only
+      // cycle-adjacent probes can fail at all; this keeps even those O(1).
+      private val failed =
+        new java.util.IdentityHashMap[GPat, java.util.HashSet[Long]]()
+      private def span(pos: Int, target: Int): Long =
+        (pos.toLong << 32) | (target.toLong & 0xffffffffL)
+      def failedHas(p: GPat, pos: Int, target: Int): Boolean = {
+        val s = failed.get(p)
+        s != null && s.contains(span(pos, target))
+      }
+      def failedAdd(p: GPat, pos: Int, target: Int): Unit = {
+        var s = failed.get(p)
+        if (s == null) { s = new java.util.HashSet[Long](); failed.put(p, s) }
+        s.add(span(pos, target))
+      }
       var cycleHits = 0
+      /** Composite-node memoization costs more than plain recursion on the
+        * simple-grammar scan path; it only PAYS once [[derive]] starts
+        * probing split viability. Scan-only matching (parseGrammar) never
+        * flips this, so it keeps r8's zero-bookkeeping recursion.
+        */
+      var memoComposites = false
     }
 
     /** All possible end offsets of a match of `p` beginning at `pos`.
@@ -160,22 +211,23 @@ object Parse {
         case GLit(s) =>
           if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
         case _: GRef => endsImpl(text, p, pos, ctx)
+        case _ if !ctx.memoComposites => endsImpl(text, p, pos, ctx)
         case _ =>
-          ctx.memo.get((p, pos)) match {
-            case Some(cached) => cached
-            case None =>
-              val outerReads = ctx.readSeeds
-              ctx.readSeeds = Set.empty
-              val r = endsImpl(text, p, pos, ctx)
-              val reads = ctx.readSeeds
-              if (reads.isEmpty) ctx.memo((p, pos)) = r
-              ctx.readSeeds = outerReads ++ reads
-              r
+          val cached = ctx.memoGet(p, pos)
+          if (cached != null) cached
+          else {
+            val outerReads = ctx.readSeeds
+            ctx.readSeeds = Set.empty
+            val r = endsImpl(text, p, pos, ctx)
+            val reads = ctx.readSeeds
+            if (reads.isEmpty) ctx.memoPut(p, pos, r)
+            ctx.readSeeds = outerReads ++ reads
+            r
           }
       }
 
     private def endsImpl(text: String, p: GPat, pos: Int, ctx: Ctx): Set[Int] = {
-      import ctx.{memo, inFlight, seeds}
+      import ctx.{inFlight, seeds}
       p match {
       case GLit(s) =>
         if (text.startsWith(s, pos)) Set(pos + s.length) else Set.empty
@@ -216,7 +268,7 @@ object Parse {
         val rule = rules.getOrElse(name,
           throw new IllegalArgumentException(s"undefined rule '$name'"))
         val key = (name, pos)
-        memo.get((rule, pos)) match {
+        Option(ctx.memoGet(rule, pos)) match {
           case Some(cached) => cached
           case None if inFlight.contains(key) =>
             // left-recursive re-entry: answer with the current seed — the
@@ -241,7 +293,7 @@ object Parse {
               // our own converged seed is no longer provisional; memoize
               // unless the result read some ENCLOSING rule's growing seed
               val foreign = lastReads - key
-              if (foreign.isEmpty) memo((rule, pos)) = seed
+              if (foreign.isEmpty) ctx.memoPut(rule, pos, seed)
               ctx.readSeeds = outerReads ++ foreign
               seed
             } finally { inFlight.remove(key); seeds.remove(key) }
@@ -306,13 +358,13 @@ object Parse {
       // ends() table rules out — this is what keeps derive() polynomial on
       // ambiguous grammars (the split search below only proposes mids that
       // pass this same gate, so non-cycle failures cannot occur at all)
+      ctx.memoComposites = true
       if (!ends(text, p, pos, ctx).contains(target)) return None
-      val key = (p, pos, target)
-      if (ctx.deriveFail.contains(key)) return None
+      if (ctx.failedHas(p, pos, target)) return None
       val hits0 = ctx.cycleHits
       val r = deriveImpl(text, p, pos, target, ctx)
       // only a failure that never consulted an in-progress cycle is final
-      if (r.isEmpty && ctx.cycleHits == hits0) ctx.deriveFail.add(key)
+      if (r.isEmpty && ctx.cycleHits == hits0) ctx.failedAdd(p, pos, target)
       r
     }
 
@@ -324,39 +376,39 @@ object Parse {
       case GTok(re) =>
         val m = tokRe(re).matcher(text).region(pos, text.length)
         if (m.lookingAt() && m.end() == target) Some(Nil) else None
-      case GSeq(ps @ _*) =>
-        ps.toList match {
-          case Nil => if (target == pos) Some(Nil) else None
-          case q :: rest =>
-            // longest-first split keeps reconstruction aligned with MAX;
-            // a mid is proposed only when BOTH halves' memoized end-sets
-            // admit it, so the recursion below cannot fail except through
-            // a derivation cycle (nullable left recursion)
-            val restP = GSeq(rest: _*)
-            ends(text, q, pos, ctx)
-              .filter(m => m <= target &&
-                ends(text, restP, m, ctx).contains(target))
-              .toList.sorted.reverse
-              .iterator.flatMap { mid =>
-                for {
-                  a <- derive(text, q, pos, mid, ctx)
-                  b <- derive(text, restP, mid, target, ctx)
-                } yield a ++ b
-              }.nextOption()
+      case s @ GSeq(ps @ _*) =>
+        if (ps.isEmpty) { if (target == pos) Some(Nil) else None }
+        else {
+          // longest-first split keeps reconstruction aligned with MAX;
+          // a mid is proposed only when BOTH halves' memoized end-sets
+          // admit it, so the recursion below cannot fail except through
+          // a derivation cycle (nullable left recursion)
+          val q = ps.head
+          val restP = ctx.tailOf(s)
+          ends(text, q, pos, ctx)
+            .filter(m => m <= target &&
+              ends(text, restP, m, ctx).contains(target))
+            .toList.sorted.reverse
+            .iterator.flatMap { mid =>
+              for {
+                a <- derive(text, q, pos, mid, ctx)
+                b <- derive(text, restP, mid, target, ctx)
+              } yield a ++ b
+            }.nextOption()
         }
       case GOr(ps @ _*) =>
         ps.iterator.flatMap(q => derive(text, q, pos, target, ctx))
           .nextOption()
       case GOpt(q) =>
         if (target == pos) Some(Nil) else derive(text, q, pos, target, ctx)
-      case GRep(q, min, max) =>
+      case r @ GRep(q, min, max) =>
         // unroll: zero reps only if allowed and target==pos; else one rep
         // then the remainder with min-1
         val zero = if (min <= 0 && target == pos) Some(Nil) else None
         zero.orElse {
           if (max <= 0) None
           else {
-            val restP = GRep(q, math.max(min - 1, 0), max - 1)
+            val restP = ctx.restOf(r)
             ends(text, q, pos, ctx)
               // zero-width first rep makes no progress — skip it; any end
               // position it reaches is reachable without it
