@@ -66,6 +66,21 @@ final class Workunits(spark: SparkSession) {
   /** wsWorkunitExists. */
   def workunitExists(wuid: String): Boolean = runs.contains(wuid)
 
+  /** Append a message to a recorded workunit — the write path behind
+    * Std.System.Log's addWorkunitInformation/Warning/Error
+    * ([[SystemInfo.Log.addWorkunitMessage]]). False when the wuid is
+    * unknown (audit the miss, don't throw — the reference's services
+    * return success flags).
+    */
+  def addMessage(wuid: String, severity: String, text: String,
+      code: Int = 0): Boolean =
+    runs.get(wuid) match {
+      case Some(r) =>
+        runs(wuid) = r.copy(messages = r.messages :+ s"$severity ($code): $text")
+        true
+      case None => false
+    }
+
   /** wsWorkunitList with wildcard filters on name/owner/state
     * (lowerwuid/upperwuid analog: the id range).
     */
