@@ -428,6 +428,51 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // ---- unigram-LM quality score (the CCNet-style perplexity proxy):
+    // score every document by the mean negative log-probability of its
+    // tokens under the corpus's own add-one-smoothed unigram LM. The
+    // per-token -ln routes through DECIMAL(25,15) on BOTH engines so the
+    // aggregate is order-independent (the term join scatters a doc's
+    // tokens across partitions). ------------------------------------------
+    QueryDef("q72_unigram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(trim(text), '\s+'), w -> w <> '')) AS t
+        |  FROM documents),
+        |vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        |tot AS (SELECT SUM(c) AS tt, COUNT(*) AS v FROM vocab)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(SUM(CAST(-ln((c + 1.0) / (tt + v)) AS DECIMAL(25,15)))
+        |      AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+        |FROM toks JOIN vocab USING (t) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.unigramScore(Tables.documents(s, dir), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- temperature-scaled mixture weights (multilingual data mixing):
+    // weights ∝ count^alpha with alpha=0.5 — the published recipe for
+    // upsampling tail strata; sample_rate realizes the mixture with the
+    // most-upsampled stratum kept whole. O(#strata) arithmetic after one
+    // count aggregate. ----------------------------------------------------
+    QueryDef("q79_mixture_weights",
+      """WITH c AS (SELECT lang AS stratum, COUNT(*) AS n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n) AS tn, SUM(pow(n, 0.5)) AS tw FROM c),
+        |w AS (SELECT stratum, n,
+        |    n / CAST(tn AS DOUBLE) AS share0,
+        |    pow(n, 0.5) / tw AS weight0
+        |  FROM c CROSS JOIN t),
+        |m AS (SELECT MAX(weight0 / share0) AS mr FROM w)
+        |SELECT stratum, n, round(share0, 6) AS share,
+        |  round(weight0, 6) AS weight,
+        |  round((weight0 / share0) / mr, 6) AS sample_rate
+        |FROM w CROSS JOIN m ORDER BY stratum""".stripMargin) { (s, dir) =>
+      TextOps.mixtureWeights(Tables.documents(s, dir), col("lang"), 0.5)
+        .orderBy(col("stratum"))
+    },
+
     // ---- repetition signals (training-data quality): distinct-token ratio
     // and repeated bigram/trigram fractions — the standard "repetitious
     // document" filters. All per-row array ops, zero shuffles before the

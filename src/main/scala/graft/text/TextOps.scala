@@ -446,4 +446,64 @@ object TextOps {
     train.select(id.as("doc_id")).join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
+
+  /** Unigram language-model quality score — the CCNet-style perplexity
+    * proxy (published pipeline: score each document by the average
+    * negative log-probability of its tokens under a corpus LM; high =
+    * unusual/junk, low = fluent). The LM here is the corpus's own unigram
+    * distribution with add-one smoothing: p(t) = (c_t + 1) / (T + V).
+    *
+    * Scale shape: one linear token shuffle builds the vocab, the scoring
+    * join shuffles on the term (AQE broadcasts the vocab side when it
+    * fits), the per-doc aggregate is partial+final. No driver state — the
+    * vocab stays a DataFrame however large the corpus.
+    * Output: (doc_id, n_tokens, avg_neg_logp).
+    */
+  def unigramScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = graft.ops.Shape.split(
+      df.select(id.as("doc_id"), explode(words(text)).as("t")))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+    toks.join(vocab, "t")
+      .crossJoin(broadcast(totals))
+      // per-token -ln(p) goes through DECIMAL before the aggregate: the
+      // scoring join scatters a document's tokens across partitions, so a
+      // double sum would be order-dependent (hash-unstable vs the oracle);
+      // the decimal sum is exact and order-free
+      .withColumn("nlp", (-log((col("c").cast("double") + lit(1.0)) /
+        (col("tt").cast("double") + col("v").cast("double"))))
+        .cast("decimal(25,15)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("nlp")).cast("double") / count(lit(1)), 6)
+          .as("avg_neg_logp"))
+  }
+
+  /** Temperature-scaled mixture weights over strata — the multilingual/
+    * multi-domain data-mixing step (published recipe: sampling weights
+    * ∝ count^alpha, alpha<1 upsamples the tail): per stratum the corpus
+    * share, the alpha-tempered mixture weight, and the per-document
+    * sampling rate that realizes the mixture capped at 1 (the largest
+    * upsampled stratum keeps every row; others scale proportionally).
+    * One aggregate; all arithmetic on the O(#strata) result.
+    */
+  def mixtureWeights(df: DataFrame, stratum: Column,
+      alpha: Double): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n"))
+    val tempered = counts.withColumn("w0",
+      pow(col("n").cast("double"), lit(alpha)))
+    val totals = tempered.agg(sum(col("n")).as("tn"), sum(col("w0")).as("tw"))
+    val withW = tempered.crossJoin(broadcast(totals))
+      .withColumn("share", col("n").cast("double") / col("tn").cast("double"))
+      .withColumn("weight", col("w0") / col("tw"))
+      // rate ∝ weight/share; normalize so the max rate is exactly 1
+      .withColumn("r0", col("weight") / col("share"))
+    val maxR = withW.agg(max(col("r0")).as("mr"))
+    withW.crossJoin(broadcast(maxR))
+      .select(col("stratum"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("weight"), 6).as("weight"),
+        round(col("r0") / col("mr"), 6).as("sample_rate"))
+  }
 }

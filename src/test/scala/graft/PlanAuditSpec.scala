@@ -195,6 +195,20 @@ class PlanAuditSpec extends SparkSpec {
       s"reused stages not persisted:\n$plan")
   }
 
+  test("unigram LM: token explode persisted once, totals broadcast, linear joins") {
+    val df = graft.text.TextOps.unigramScore(
+      Tables.documents(spark, sf), col("doc_id"), col("text"))
+    val plan = executed(df)
+    // the exploded token stream feeds vocab AND scoring — persisted, not
+    // recomputed (the explode is the expensive linear pass)
+    assert(plan.contains("InMemoryTableScan"), s"plan:\n$plan")
+    // the 1-row totals frame rides a broadcast nested loop (constant
+    // side); nothing else may plan a non-equality join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval gram set — the corpus never shuffles") {
     val docs = Tables.documents(spark, sf)
     val out = graft.text.TextOps.decontaminate(

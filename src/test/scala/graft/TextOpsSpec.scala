@@ -272,6 +272,35 @@ class TextOpsSpec extends SparkSpec {
     assert(hits.size == 3)
   }
 
+  test("unigramScore: add-one-smoothed corpus LM, exact hand computation") {
+    val docs = Seq((1L, "a a b"), (2L, "c")).toDF("doc_id", "text")
+    val got = TextOps.unigramScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // vocab a:2 b:1 c:1, T=4, V=3 → p(a)=3/7, p(b)=p(c)=2/7
+    val pa = -math.log(3.0 / 7); val pb = -math.log(2.0 / 7)
+    assert(got(0)._2 == 3 &&
+      math.abs(got(0)._3 - (2 * pa + pb) / 3) < 1e-6)
+    assert(got(1)._2 == 1 && math.abs(got(1)._3 - pb) < 1e-6)
+    // junk (rare tokens) scores strictly higher than fluent repetition
+    assert(got(1)._3 > got(0)._3)
+  }
+
+  test("mixtureWeights: alpha tempering upsamples the tail, max rate is 1") {
+    val df = (Seq.fill(9)("en") ++ Seq("fr")).toDF("lang")
+    val w = TextOps.mixtureWeights(df, col("lang"), 0.5)
+      .orderBy("stratum").as[(String, Long, Double, Double, Double)].collect()
+    val en = w(0); val fr = w(1)
+    // counts 9/1, alpha .5 → w0 3/1 → weights .75/.25; shares .9/.1
+    assert(en._2 == 9 && fr._2 == 1)
+    assert(math.abs(en._4 - 0.75) < 1e-6 && math.abs(fr._4 - 0.25) < 1e-6)
+    // rates: fr (most upsampled) keeps every row; en samples to match
+    assert(fr._5 == 1.0)
+    assert(math.abs(en._5 - (0.75 / 0.9) / 2.5) < 1e-6)
+    // realized mixture: n*rate proportions equal the tempered weights
+    val mix = Seq(en._2 * en._5, fr._2 * fr._5)
+    assert(math.abs(mix(0) / mix.sum - 0.75) < 1e-6)
+  }
+
   test("duplicatePassages counts occurrences and distinct docs per gram") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over it"),
