@@ -16,11 +16,18 @@ final class Published(spark: SparkSession) {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[String, (SparkSession, Stored) => DataFrame]
 
-  /** Publish a query under a name (idempotent redeploy like Roxie). */
-  def publish(name: String)(fn: (SparkSession, Stored) => DataFrame): Unit =
+  /** Publish a query under a name (idempotent redeploy like Roxie;
+    * redeploy invalidates the name's cached responses).
+    */
+  def publish(name: String)(fn: (SparkSession, Stored) => DataFrame): Unit = {
     registry.put(name, fn)
+    cacheInvalidate(name)
+  }
 
-  def unpublish(name: String): Unit = registry.remove(name)
+  def unpublish(name: String): Unit = {
+    registry.remove(name)
+    cacheInvalidate(name)
+  }
 
   def list: Seq[String] = registry.keys.toSeq.sorted
 
@@ -92,7 +99,51 @@ final class Published(spark: SparkSession) {
     * answer-sized results (Roxie's mindset), not exports; bigger results
     * belong in OUTPUT/superfiles. Returns the bound port (pass 0 for an
     * ephemeral one).
+    *
+    * Response cache: Roxie keeps compiled queries hot and caches results
+    * server-side; the Spark analog caches the RENDERED response per
+    * (name, params, format) — the per-request cost here is Catalyst
+    * re-planning, ~5 ms, which a cache hit skips entirely. Bounded LRU +
+    * TTL; publish/unpublish invalidate the name's entries.
     */
+  private val cacheCap = 256
+  private val cache =
+    new java.util.LinkedHashMap[String, (Long, Int, String, String)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Int, String, String)]): Boolean =
+        size() > cacheCap
+    }
+  private var cacheTtlMs = 0L
+
+  private def cacheGet(key: String): Option[(Int, String, String)] =
+    cache.synchronized {
+      Option(cache.get(key)).collect {
+        case (at, code, body, ct)
+          if System.currentTimeMillis() - at <= cacheTtlMs => (code, body, ct)
+      }
+    }
+
+  private def cachePut(key: String, code: Int, body: String,
+      ct: String): Unit =
+    cache.synchronized {
+      cache.put(key, (System.currentTimeMillis(), code, body, ct))
+    }
+
+  private def cacheInvalidate(name: String): Unit = cache.synchronized {
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(name + " ")) it.remove()
+  }
+
+  /** Serve with response caching: `cacheTtlMs > 0` answers repeated
+    * identical requests from the LRU within the TTL (the Roxie posture —
+    * a served query is read-only over published state, so staleness is
+    * bounded by the TTL the operator chooses; 0 disables).
+    */
+  def serve(port: Int, maxRows: Int, cacheTtlMs: Long): Int = {
+    this.cacheTtlMs = cacheTtlMs
+    serve(port, maxRows)
+  }
+
   def serve(port: Int = 0, maxRows: Int = 10000): Int = synchronized {
     require(server.isEmpty, "already serving")
     // TCP_NODELAY on accepted sockets: headers and body go out as separate
@@ -186,6 +237,14 @@ final class Published(spark: SparkSession) {
           .getOrElse("")
         val wantXml = soapIn || accept.contains("xml") ||
           params.get("format").contains("xml")
+        // cache key: name + format + sorted params (the space separator
+        // cannot occur in a query name path segment)
+        val cacheKey = s"$name ${if (wantXml) "x" else "j"}:$soapIn " +
+          params.toSeq.sorted.mkString("&")
+        val cached = if (cacheTtlMs > 0) cacheGet(cacheKey) else None
+        cached match {
+          case Some((code, body, ct)) => respond(ex, code, body, ct)
+          case None =>
         try {
           val df = run(name, params - "format")
           if (wantXml) {
@@ -205,11 +264,16 @@ final class Published(spark: SparkSession) {
                 """<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">""" +
                 s"<soap:Body>$core</soap:Body></soap:Envelope>"
             else s"""<?xml version="1.0" encoding="UTF-8"?>$core"""
+            if (cacheTtlMs > 0)
+              cachePut(cacheKey, 200, xml, "text/xml; charset=utf-8")
             respond(ex, 200, xml, "text/xml; charset=utf-8")
           } else {
             val rows = df.take(maxRows).map(jsonRow)
-            respond(ex, 200,
-              s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}""")
+            val body =
+              s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}"""
+            if (cacheTtlMs > 0)
+              cachePut(cacheKey, 200, body, "application/json")
+            respond(ex, 200, body)
           }
         } catch {
           case _: NoSuchElementException if !registry.contains(name) =>
@@ -224,6 +288,7 @@ final class Published(spark: SparkSession) {
               "text/xml; charset=utf-8")
             else respond(ex, 500,
               s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""")
+        }
         }
       })
     srv.start()

@@ -170,6 +170,35 @@ class ServeSpec extends SparkSpec {
     assert(got == 2L) // score tie at 3.0 → smaller id wins
   }
 
+  test("response cache: TTL hit skips re-execution, redeploy invalidates") {
+    val pub = new Published(spark)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def deploy(tag: String): Unit = pub.publish("counted") { (s, stored) =>
+      hits.incrementAndGet()
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(s"$tag-${stored("p", "")}")),
+        org.apache.spark.sql.types.StructType.fromDDL("r STRING"))
+    }
+    deploy("v1")
+    val port = pub.serve(0, 100, cacheTtlMs = 60000)
+    def get(q: String): String = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/counted?$q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    try {
+      assert(get("p=a").contains("v1-a") && hits.get() == 1)
+      assert(get("p=a").contains("v1-a") && hits.get() == 1) // cache hit
+      assert(get("p=b").contains("v1-b") && hits.get() == 2) // param miss
+      deploy("v2") // redeploy invalidates the name's entries
+      assert(get("p=a").contains("v2-a") && hits.get() == 3)
+      assert(get("p=a").contains("v2-a") && hits.get() == 3)
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
