@@ -9,16 +9,22 @@ import org.apache.spark.sql.types._
   * decoders (the Scala analog of `mapInPandas` — one iterator pass per
   * partition, vectorizable batch shape).
   *
-  * IMAGES ARE REAL: [[decodeImage]], [[imagePixels]], [[resizeImage]] and
-  * [[imageHistogram]] decode genuine PNG bytes — DEFLATE decompression,
-  * chunk CRCs, five-filter scanline reconstruction — through the
-  * spec-compliant [[Image]] codec (pure `java.util.zip`, no external
-  * dependency; see Image.scala for why this container's java.desktop /
-  * ImageIO is unusable) and operate on real rasters. Only AUDIO/VIDEO
-  * codecs are environment-limited and stay stubbed ([[decodeBlobStub]] /
-  * [[sampleFrames]] treat the blob as deterministic byte frames); swap
-  * those bodies for a javacv/ffmpeg call in production — the Spark-side
-  * plumbing (binary schema, partition batching, output shape) is identical.
+  * ALL THREE MODALITIES HAVE REAL CODECS:
+  *  - IMAGES: [[decodeImage]], [[imagePixels]], [[resizeImage]] and
+  *    [[imageHistogram]] decode genuine PNG bytes — DEFLATE decompression,
+  *    chunk CRCs, five-filter scanline reconstruction — through the
+  *    spec-compliant [[Image]] codec (pure `java.util.zip`; see Image.scala
+  *    for why this container's java.desktop / ImageIO is unusable).
+  *  - AUDIO: [[decodeAudio]] / [[resampleAudio]] parse genuine RIFF/WAVE
+  *    PCM through the [[Audio]] codec (chunk walk, 8/16-bit, multi-channel).
+  *  - VIDEO: [[decodeVideo]] / [[videoFrameLuma]] / [[videoSceneCuts]]
+  *    parse genuine YUV4MPEG2 streams through the [[Video]] codec
+  *    (FRAME-marker framing, 4:2:0/4:4:4/mono planes).
+  * COMPRESSED av codecs (H.264, MP3, …) remain environment-limited; the
+  * byte-frame stubs below ([[decodeBlobStub]] / [[sampleFrames]]) keep that
+  * pluggable contract testable — swap their bodies for a javacv/ffmpeg call
+  * in production, the Spark-side plumbing (binary schema, partition
+  * batching, output shape) is identical.
   */
 object Multimodal {
 
@@ -178,6 +184,196 @@ object Multimodal {
       rows.map { r =>
         Row(r.get(idIdx), grayPng(r.getInt(wIdx), r.getInt(hIdx),
           r.getLong(sIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---- REAL audio (WAV/PCM via [[Audio]]) ----------------------------------
+
+  /** Deterministic mono PCM16 WAV: sample(i) = ((31·i + 17·seed) mod 2048)
+    * − 1024 — closed-form for the SQL oracle, genuinely RIFF-encoded so the
+    * decode under test parses real bytes.
+    */
+  def synthWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = (((31L * i + 17L * seed) % 2048) - 1024).toShort
+      i += 1
+    }
+    Audio.encodeWav(sampleRate, 1, samples)
+  }
+
+  /** Column form of [[synthWav]] (batched partition pass). */
+  def synthWavCol(df: DataFrame, idCol: String, nCol: String,
+      rateCol: String, seedCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("wav", BinaryType)))
+    val Seq(idIdx, nIdx, rIdx, sIdx) =
+      Seq(idCol, nCol, rateCol, seedCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(idIdx),
+          synthWav(r.getInt(nIdx), r.getInt(rIdx), r.getLong(sIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Audio feature schema produced by [[decodeAudio]]. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("n_frames", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("s_sum", LongType),
+    StructField("sq_sum", LongType),
+    StructField("peak", IntegerType),
+    StructField("zero_crossings", LongType)))
+
+  /** REAL audio decode + exact integer features per blob via the [[Audio]]
+    * WAV codec — one batched partition pass; undecodable blobs yield a
+    * (-1, …) row rather than failing the task.
+    */
+  def decodeAudio(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +: AudioMetaSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Audio.decodeWav(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(clip) =>
+            val f = Audio.features(clip)
+            Row(r.get(idIdx), f.nFrames, f.sampleRate, f.channels, f.sum,
+              f.sqSum, f.peak, f.zeroCrossings)
+          case None => Row(r.get(idIdx), -1L, -1, -1, -1L, -1L, -1, -1L)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio resample: decimate every `factor`-th frame and re-encode as
+    * WAV (blob→blob, the [[resizeImage]] contract for audio).
+    */
+  def resampleAudio(df: DataFrame, idCol: String, binCol: String,
+      factor: Int): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("resampled", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Audio.decodeWav(r.getAs[Array[Byte]](binIdx)).map { clip =>
+          val d = Audio.decimate(clip, factor)
+          Row(r.get(idIdx), Audio.encodeWav(d.sampleRate, d.channels, d.samples))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  // ---- REAL video (Y4M via [[Video]]) --------------------------------------
+
+  /** Deterministic 4:2:0 Y4M: scene s = f / 3 changes the whole law, so
+    * frames within a scene are identical and scene boundaries are large
+    * jumps — Y(f,x,y) = (7x + 13y + 97·s + seed) mod 256, chroma planes
+    * constant (64 + s + seed) / (192 + 2s + seed) mod 256. Closed-form for
+    * the SQL oracle; genuinely Y4M-encoded (header + FRAME markers).
+    */
+  def synthY4m(width: Int, height: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    require(width % 2 == 0 && height % 2 == 0, "4:2:0 needs even dims")
+    val cSize = (width / 2) * (height / 2)
+    val frames = (0 until nFrames).map { f =>
+      val s = f / 3
+      val y = new Array[Byte](width * height)
+      for (yy <- 0 until height; xx <- 0 until width)
+        y(yy * width + xx) = ((7L * xx + 13L * yy + 97L * s + seed) % 256).toByte
+      val u = Array.fill(cSize)(((64L + s + seed) % 256).toByte)
+      val v = Array.fill(cSize)(((192L + 2L * s + seed) % 256).toByte)
+      Video.Frame(y, u, v)
+    }
+    Video.encodeY4m(width, height, 25, 1, frames)
+  }
+
+  /** Column form of [[synthY4m]] (batched partition pass). */
+  def synthY4mCol(df: DataFrame, idCol: String, wCol: String, hCol: String,
+      framesCol: String, seedCol: String): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("y4m", BinaryType)))
+    val Seq(idIdx, wIdx, hIdx, fIdx, sIdx) =
+      Seq(idCol, wCol, hCol, framesCol, seedCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(idIdx), synthY4m(r.getInt(wIdx), r.getInt(hIdx),
+          r.getInt(fIdx), r.getLong(sIdx)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Video metadata schema produced by [[decodeVideo]]. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("fps_num", IntegerType),
+    StructField("fps_den", IntegerType)))
+
+  /** REAL video decode: container metadata per blob via the [[Video]] Y4M
+    * codec; undecodable blobs yield (-1, …), never task failures.
+    */
+  def decodeVideo(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +: VideoMetaSchema.fields)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Video.decodeY4m(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(s) =>
+            Row(r.get(idIdx), s.width, s.height, s.frames.length, s.fpsNum,
+              s.fpsDen)
+          case None => Row(r.get(idIdx), -1, -1, -1, -1, -1)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL frame sampling + per-frame statistics: every `everyNth` frame
+    * exploded to (id, frame_idx, y_sum) — the exact-integer per-frame
+    * summary the oracle recomputes from the synthesis law. Replaces the
+    * byte-chunk [[sampleFrames]] stub for Y4M blobs.
+    */
+  def videoFrameLuma(df: DataFrame, idCol: String, binCol: String,
+      everyNth: Int = 1): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("y_sum", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Video.decodeY4m(r.getAs[Array[Byte]](binIdx)).toSeq.flatMap { s =>
+          Video.frameLumaSums(s).collect {
+            case (i, sum) if i % everyNth == 0 => Row(r.get(idIdx), i, sum)
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL scene-cut detection per blob: (id, cut_frame) rows where the mean
+    * absolute luma difference to the previous frame exceeds `threshold`.
+    * Partition-local per blob — at 100 TB this is scan-shaped work with no
+    * shuffle at all.
+    */
+  def videoSceneCuts(df: DataFrame, idCol: String, binCol: String,
+      threshold: Int): DataFrame = {
+    val outSchema = StructType(Seq(df.schema(idCol),
+      StructField("cut_frame", IntegerType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Video.decodeY4m(r.getAs[Array[Byte]](binIdx)).toSeq.flatMap { s =>
+          Video.sceneCuts(s, threshold).map(f => Row(r.get(idIdx), f))
+        }
       }
     }(Encoders.row(outSchema))
   }

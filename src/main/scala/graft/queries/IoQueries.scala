@@ -473,6 +473,131 @@ object IoQueries {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
       Multimodal.decodeBlobStub(blobs)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL audio decode (WAV/RIFF PCM16): deterministic mono clips
+    // (sample law ((31i + 17·doc_id) mod 2048) − 1024, length/rate from
+    // doc_id) are genuinely RIFF-encoded, then DECODED back — frame count,
+    // rate and exact integer features (sum, sum-of-squares, peak,
+    // zero-crossings) recomputed by the oracle from the closed-form law. --
+    QueryDef("q162_audio_decode",
+      """WITH d AS (SELECT doc_id,
+        |    200 + doc_id % 57 AS n,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+        |  FROM documents WHERE doc_id < 400),
+        |s AS (SELECT doc_id, n, rate, i.i AS i,
+        |    ((31 * i.i + 17 * doc_id) % 2048) - 1024 AS v
+        |  FROM d, range(0, 257) i(i) WHERE i.i < n)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames, rate AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(SUM(v) AS BIGINT) AS s_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+        |  CAST(SUM(CASE WHEN i > 0 AND
+        |      ((((31 * (i - 1) + 17 * doc_id) % 2048) - 1024 < 0) !=
+        |       (v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM s GROUP BY doc_id, n, rate ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          (lit(200) + col("doc_id") % 57).cast("int").as("n"),
+          (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
+          col("doc_id").cast("long").as("seed"))
+      val wavs = Multimodal.synthWavCol(specs, "doc_id", "n", "rate", "seed")
+      Multimodal.decodeAudio(wavs, "doc_id", "wav")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL audio resample: decimate every 4th frame, re-encode as WAV,
+    // decode AGAIN — surviving samples are the law at i = 4j, so the oracle
+    // recomputes the decimated clip's features exactly. --------------------
+    QueryDef("q163_audio_resample",
+      """WITH d AS (SELECT doc_id, 200 + doc_id % 57 AS n
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, n, j.j AS j,
+        |    ((31 * (4 * j.j) + 17 * doc_id) % 2048) - 1024 AS v
+        |  FROM d, range(0, 65) j(j) WHERE 4 * j.j < n)
+        |SELECT doc_id,
+        |  CAST((n + 3) // 4 AS BIGINT) AS n_frames,
+        |  CAST(2000 + (doc_id % 3) * 1000 AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(SUM(v) AS BIGINT) AS s_sum,
+        |  CAST(SUM(v * v) AS BIGINT) AS sq_sum,
+        |  CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+        |  CAST(SUM(CASE WHEN j > 0 AND
+        |      ((((31 * (4 * (j - 1)) + 17 * doc_id) % 2048) - 1024 < 0) !=
+        |       (v < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM s GROUP BY doc_id, n ORDER BY doc_id""".stripMargin) {
+      (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (lit(200) + col("doc_id") % 57).cast("int").as("n"),
+          (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
+          col("doc_id").cast("long").as("seed"))
+      val wavs = Multimodal.synthWavCol(specs, "doc_id", "n", "rate", "seed")
+      val resampled = Multimodal.resampleAudio(wavs, "doc_id", "wav", 4)
+      Multimodal.decodeAudio(resampled, "doc_id", "resampled")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- REAL video decode + frame statistics (YUV4MPEG2 4:2:0): scene
+    // law Y(f,x,y) = (7x + 13y + 97·(f/3) + doc_id) mod 256 — frames within
+    // a 3-frame scene are identical, boundaries jump. Every sampled frame's
+    // luma sum is recomputed by the oracle from the law. -------------------
+    QueryDef("q164_video_frames",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id % 4) * 2 AS INTEGER) AS h,
+        |    CAST(6 + doc_id % 7 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id < 250),
+        |g AS (SELECT doc_id, w, h, f.f AS f, xs.x AS x, ys.y AS y
+        |  FROM d, range(0, 13) f(f), range(0, 17) xs(x), range(0, 13) ys(y)
+        |  WHERE f.f < nf AND f.f % 2 = 0 AND xs.x < w AND ys.y < h)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(SUM((7 * x + 13 * y + 97 * (f // 3) + doc_id) % 256) AS BIGINT)
+        |    AS y_sum
+        |FROM g GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin) {
+      (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 5) * 2).cast("int").as("w"),
+          (lit(6) + (col("doc_id") % 4) * 2).cast("int").as("h"),
+          (lit(6) + col("doc_id") % 7).cast("int").as("nf"),
+          col("doc_id").cast("long").as("seed"))
+      val vids = Multimodal.synthY4mCol(specs, "doc_id", "w", "h", "nf", "seed")
+      Multimodal.videoFrameLuma(vids, "doc_id", "y4m", everyNth = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // ---- REAL scene-cut detection: mean-abs-diff between consecutive
+    // decoded luma planes > 8. The oracle recomputes the SAME pairwise
+    // pixel difference from the law (not the scene shortcut), so the gate
+    // proves the detector, not the synthesizer. ----------------------------
+    QueryDef("q165_scene_cuts",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS w,
+        |    CAST(6 + (doc_id % 4) * 2 AS INTEGER) AS h,
+        |    CAST(6 + doc_id % 7 AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id < 250),
+        |diffs AS (SELECT doc_id, w, h, f.f AS f,
+        |    SUM(ABS(((7 * xs.x + 13 * ys.y + 97 * (f.f // 3) + doc_id) % 256) -
+        |            ((7 * xs.x + 13 * ys.y + 97 * ((f.f - 1) // 3) + doc_id)
+        |              % 256))) AS total
+        |  FROM d, range(1, 13) f(f), range(0, 17) xs(x), range(0, 13) ys(y)
+        |  WHERE f.f < nf AND xs.x < w AND ys.y < h
+        |  GROUP BY doc_id, w, h, f.f)
+        |SELECT doc_id, CAST(f AS INTEGER) AS cut_frame
+        |FROM diffs WHERE total > 8 * w * h
+        |ORDER BY doc_id, cut_frame""".stripMargin) { (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          (lit(8) + (col("doc_id") % 5) * 2).cast("int").as("w"),
+          (lit(6) + (col("doc_id") % 4) * 2).cast("int").as("h"),
+          (lit(6) + col("doc_id") % 7).cast("int").as("nf"),
+          col("doc_id").cast("long").as("seed"))
+      val vids = Multimodal.synthY4mCol(specs, "doc_id", "w", "h", "nf", "seed")
+      Multimodal.videoSceneCuts(vids, "doc_id", "y4m", threshold = 8)
+        .orderBy(col("doc_id"), col("cut_frame"))
     }
   )
 }
