@@ -625,6 +625,96 @@ object TextQueries {
           when(col("id") === col("component"), 1)
             .otherwise(0).cast("int").as("is_keeper"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- BPE tokenizer (Sennrich 2016): trained distributed (word-count
+    // shuffle, bounded dict to the driver), encoded scan-side. The gate
+    // trains 8 merges on the classic low/lower/newest/widest corpus and
+    // encodes held-out words; the oracle pins the HAND-DERIVED merges and
+    // tokenizations literally (the q106 vector pattern — BPE is beyond
+    // SQL, determinism via lexicographic tie-breaks makes pinning sound).
+    QueryDef("q166_bpe",
+      """SELECT * FROM (VALUES
+        |  ('low', 'low'),
+        |  ('lower', 'low e r'),
+        |  ('lowest', 'low est'),
+        |  ('newer', 'n ew e r'),
+        |  ('newest', 'newest'),
+        |  ('widest', 'w i dest')) AS t(word, toks)
+        |ORDER BY word""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val corpus = Seq(
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest").toDF("text")
+      val merges = graft.text.Bpe.trainOnCorpus(corpus, col("text"), 8)
+      val tests = Seq("low", "lower", "lowest", "newer", "newest", "widest")
+        .toDF("word")
+      graft.text.Bpe.tokenize(tests, col("word"), col("word"), merges)
+        .groupBy(col("doc_id").as("word"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), " ").as("toks"))
+        .orderBy(col("word"))
+    },
+
+    // ---- context-length chunking: 12-token windows, 4-token overlap
+    // (stride 8). The oracle recomputes every chunk from DuckDB's own
+    // token list — chunk index, token count, and an md5 over the joined
+    // window must all agree. ----------------------------------------------
+    QueryDef("q167_chunk",
+      """WITH base AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                w -> len(w) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, i.i AS chunk_idx,
+        |    toks[i.i * 8 + 1 : i.i * 8 + 12] AS chunk
+        |  FROM base, range(0, 200) i(i)
+        |  WHERE i.i * 8 < len(toks))
+        |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+        |FROM c WHERE len(chunk) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      TextOps.chunkByTokens(Tables.documents(s, dir), col("doc_id"),
+          col("text"), size = 12, overlap = 4)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // ---- HTML → text extraction: both engines wrap the document in the
+    // same deterministic boilerplate (script/style/comments/tags/entities),
+    // then the oracle applies the IDENTICAL RE2 pattern chain — the
+    // recovered text must match byte-for-byte (fingerprinted). ------------
+    QueryDef("q168_html_strip", {
+      val chain = TextOps.HtmlStripPatterns.foldLeft(
+        """'<html><head><script type="text/javascript">var x = 1 &lt; 2;</script>' ||
+          |'<style>p { color: red }</style></head><body><h1>Doc &#39;' ||
+          |CAST(doc_id AS VARCHAR) || '&#39;</h1><p>' || text ||
+          |'</p><!-- trailing comment --><br/>&nbsp;&amp; done</body></html>'"""
+          .stripMargin) { case (expr, (p, r)) =>
+        // DuckDB single-quoted literals keep backslashes verbatim — only
+        // quotes need escaping for the pattern to reach RE2 unchanged
+        val pp = p.replace("'", "''")
+        val rr = r.replace("'", "''")
+        // regexp_replace only for regex patterns; entity literals use replace
+        if (p.startsWith("&")) s"replace($expr, '$pp', '$rr')"
+        else s"regexp_replace($expr, '$pp', '$rr', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace($chain, '\\s+', ' ', 'g'))) AS clean_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val html = concat(
+        lit("""<html><head><script type="text/javascript">var x = 1 &lt; 2;</script>"""),
+        lit("<style>p { color: red }</style></head><body><h1>Doc &#39;"),
+        col("doc_id").cast("string"),
+        lit("&#39;</h1><p>"), col("text"),
+        lit("</p><!-- trailing comment --><br/>&nbsp;&amp; done</body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), md5(TextOps.stripHtml(html)).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -358,6 +358,59 @@ object TextOps {
   def scrubPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
 
+  // ---- chunking + markup stripping (training-sample prep) ----------------
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * standard context-length prep before tokenization: chunk c starts at
+    * token c·(size − overlap) and carries up to `size` whitespace tokens.
+    * Output: (doc_id, chunk_idx, n_tokens, chunk_text). Entirely
+    * whole-stage-codegen array ops (`sequence` → `slice` → `array_join`),
+    * ZERO shuffle — chunking 100 TB is scan-shaped work.
+    */
+  def chunkByTokens(df: DataFrame, id: Column, text: Column, size: Int,
+      overlap: Int): DataFrame = {
+    require(size >= 1, "chunk size must be >= 1")
+    require(overlap >= 0 && overlap < size, "0 <= overlap < size")
+    val stride = size - overlap
+    val toks = words(text)
+    df.select(id.as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(org.apache.spark.sql.functions.size(col("__toks")) - 1,
+            lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "__start")),
+        col("__toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("__toks"), col("__start") + 1, lit(size)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("__chunk")).cast("long")
+          .as("n_tokens"),
+        array_join(col("__chunk"), " ").as("chunk_text"))
+      .filter(col("n_tokens") > 0)
+  }
+
+  /** HTML → text extraction: drop script/style blocks and comments, strip
+    * tags, decode the common entities, collapse whitespace. One chained
+    * regexp_replace projection (scan-speed, zero shuffle); every pattern is
+    * RE2-compatible so the DuckDB oracle applies the identical expressions.
+    * This is the boilerplate-removal front door of a web-crawl pipeline —
+    * heuristic main-content extraction layers on top of it.
+    */
+  val HtmlStripPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script\\b[^>]*>.*?</script>" -> " ",
+    "(?is)<style\\b[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<[^>]+>" -> " ",
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ",
+    "&amp;" -> "&") // last, or &amp;lt; would double-decode
+
+  def stripHtml(html: Column): Column =
+    trim(regexp_replace(
+      HtmlStripPatterns.foldLeft(html) { case (t, (p, r)) =>
+        regexp_replace(t, p, r)
+      }, "\\s+", " "))
+
   /** Like [[shingles]] but keeps EVERY occurrence (passage-level duplicate
     * mining needs occurrence counts, not set membership).
     */
