@@ -219,4 +219,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval grams did not broadcast:\n$plan")
   }
+
+  test("scan-shaped prep ops plan ZERO exchanges: chunking, HTML strip, AV decode") {
+    val docs = Tables.documents(spark, sf)
+    // chunking: sequence/slice/array_join must stay a narrow projection
+    val chunks = graft.text.TextOps.chunkByTokens(docs, col("doc_id"),
+      col("text"), size = 12, overlap = 4)
+    val chunkPlan = executed(chunks)
+    assert(!chunkPlan.contains("Exchange"), s"chunking shuffled:\n$chunkPlan")
+    // HTML strip: one chained regexp projection
+    val stripped = docs.select(
+      graft.text.TextOps.stripHtml(col("text")).as("t"))
+    val stripPlan = executed(stripped)
+    assert(!stripPlan.contains("Exchange"), s"strip shuffled:\n$stripPlan")
+    // "*(1)" marks a whole-stage-codegen stage in executedPlan.toString
+    assert(stripPlan.startsWith("*("), s"strip not codegen'd:\n$stripPlan")
+    // audio/video decode: mapPartitions batch passes, no exchange
+    val specs = docs.select(col("doc_id"),
+      lit(100).as("n"), lit(8000).as("rate"),
+      col("doc_id").cast("long").as("seed"))
+    val audio = graft.multimodal.Multimodal.decodeAudio(
+      graft.multimodal.Multimodal.synthWavCol(specs, "doc_id", "n", "rate",
+        "seed"), "doc_id", "wav")
+    val audioPlan = executed(audio)
+    assert(!audioPlan.contains("Exchange"),
+      s"audio decode shuffled:\n$audioPlan")
+    // BPE tokenize: broadcast-rank UDF + explode, no exchange
+    val toks = graft.text.Bpe.tokenize(docs, col("doc_id"), col("text"),
+      Seq(("e", "s"), ("es", "t")))
+    val tokPlan = executed(toks)
+    assert(!tokPlan.contains("Exchange"), s"tokenize shuffled:\n$tokPlan")
+  }
 }
