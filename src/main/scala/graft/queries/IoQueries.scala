@@ -598,6 +598,56 @@ object IoQueries {
       val vids = Multimodal.synthY4mCol(specs, "doc_id", "w", "h", "nf", "seed")
       Multimodal.videoSceneCuts(vids, "doc_id", "y4m", threshold = 8)
         .orderBy(col("doc_id"), col("cut_frame"))
+    },
+
+    // ---- multimodal → ANN composite (the q76 pattern for blobs): decode
+    // real PNGs → 16-bin luma histogram features → exact-decimal cosine
+    // top-3 over a broadcast query side. Proves modality → embedding →
+    // similarity composes end-to-end on genuinely decoded pixels; the
+    // oracle rebuilds the histograms from the pixel law and reruns the
+    // same decimal-dot ranking. --------------------------------------------
+    QueryDef("q169_image_knn",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id < 120),
+        |g AS (SELECT doc_id, ((31 * xs.x + 17 * ys.y + doc_id) % 256) // 16
+        |    AS bin
+        |  FROM d, range(0, 17) xs(x), range(0, 15) ys(y)
+        |  WHERE xs.x < w AND ys.y < h),
+        |e AS (SELECT d.doc_id, i.i AS pos FROM d, range(0, 16) i(i)),
+        |hx AS (SELECT e.doc_id AS c_id, e.pos,
+        |    CAST(COUNT(g.bin) AS DOUBLE) AS v
+        |  FROM e LEFT JOIN g ON g.doc_id = e.doc_id AND g.bin = e.pos
+        |  GROUP BY e.doc_id, e.pos),
+        |cn AS (SELECT c_id, sqrt(CAST(SUM(CAST(v * v AS DECIMAL(30,12)))
+        |    AS DOUBLE)) AS c_norm FROM hx GROUP BY c_id),
+        |qx AS (SELECT c_id AS q_id, pos, v FROM hx WHERE c_id % 20 = 0),
+        |qn AS (SELECT c_id AS q_id, c_norm AS q_norm FROM cn
+        |  WHERE c_id % 20 = 0),
+        |dots AS (SELECT q_id, c_id, CAST(SUM(CAST(qx.v * hx.v
+        |    AS DECIMAL(30,12))) AS DOUBLE) AS dot
+        |  FROM qx JOIN hx USING (pos) WHERE q_id <> c_id
+        |  GROUP BY q_id, c_id),
+        |scored AS (SELECT q_id, c_id, dot / (q_norm * c_norm) AS cos
+        |  FROM dots JOIN qn USING (q_id) JOIN cn USING (c_id))
+        |SELECT q_id, c_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+        |FROM scored QUALIFY rank <= 3
+        |ORDER BY q_id, rank""".stripMargin) { (s, dir) =>
+      val specs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 7).cast("int").as("h"),
+          col("doc_id").cast("long").as("seed"))
+      val imgs = Multimodal.synthGrayPng(specs, "doc_id", "w", "h", "seed")
+      val feats = graft.ops.Shape.split(
+        Multimodal.imageHistogram(imgs, "doc_id", "img"))
+      graft.text.Embeddings.cosineTopK(
+          feats.filter(col("doc_id") % 20 === 0), feats,
+          col("doc_id"), col("doc_id"), col("features"), col("features"), 3)
+        .orderBy(col("q_id"), col("rank"))
     }
   )
 }

@@ -715,6 +715,60 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(TextOps.stripHtml(html)).as("clean_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- Gopher/C4 quality rules: the corpus has no line structure, so
+    // both engines append the SAME deterministic junk (bullet runs,
+    // trailing ellipses, symbol spam) keyed on doc_id, then every rule
+    // flag and the conjunction verdict must agree bit-for-bit. -------------
+    QueryDef("q170_gopher_quality",
+      """WITH aug AS (SELECT doc_id, text || CASE
+        |    WHEN doc_id % 4 = 0 THEN chr(10) || '- a bullet line' ||
+        |      chr(10) || '- a bullet line' || chr(10) || '- a bullet line'
+        |    WHEN doc_id % 4 = 1 THEN chr(10) || 'a trailing thought...'
+        |    WHEN doc_id % 4 = 2 THEN ' ### # ## # ### # ## # # #'
+        |    ELSE '' END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    list_filter(string_split_regex(trim(t), '\s+'),
+        |      w -> len(w) > 0) AS ws,
+        |    list_transform(list_filter(string_split(t, chr(10)),
+        |      l -> len(trim(l)) > 0), l -> trim(l)) AS lines
+        |  FROM aug),
+        |f AS (SELECT doc_id,
+        |    len(ws) AS n_words,
+        |    len(regexp_replace(t, '\s', '', 'g')) * 1.0 / len(ws) AS mean_len,
+        |    (len(regexp_extract_all(t, '#')) +
+        |     len(regexp_extract_all(t, '\.\.\.'))) * 1.0 / len(ws) AS sym,
+        |    len(list_filter(lines, l -> starts_with(l, '- ') OR
+        |      starts_with(l, '* ') OR starts_with(l, '•'))) * 1.0
+        |      / len(lines) AS bullet,
+        |    len(list_filter(lines, l -> ends_with(l, '...'))) * 1.0
+        |      / len(lines) AS ell,
+        |    1.0 - len(list_distinct(lines)) * 1.0 / len(lines) AS dup,
+        |    len(list_filter(ws, w -> lower(w) IN ('the','a','of','and','to',
+        |      'in','is','that','it','for'))) AS n_stop
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  round(sym, 6) AS symbol_ratio,
+        |  round(bullet, 6) AS bullet_line_frac,
+        |  round(ell, 6) AS ellipsis_line_frac,
+        |  round(dup, 6) AS dup_line_frac,
+        |  CAST(n_stop AS BIGINT) AS n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+        |   AND sym < 0.1 AND bullet < 0.9 AND ell < 0.3 AND dup < 0.3
+        |   AND n_stop >= 2) AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          "\n- a bullet line\n- a bullet line\n- a bullet line")
+        .when(col("doc_id") % 4 === 1, "\na trailing thought...")
+        .when(col("doc_id") % 4 === 2, " ### # ## # ### # ## # # #")
+        .otherwise(""))
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: TextOps.gopherColumns(aug): _*)
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -358,6 +358,50 @@ object TextOps {
   def scrubPii(text: Column): Column =
     PiiPatterns.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 / C4,
+    * Raffel et al. 2020 — the PUBLISHED pretraining filter heuristics),
+    * line- and word-level, all integer/ratio arithmetic so the SQL oracle
+    * reproduces every flag: word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio (# and … as junk markers), bullet-/ellipsis-line
+    * fractions, duplicate-line fraction, and a must-carry-stopwords gate.
+    * `gopher_pass` is the conjunction. One narrow projection — scan-shaped,
+    * zero shuffle, composes in front of the dedup/decontaminate stages.
+    */
+  def gopherColumns(text: Column, minWords: Int = 50, maxWords: Int = 100000)
+      : Seq[Column] = {
+    val ws = words(text)
+    val nW = size(ws)
+    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") /
+      nW.cast("double")
+    val nHash = size(regexp_extract_all(text, lit("#"), lit(0)))
+    val nEllipsis = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    val symbolRatio = (nHash + nEllipsis).cast("double") / nW.cast("double")
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nL = size(lines)
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).startsWith("- ") || trim(l).startsWith("* ") ||
+        trim(l).startsWith("•"))).cast("double") / nL.cast("double")
+    val ellipsisFrac = size(filter(lines, l =>
+      trim(l).endsWith("..."))).cast("double") / nL.cast("double")
+    val dupLineFrac = lit(1.0) -
+      size(array_distinct(transform(lines, trim(_)))).cast("double") /
+        nL.cast("double")
+    val nStop = size(filter(ws, w => lower(w).isInCollection(EnStopwords)))
+    val pass = nW.between(minWords, maxWords) &&
+      meanLen.between(3.0, 10.0) && symbolRatio < 0.1 &&
+      bulletFrac < 0.9 && ellipsisFrac < 0.3 && dupLineFrac < 0.3 &&
+      nStop >= 2
+    Seq(
+      nW.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      round(dupLineFrac, 6).as("dup_line_frac"),
+      nStop.cast("long").as("n_stopwords"),
+      pass.as("gopher_pass"))
+  }
+
   // ---- chunking + markup stripping (training-sample prep) ----------------
 
   /** Split each document into fixed-size token windows with overlap — the

@@ -301,6 +301,31 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(mix(0) / mix.sum - 0.75) < 1e-6)
   }
 
+  test("gopherColumns: each rule fires on its own pathological document") {
+    val good = (1 to 60).map(i => s"lexeme$i the a of").mkString(" ")
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short the a"),                      // n_words < 50
+      (3L, good + " " + Seq.fill(40)("#").mkString(" ")), // symbol spam
+      (4L, good + "\n- x\n- x\n- x\n- x\n- x\n- x\n- x\n- x\n- x\n- x"),
+      (5L, (1 to 60).map(_ => "supercalifragilistic").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +:
+        TextOps.gopherColumns(col("text")): _*)
+      .orderBy("doc_id").collect()
+    def pass(i: Int) = out(i).getBoolean(out(i).length - 1)
+    assert(pass(0), "clean doc must pass")
+    assert(!pass(1), "short doc must fail word-count bound")
+    assert(!pass(2), "symbol spam must fail symbol_ratio")
+    // doc 4: ten identical bullet lines among 11 → dup_line_frac and
+    // bullet pressure; dup rule fires (10 dups / 11 lines)
+    assert(!pass(3), "duplicate bullet lines must fail")
+    assert(!pass(4), "no stopwords + 20-char words must fail")
+    // spot-check the ratio arithmetic on the clean doc: 240 words, one
+    // stopword triple per group of four
+    assert(out(0).getLong(1) == 240 && out(0).getLong(7) == 180)
+  }
+
   test("duplicatePassages counts occurrences and distinct docs per gram") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over it"),
