@@ -43,6 +43,29 @@ object TextQueries {
   private def docShingles(s: org.apache.spark.sql.SparkSession, dir: String) =
     TextOps.shingles(Tables.documents(s, dir), col("doc_id"), col("text"), 3)
 
+  /** Hand-derived RFC 3986 canonicalization vectors (input → canonical)
+    * covering every rule in TextOps.UrlCanonPatterns: case folding,
+    * default ports, fragments, tracking params in each query position,
+    * dup slashes, trailing slash, emptied query.
+    */
+  private val UrlVectors: Seq[(String, String)] = Seq(
+    "HTTP://Example.COM/Path/To/Page" -> "http://example.com/Path/To/Page",
+    "https://Example.com:443/a"       -> "https://example.com/a",
+    "http://example.com:80/"          -> "http://example.com",
+    "http://example.com:8080/a"       -> "http://example.com:8080/a",
+    "https://a.com/page#Section-2"    -> "https://a.com/page",
+    "https://a.com/p?utm_source=x&utm_medium=y" -> "https://a.com/p",
+    "https://a.com/p?id=7&utm_campaign=z" -> "https://a.com/p?id=7",
+    "https://a.com/p?utm_source=x&id=7"   -> "https://a.com/p?id=7",
+    "https://a.com/p?fbclid=AbC123"       -> "https://a.com/p",
+    "https://a.com/p?gclid=1&q=spark&utm_term=t" -> "https://a.com/p?q=spark",
+    "https://a.com//b///c"            -> "https://a.com/b/c",
+    "https://a.com/b/c/"              -> "https://a.com/b/c",
+    "https://A.com/p?"                -> "https://a.com/p",
+    "https://a.com/p?utm_source=x#frag" -> "https://a.com/p",
+    "http://a.com:80"                 -> "http://a.com",
+    "https://a.com/p?a=1&b=2#x"       -> "https://a.com/p?a=1&b=2")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- PII audit + scrub: the redaction pass every training pipeline
@@ -769,6 +792,56 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id") +: TextOps.gopherColumns(aug): _*)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- C4 cross-document line dedup: boilerplate lines (injected into
+    // every doc / every third doc) must vanish from ALL docs while the
+    // per-doc unique tail survives; docs reassemble in original line order.
+    QueryDef("q171_dedup_lines",
+      """WITH aug AS (SELECT doc_id,
+        |    text || chr(10) || 'Subscribe to our newsletter!' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN chr(10) || 'All rights reserved.' ELSE '' END ||
+        |    chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |lines AS (SELECT doc_id,
+        |    UNNEST(generate_series(1, len(string_split(t, chr(10))))) AS line_no,
+        |    UNNEST(string_split(t, chr(10))) AS line
+        |  FROM aug),
+        |nz AS (SELECT doc_id, line_no, line, trim(line) AS norm
+        |  FROM lines WHERE len(trim(line)) > 0),
+        |boiler AS (SELECT norm FROM nz GROUP BY norm
+        |  HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+        |FROM nz WHERE norm NOT IN (SELECT norm FROM boiler)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit("\nSubscribe to our newsletter!"),
+          when(col("doc_id") % 3 === 0, "\nAll rights reserved.")
+            .otherwise(""),
+          lit("\nunique tail "), col("doc_id").cast("string")).as("text"))
+      TextOps.dedupLines(aug, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- URL canonicalization (crawl dedup prep): the oracle pins
+    // hand-derived canonical forms (q106 literal-vector pattern); Spark
+    // must compute them from the raw URL.
+    QueryDef("q172_url_canon", {
+      val rows = UrlVectors.zipWithIndex.map { case ((u, c), i) =>
+        s"($i, '$u', '$c')"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) AS t(id, url, canon)
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      UrlVectors.zipWithIndex.map { case ((u, _), i) => (i, u) }
+        .toDF("id", "url")
+        .select(col("id"), col("url"),
+          TextOps.canonicalUrl(col("url")).as("canon"))
+        .orderBy(col("id"))
     }
   )
 }

@@ -402,6 +402,69 @@ object TextOps {
       pass.as("gopher_pass"))
   }
 
+  /** C4-style cross-document duplicate-line removal (Raffel et al. 2020
+    * §2.2: "we discarded all but one of any three-sentence span occurring
+    * more than once" — generalized here to lines): a line whose normalized
+    * form appears in more than `maxDocs` documents is dropped from EVERY
+    * document, then docs are reassembled in original line order. Scale
+    * shape: explode → one line-count aggregate (partial+final, the only
+    * shuffle) → broadcast-eligible join back — the corpus streams twice,
+    * no doc-pair product anywhere. Output: (doc_id, text) with boilerplate
+    * lines removed.
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      maxDocs: Int = 1): DataFrame = {
+    val lines = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+      .withColumn("norm", trim(col("line")))
+      .filter(length(col("norm")) > 0)
+    val counts = lines.groupBy(col("norm"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+    lines.join(counts, Seq("norm"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        x => x.getField("line")), "\n").as("text"))
+  }
+
+  /** URL canonicalization for crawl dedup — the standard syntax-based
+    * normalizations (RFC 3986 §6): lowercase scheme+host, strip default
+    * ports (http:80 / https:443), drop fragments, strip tracking params
+    * (utm_* / fbclid / gclid) wherever they sit in the query, drop an
+    * emptied '?', collapse duplicate slashes in the path (the authority's
+    * '://' is held out, so it is never touched), and drop a trailing
+    * slash. Path/query case is preserved — only scheme+host fold. Pure
+    * chained regexp projection — scan-shaped, RE2-compatible patterns
+    * (global replace; DuckDB needs the 'g' flag for parity).
+    */
+  private val AuthorityRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+  /** (pattern, replacement) pairs applied in order to the part AFTER the
+    * scheme+authority. Tracking params need three shapes so the query
+    * string stays well-formed: '&k=v' drops outright; a leading '?k=v&'
+    * promotes the next param; a lone '?k=v' drops with its '?'.
+    */
+  val UrlCanonPatterns: Seq[(String, String)] = Seq(
+    "#.*$" -> "",                                  // fragment
+    "&(utm_[a-z]+|fbclid|gclid)=[^&#]*" -> "",     // '&tracker=v'
+    "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&" -> "?", // '?tracker=v&next'
+    "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$" -> "",  // '?tracker=v' alone
+    "\\?$" -> "",                                  // emptied query
+    "/{2,}" -> "/",                                // dup path slashes
+    "/$" -> "")                                    // trailing slash
+
+  def canonicalUrl(url: Column): Column = {
+    val auth = regexp_replace(
+      regexp_replace(lower(regexp_extract(url, AuthorityRe, 0)),
+        "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val rest = UrlCanonPatterns.foldLeft(regexp_replace(url, AuthorityRe, "")) {
+      case (u, (p, r)) => regexp_replace(u, p, r)
+    }
+    concat(auth, rest)
+  }
+
   // ---- chunking + markup stripping (training-sample prep) ----------------
 
   /** Split each document into fixed-size token windows with overlap — the

@@ -336,4 +336,54 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(out("the quick brown fox jumps") == ((3L, 4L, 1L, 3L)))
   }
+
+  test("dedupLines drops cross-doc boilerplate, keeps order and within-doc dups") {
+    val docs = Seq(
+      (1L, "alpha one\nSubscribe now!\nalpha two\nalpha two"),
+      (2L, "beta one\n  Subscribe now!  \nbeta two"),
+      (3L, "gamma only\n\n  \ngamma end")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    // 'Subscribe now!' appears (trim-normalized) in docs 1 and 2 → gone
+    assert(out(1L) == "alpha one\nalpha two\nalpha two",
+      "boilerplate dropped, within-doc dup kept, order preserved")
+    assert(out(2L) == "beta one\nbeta two")
+    // blank/whitespace lines are dropped in reassembly
+    assert(out(3L) == "gamma only\ngamma end")
+  }
+
+  test("dedupLines maxDocs threshold keeps lines under the bound") {
+    val docs = Seq(
+      (1L, "shared\nu1"), (2L, "shared\nu2"), (3L, "only here\nu3")
+    ).toDF("doc_id", "text")
+    val keep2 = TextOps.dedupLines(docs, col("doc_id"), col("text"),
+        maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(keep2(1L) == "shared\nu1", "2 docs <= maxDocs=2 survives")
+    val keep1 = TextOps.dedupLines(docs, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(keep1(1L) == "u1" && keep1(2L) == "u2")
+  }
+
+  test("canonicalUrl applies each RFC 3986 normalization") {
+    val cases = Seq(
+      "HTTP://Example.COM/Path" -> "http://example.com/Path",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:80/" -> "http://a.com",
+      "http://a.com:8080/x" -> "http://a.com:8080/x", // non-default kept
+      "https://a.com/p#frag" -> "https://a.com/p",
+      "https://a.com/p?utm_source=x&id=1" -> "https://a.com/p?id=1",
+      "https://a.com/p?id=1&gclid=z" -> "https://a.com/p?id=1",
+      "https://a.com/p?fbclid=z" -> "https://a.com/p",
+      "https://a.com//x///y/" -> "https://a.com/x/y",
+      "https://a.com/p?" -> "https://a.com/p")
+    val out = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), TextOps.canonicalUrl(col("url")).as("c"))
+      .orderBy("i").as[(Int, String)].collect().map(_._2)
+    out.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"canonicalUrl($in)")
+    }
+  }
 }
