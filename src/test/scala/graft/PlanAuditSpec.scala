@@ -249,5 +249,24 @@ class PlanAuditSpec extends SparkSpec {
       Seq(("e", "s"), ("es", "t")))
     val tokPlan = executed(toks)
     assert(!tokPlan.contains("Exchange"), s"tokenize shuffled:\n$tokPlan")
+    // URL canonicalization: chained regexp projection, codegen'd, no exchange
+    val canon = docs.select(
+      graft.text.TextOps.canonicalUrl(col("text")).as("u"))
+    val canonPlan = executed(canon)
+    assert(!canonPlan.contains("Exchange"), s"url canon shuffled:\n$canonPlan")
+    assert(canonPlan.startsWith("*("), s"url canon not codegen'd:\n$canonPlan")
+  }
+
+  test("dedupLines: count-aggregate + anti-join, never a doc-pair product") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executed(
+      graft.text.TextOps.dedupLines(docs, col("doc_id"), col("text")))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dedupLines planned a product join:\n$plan")
+    // the anti-join must be an equality join on the normalized line
+    assert(plan.contains("LeftAnti"), s"missing anti-join:\n$plan")
+    // partial+final pairing around the line-count aggregate
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 }
