@@ -39,4 +39,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // few compiler threads the queue backs up and hot loops run interpreted
   // (25× observed). More C1/C2 threads drain the queue promptly.
   "-XX:CICompilerCount=12",
+  // Embedded Derby (JDBC specs) writes its error log to CWD by default;
+  // keep the repo root clean after a full test/bench run.
+  "-Dderby.stream.error.file=target/derby.log",
 )

@@ -24,14 +24,8 @@ object Tables {
     * nanos; truncate-convert to a micros timestamp (exactly what DuckDB's
     * reader does, so oracle comparisons agree).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Streams.normalizeEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

