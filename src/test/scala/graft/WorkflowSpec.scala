@@ -240,4 +240,85 @@ class WorkflowSpec extends SparkSpec {
       .collect().head.getSeq[Float](1)
     assert(hist.size == 16 && hist.sum == 18f)
   }
+
+  test("file monitor: WHEN-subscribed job runs exactly once per landing") {
+    val sched = new graft.workflow.Events.Scheduler
+    implicit val cat: graft.sources.FileCatalog = new graft.sources.FileCatalog(
+      spark, s"/root/repo/target/graft_io/monitor_spec/${System.nanoTime()}")
+    val mon = new graft.workflow.FileMonitor(sched)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+    sched.when("fileLanded")(e => landed += e.text)
+
+    // file already present at monitor creation fires on the FIRST cycle
+    // (the reference's triggered-list starts empty: exists => fire)
+    cat.write("lz::pre", Seq((1, "x")).toDF("k", "v"))
+    val id = mon.monitorLogicalFileName("fileLanded", "lz::*", shotCount = 2)
+    assert(mon.poll() == 1 && landed.toSeq == Seq("lz::pre"))
+    // steady state: same file does not re-fire
+    assert(mon.poll() == 0)
+    // a new landing fires exactly once, reaching the shot limit
+    cat.write("lz::a", Seq((2, "y")).toDF("k", "v"))
+    assert(mon.poll() == 1 && landed.toSeq == Seq("lz::pre", "lz::a"))
+    assert(!mon.isActive(id))
+    // shot limit reached: further landings are ignored
+    cat.write("lz::b", Seq((3, "z")).toDF("k", "v"))
+    assert(mon.poll() == 0 && landed.size == 2)
+    // non-matching names never fire
+    val id2 = mon.monitorLogicalFileName("fileLanded", "other::*",
+      shotCount = 1)
+    cat.write("lz::c", Seq((4, "w")).toDF("k", "v"))
+    assert(mon.poll() == 0 && mon.isActive(id2))
+  }
+
+  test("file monitor: reappearing file re-fires; -1 runs until abort") {
+    val sched = new graft.workflow.Events.Scheduler
+    implicit val cat: graft.sources.FileCatalog = new graft.sources.FileCatalog(
+      spark, s"/root/repo/target/graft_io/monitor_spec/${System.nanoTime()}")
+    val mon = new graft.workflow.FileMonitor(sched)
+    var fired = 0
+    sched.when("arrived")(_ => fired += 1)
+    val id = mon.monitorLogicalFileName("arrived", "in::*", shotCount = -1)
+    cat.write("in::f", Seq((1, "x")).toDF("k", "v"))
+    assert(mon.poll() == 1)
+    // disappear -> reappear: the triggered list resets to the current
+    // match set each cycle, so the re-landing fires again
+    cat.delete("in::f")
+    assert(mon.poll() == 0)
+    cat.write("in::f", Seq((2, "y")).toDF("k", "v"))
+    assert(mon.poll() == 1 && fired == 2)
+    // -1 never self-completes; abort deactivates
+    assert(mon.isActive(id))
+    mon.abort(id)
+    cat.write("in::g", Seq((3, "z")).toDF("k", "v"))
+    assert(mon.poll() == 0 && !mon.isActive(id))
+  }
+
+  test("file monitor: physical landing zone, modtime identity, WAIT wiring") {
+    val sched = new graft.workflow.Events.Scheduler
+    val mon = new graft.workflow.FileMonitor(sched)
+    val dir = new java.io.File(
+      s"/root/repo/target/graft_io/lz_spec/${System.nanoTime()}")
+    dir.mkdirs()
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    sched.when("dropped")(e => texts += e.text)
+    mon.monitorFile("dropped", dir.getPath, "*.csv", subDirs = false,
+      shotCount = -1)
+    val f = new java.io.File(dir, "batch1.csv")
+    java.nio.file.Files.write(f.toPath, "a,b\n".getBytes)
+    new java.io.File(dir, "ignore.txt").createNewFile()
+    val fSub = new java.io.File(sub, "nested.csv"); fSub.createNewFile()
+    // only the top-level *.csv fires (subDirs=false), text = plain path
+    assert(mon.poll() == 1 && texts.toSeq == Seq(f.getPath))
+    assert(mon.poll() == 0)
+    // rewrite with a newer modtime: identity is name;modtime => re-fires
+    java.nio.file.Files.write(f.toPath, "c,d\n".getBytes)
+    f.setLastModified(f.lastModified() + 2000)
+    assert(mon.poll() == 1 && texts.size == 2)
+    // a WHEN-driven workflow can consume the event like any NOTIFY:
+    // subscribe-after-fire replays from the log (missed-event delivery)
+    var ran = 0
+    sched.when("dropped", "*batch1*")(_ => ran += 1)
+    assert(ran == 2) // both landings replayed exactly once each
+  }
 }
