@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.IoQueries.defs ++
     graft.queries.ParseQueries.defs ++
     graft.queries.StatsQueries.defs ++
-    graft.queries.AnalysisQueries.defs
+    graft.queries.AnalysisQueries.defs ++
+    graft.queries.GeoQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

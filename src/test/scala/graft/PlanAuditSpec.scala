@@ -269,4 +269,25 @@ class PlanAuditSpec extends SparkSpec {
     // partial+final pairing around the line-count aggregate
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
+
+  test("h3 rollup (q174): full-data side crosses exactly one exchange") {
+    // The geo-rollup scale contract: points are indexed by a scan-speed
+    // UDF projection and aggregated on the 64-bit cell key in ONE hash
+    // shuffle; the coarser re-rollup is pure bit math on the already-tiny
+    // aggregate; the summary is a linear fold — no second pass over the
+    // data, no geometry recomputation, no join at all.
+    val df = graft.SparkEntry.queries("q174_h3_rollup")(spark, sf)
+    val plan = executed(df)
+    assert("Scan parquet".r.findAllIn(plan).size == 1,
+      s"data read twice:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 2, s"want cells4 + tiny regroup shuffles, got $hashEx:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    // partial+final pattern on the full-data aggregation
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, s"plan:\n$plan")
+    // the projection feeding the big shuffle carries the indexing UDF --
+    // geometry is computed exactly once, at scan speed
+    assert(plan.contains("UDF"), s"plan:\n$plan")
+  }
 }
