@@ -745,6 +745,36 @@ object StdlibQueries {
             "aes-256-cbc", "wrong", "0011223344556677"), lit("NULL")))
           .as("result"))
         .orderBy(col("id"))
+    },
+
+    // ---- phonenumber plugin (lib_phonenumber.ecllib:23-66): literal-vector
+    // gate over the region-metadata parse pipeline. Like q173, the oracle
+    // literal table is generated by the DRIVER-side engine and replayed
+    // distributed (UDF serialization + struct-explosion consistency);
+    // hand-pinned behavior vectors live in PhoneNumberSpec.
+    QueryDef("q175_phone_parse", {
+      val rows = PhoneVectors.cases.zipWithIndex.map { case ((n, r), i) =>
+        val p = graft.functions.PhoneNumber.parse(n, r)
+        s"($i, '$n', '$r', '${p.number}', ${p.error}, ${p.valid}, " +
+          s"${p.lineType}, '${p.regionCode}', ${p.countryCode})"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows)
+         |AS t(id, input, region, number, error, valid, line_type,
+         |     region_code, country_code)
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.functions.PhoneNumber
+      PhoneVectors.cases.zipWithIndex
+        .map { case ((n, r), i) => (i, n, r) }.toDF("id", "input", "region")
+        .select(col("id"), col("input"), col("region"),
+          PhoneNumber.parseCol(col("input"), col("region")).as("p"))
+        .select(col("id"), col("input"), col("region"),
+          col("p._1").as("number"), col("p._2").as("error"),
+          col("p._3").as("valid"), col("p._4").as("line_type"),
+          col("p._5").as("region_code"), col("p._6").as("country_code"))
+        .orderBy(col("id"))
     }
   )
 }
@@ -798,4 +828,27 @@ object PkiFixture {
       |/QIDAQAB
       |-----END PUBLIC KEY-----
       |""".stripMargin
+}
+
+/** q175's probe inputs: region coverage, IDD spellings, trunk edges,
+  * every error path, every represented line type.
+  */
+private object PhoneVectors {
+  val cases: Seq[(String, String)] = Seq(
+    ("+1 650-253-0000", "US"), ("(416) 555-0199", "US"),
+    ("011 44 20 7946 0958", "US"), ("1-800-234-5678", "US"),
+    ("1-900-234-5678", "CA"), ("07700 900123", "GB"),
+    ("020 7946 0958", "GB"), ("0808 157 0192", "GB"),
+    ("00 33 6 12 34 56 78", "GB"), ("+49 1512 3456789", "DE"),
+    ("030 901820", "DE"), ("06 12 34 56 78", "FR"),
+    ("09 87 65 43 21", "FR"), ("+34 612 34 56 78", "ES"),
+    ("91 123 45 67", "ES"), ("06 699 0110", "IT"),
+    ("347 123 4567", "IT"), ("0412 345 678", "AU"),
+    ("1800 123 456", "AU"), ("0011 1 212 555 0199", "AU"),
+    ("+91 98765 43210", "IN"), ("011 2345 6789", "IN"),
+    ("+55 11 91234 5678", "BR"), ("010 44 20 7946 0958", "JP"),
+    ("090 1234 5678", "JP"), ("garbage", "US"),
+    ("+999 123456789", "US"), ("12345", "ZZ"),
+    ("00 1", "GB"), ("+44 12", "GB"),
+    ("+44 123456789012345678", "GB"), ("+44 4412345678", "GB"))
 }
