@@ -118,5 +118,38 @@ object GeoQueries {
         .agg(sum(col("n")).as("n2"), count(lit(1)).as("k4"))
         .agg(sum(col("n2")).as("n_rows"), sum(col("k4")).as("n_cells4"),
           count(lit(1)).as("n_cells2"), max(col("n2")).as("max_cell2"))
+    },
+
+    // ---- q176: geo join by cell prefilter + exact refine ------------------
+    // The at-scale geo-join pattern: polyfill the region to cells ONCE on
+    // the driver, kRing-expand for a guaranteed superset, push the cell
+    // set into the scan as an IN-filter (no shuffle, no join), then refine
+    // with the exact predicate. Because the refine is exact, the ORACLE is
+    // real SQL (plain box arithmetic in DuckDB) — the hash gate proves the
+    // cell prefilter is a superset at every tested point, not just sane.
+    QueryDef("q176_h3_geojoin",
+      """SELECT c_custkey,
+        |  CAST((c_custkey * 37 % 160) - 80 + 0.25 AS DOUBLE) AS lat,
+        |  CAST((c_custkey * 91 % 360) - 180 + 0.25 AS DOUBLE) AS lng
+        |FROM customer
+        |WHERE (c_custkey * 37 % 160) - 80 + 0.25 BETWEEN 10.0 AND 25.0
+        |  AND (c_custkey * 91 % 360) - 180 + 0.25 BETWEEN -20.0 AND 5.0
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val (laMin, laMax, lnMin, lnMax) = (10.0, 25.0, -20.0, 5.0)
+      val res = 5
+      val poly = Seq((laMin, lnMin), (laMin, lnMax), (laMax, lnMax),
+        (laMax, lnMin))
+      // driver-side, O(region cells): never touches the data
+      val cells = H3.polyfill(poly, res).flatMap(c => H3.kRing(c, 1)).distinct
+      val pts = Tables.customer(s, dir).select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 160) - 80 + 0.25).cast("double").as("lat"),
+        ((col("c_custkey") * 91 % 360) - 180 + 0.25).cast("double").as("lng"))
+      pts
+        .withColumn("cell", H3.cellCol(col("lat"), col("lng"), lit(res)))
+        .where(col("cell").isInCollection(cells)) // coarse: scan-shaped IN
+        .where(col("lat").between(laMin, laMax) &&
+          col("lng").between(lnMin, lnMax)) // exact refine
+        .select(col("c_custkey"), col("lat"), col("lng"))
+        .orderBy(col("c_custkey"))
     })
 }

@@ -290,4 +290,18 @@ class PlanAuditSpec extends SparkSpec {
     // geometry is computed exactly once, at scan speed
     assert(plan.contains("UDF"), s"plan:\n$plan")
   }
+
+  test("h3 geo join (q176): cell prefilter is scan-shaped — zero data shuffles") {
+    // polyfill happens on the driver; the cell set reaches the executors
+    // as an IN-collection predicate fused into the scan projection chain.
+    // The only exchange in the whole plan is the final presentation sort.
+    val df = graft.SparkEntry.queries("q176_h3_geojoin")(spark, sf)
+    val plan = executed(df)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0,
+      s"geo filter must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"no join operator expected:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
+      s"only the final sort may exchange:\n$plan")
+  }
 }

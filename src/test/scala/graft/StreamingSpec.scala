@@ -153,6 +153,68 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("checkpoint recovery: stateful stream resumes across restarts == batch") {
+    import spark.implicits._
+    // The restart contract behind CRON/WHEN triggered pipelines: a stateful
+    // query stopped after batch 1 must resume from the CHECKPOINT (not
+    // reprocess, not lose state) when new files land, and the file sink's
+    // commit log must make the union exactly-once. The per-user running
+    // cumsum makes recovery observable: run-2 outputs are wrong unless
+    // run-1 state was restored.
+    val tag = System.nanoTime()
+    val inDir = new java.io.File(s"/root/repo/target/graft_io/ckpt_in_$tag")
+    val outDir = s"/root/repo/target/graft_io/ckpt_out_$tag"
+    val ckDir = s"/root/repo/target/graft_io/ckpt_state_$tag"
+    inDir.mkdirs()
+
+    val base = Tables.events(spark, sf).filter(col("user_id") < 10)
+    val mid = base.agg(avg(col("event_id"))).head.getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"/root/repo/target/graft_io/ckpt_tmp_$tag"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"${inDir.getPath}/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: the low half of event ids (state continuation then matches
+    // the batch oracle's global event_id ordering)
+    stage(base.filter(col("event_id") <= mid), "a.parquet")
+    val schema = spark.read.parquet(inDir.getPath).schema
+    def runOnce(): Unit = {
+      val q = Streams.runningPerUser(
+          Streams.fileSource(spark, inDir.getPath, schema))
+        .toDF("user_id", "event_id", "n", "cum")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // run 1: processes a.parquet, checkpoints per-user state
+    stage(base.filter(col("event_id") > mid), "b.parquet")
+    runOnce() // run 2: RESUMES — only b.parquet, state from checkpoint
+
+    val got = spark.read.parquet(outDir)
+      .select(col("user_id"), col("event_id"), col("cum"))
+      .as[(Long, Long, Long)].collect()
+    // exactly-once across the restart: every event exactly one output row
+    assert(got.length == base.count(),
+      s"${got.length} rows vs ${base.count()} events")
+    val expected = base.select(col("user_id"), col("event_id"),
+        sum((col("value").cast(org.apache.spark.sql.types.DecimalType(25, 6)) *
+          1000000).cast("long"))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("event_id"))
+            .rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+          .as("cum"))
+      .as[(Long, Long, Long)].collect().toSet
+    // run-2 cums continue run-1 state — equality fails if state was lost
+    assert(got.toSet == expected)
+  }
+
   test("fixture guard: normalizeEventTs handles long-nanos AND timestamp") {
     import org.apache.spark.sql.types._
     // long-nanos shape (pre-regeneration testdata): converts to micros ts
