@@ -775,8 +775,69 @@ object StdlibQueries {
           col("p._3").as("valid"), col("p._4").as("line_type"),
           col("p._5").as("region_code"), col("p._6").as("country_code"))
         .orderBy(col("id"))
+    },
+
+    // ---- nlp plugin (plugins/nlp/README.md example analyzers): analyzer
+    // XML output composed with xpath extraction — the FROMXML pattern the
+    // reference documents for consuming analyzer results. Driver-generated
+    // oracle (the q173/q175 consistency-gate pattern); behavior pins live
+    // in NlpSpec.
+    QueryDef("q177_nlp_analyze", {
+      def cnt(xml: String, tag: String): Int =
+        s"</$tag>".r.findAllIn(xml).size // closing tags: attribute-immune
+      val rows = NlpVectors.texts.zipWithIndex.map { case (t, i) =>
+        import graft.text.Nlp
+        val parse = Nlp.analyzeText("parse-en-us", t)
+        val corp = Nlp.analyzeText("corporate", t)
+        val phone = Nlp.analyzeText("telephone", t)
+        val firstE164 = "e164=\"([^\"]+)\"".r.findFirstMatchIn(phone)
+          .map(_.group(1)).getOrElse("")
+        s"($i, ${cnt(parse, "sentence")}, ${cnt(parse, "token")}, " +
+          s"${cnt(corp, "company")}, ${cnt(phone, "phone")}, '$firstE164')"
+      }.mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows)
+         |AS t(id, n_sentences, n_tokens, n_companies, n_phones, first_e164)
+         |ORDER BY id""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      import graft.text.Nlp
+      NlpVectors.texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "text")
+        .select(col("id"),
+          Nlp.analyzeTextCol(lit("parse-en-us"), col("text")).as("parse"),
+          Nlp.analyzeTextCol(lit("corporate"), col("text")).as("corp"),
+          Nlp.analyzeTextCol(lit("telephone"), col("text")).as("ph"))
+        .select(col("id"),
+          expr("int(xpath_number(parse, 'count(//sentence)'))")
+            .as("n_sentences"),
+          expr("int(xpath_number(parse, 'count(//token)'))").as("n_tokens"),
+          expr("int(xpath_number(corp, 'count(//company)'))")
+            .as("n_companies"),
+          expr("int(xpath_number(ph, 'count(//phone)'))").as("n_phones"),
+          coalesce(expr("xpath_string(ph, '//phone[1]/@e164')"), lit(""))
+            .as("first_e164"))
+        .orderBy(col("id"))
     }
   )
+
+  /** q177 probe texts: segmentation edges, entities, phones, XML-hostile
+    * characters, empties.
+    */
+  private object NlpVectors {
+    val texts: Seq[String] = Seq(
+      "The quick brown fox jumped over the lazy boy.",
+      "Dr. Smith went to Washington. He arrived at 3 p.m. sharp. Done.",
+      "TAI has bought the American Medical Records Processing for more " +
+        "than $130 million dollars.",
+      "Acme Widgets Inc and Foo Bar Holdings were sold to Baz GmbH.",
+      "Call (650) 253-0000 today, or +44 20 7946 0958 from the UK.",
+      "Right middle lobe consolidation compatible with acute pneumonitis.",
+      "No entities here; just words. Two sentences though.",
+      "a < b & c > d. Escaping matters!",
+      "Contact Initrode Corp at 1-800-234-5678 x99 immediately.",
+      "")
+  }
 }
 
 /** Fixture RSA-2048 keypair for the PKI gate (q152) and specs. Generated
