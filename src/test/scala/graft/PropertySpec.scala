@@ -73,4 +73,53 @@ class PropertySpec extends SparkSpec {
       EclFunctions.fromDateT(col("dt"))).as("rt")).as[Int].collect()
     assert(back.toSeq == sample)
   }
+
+  test("H3 is total: every (lat,lng,res) indexes validly, poles included") {
+    val pts = for {
+      lat <- Gen.choose(-90.0, 90.0); lng <- Gen.choose(-180.0, 180.0)
+      res <- Gen.choose(0, 15)
+    } yield (lat, lng, res)
+    (samples(pts, 400) ++ Seq((90.0, 0.0, 15), (-90.0, 0.0, 15),
+      (90.0, 180.0, 0), (-90.0, -180.0, 9), (0.0, 180.0, 7),
+      (0.0, -180.0, 7))).foreach { case (la, ln, r) =>
+      val c = graft.functions.H3.latLngToCell(la, ln, r)
+      assert(graft.functions.H3.isValid(c), s"($la,$ln,$r)")
+      assert(graft.functions.H3.resolution(c) == r)
+      val (cla, cln) = graft.functions.H3.cellToLatLng(c)
+      assert(cla >= -90.0 && cla <= 90.0 && cln >= -180.0 && cln <= 180.0)
+      assert(graft.functions.H3.cellToBoundary(c).size == 6)
+      if (r > 0)
+        assert(graft.functions.H3.resolution(
+          graft.functions.H3.parent(c, r - 1)) == r - 1)
+    }
+  }
+
+  test("PhoneNumber.parse is total over arbitrary garbage") {
+    val junk = Gen.oneOf(
+      Gen.listOf(Gen.choose(' ', '~')).map(_.mkString),
+      Gen.listOf(Gen.oneOf('+', '0', '1', '9', '(', ')', '-', ' ', '.'))
+        .map(_.mkString),
+      Gen.const(null: String).map(_ => "\u0000\uFFFF\n\t"))
+    val regions = Gen.oneOf("US", "GB", "ZZ", "", "us", "de", "XXXXX")
+    samples(Gen.zip(junk, regions), 400).foreach { case (n, r) =>
+      val p = graft.functions.PhoneNumber.parse(n, r) // must not throw
+      assert(p.error >= 0 && p.error <= 5)
+      assert(p.lineType >= 0 && p.lineType <= 11)
+      if (p.valid) assert(p.number.startsWith("+") && p.countryCode > 0)
+    }
+  }
+
+  test("Nlp analyzers emit well-formed XML for arbitrary input") {
+    val texts = Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(' ', '~'), 1 -> Gen.oneOf('<', '>', '&', '"'),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '\u200b'))).map(_.mkString)
+    val db = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+    samples(texts, 150).foreach { t =>
+      Seq("parse-en-us", "corporate", "telephone", "bogus").foreach { a =>
+        val xml = graft.text.Nlp.analyzeText(a, t)
+        db.parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+      }
+    }
+  }
 }
