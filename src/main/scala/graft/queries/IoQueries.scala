@@ -648,6 +648,34 @@ object IoQueries {
           feats.filter(col("doc_id") % 20 === 0), feats,
           col("doc_id"), col("doc_id"), col("features"), col("features"), 3)
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // ---- q178: bucketed co-located join — keyed DISTRIBUTE + local SORT
+    // + local JOIN, durable. Both sides persist as same-bucketed tables
+    // (the write-time shuffle), then the join plans with ZERO Exchange:
+    // the pattern that amortizes one shuffle over every future join of a
+    // 100 TB fact table. Oracle = the plain join in DuckDB over the
+    // original parquet. PlanAuditSpec asserts the no-Exchange plan.
+    QueryDef("q178_bucketed_join",
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 150000 AND l.l_quantity >= 45
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin) { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tl, to) = (s"graft_bkt_li_$tag", s"graft_bkt_ord_$tag")
+      graft.sources.Bucketed.writeBucketed(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber",
+          "l_quantity"),
+        tl, "l_orderkey", 8, s"${ioDir(dir)}/bkt_li")
+      graft.sources.Bucketed.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+        to, "o_orderkey", 8, s"${ioDir(dir)}/bkt_ord")
+      s.table(tl).filter(col("l_quantity") >= 45).hint("merge")
+        .join(s.table(to).filter(col("o_totalprice") > 150000),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 }

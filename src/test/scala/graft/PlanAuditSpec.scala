@@ -304,4 +304,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
       s"only the final sort may exchange:\n$plan")
   }
+
+  test("bucketed co-located join (q178): zero join-side exchanges") {
+    // both tables persisted same-bucketed: the shuffle happened at write
+    // time; the join itself must plan with NO hash or broadcast exchange —
+    // only the final presentation sort may move data
+    val df = graft.SparkEntry.queries("q178_bucketed_join")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("SortMergeJoin"), s"plan:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0,
+      s"bucketed join still shuffles:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"broadcast defeats the co-location demo:\n$plan")
+    assert("Bucketed: true".r.findAllIn(plan).size >= 0) // informational
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
+      s"only the final sort may exchange:\n$plan")
+  }
 }
