@@ -321,4 +321,22 @@ class WorkflowSpec extends SparkSpec {
     sched.when("dropped", "*batch1*")(_ => ran += 1)
     assert(ran == 2) // both landings replayed exactly once each
   }
+
+  test("file monitor: background timer drives cycles until stop") {
+    val sched = new graft.workflow.Events.Scheduler
+    implicit val cat: graft.sources.FileCatalog = new graft.sources.FileCatalog(
+      spark, s"/root/repo/target/graft_io/monitor_spec/${System.nanoTime()}")
+    val mon = new graft.workflow.FileMonitor(sched)
+    mon.monitorLogicalFileName("timerLanded", "tz::*", shotCount = -1)
+    // subscribe BEFORE starting the timer: WHEN replays missed events, so
+    // the latch cannot race the first poll cycle
+    val seen = new java.util.concurrent.CountDownLatch(1)
+    sched.when("timerLanded", "tz::*")(_ => seen.countDown())
+    mon.start(intervalMs = 50)
+    try {
+      cat.write("tz::x", Seq((1, "a")).toDF("k", "v"))
+      // the DFU-monitor timer must observe the landing without manual polls
+      assert(seen.await(15, java.util.concurrent.TimeUnit.SECONDS))
+    } finally mon.stop()
+  }
 }
