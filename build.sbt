@@ -40,6 +40,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (25× observed). More C1/C2 threads drain the queue promptly.
   "-XX:CICompilerCount=12",
   // Embedded Derby (JDBC specs) writes its error log to CWD by default;
-  // keep the repo root clean after a full test/bench run.
+  // keep the repo root clean after a full test/bench run. Same for the
+  // session catalog's warehouse dir (bucketed tables use explicit paths;
+  // only the empty default dir would otherwise appear at the root).
   "-Dderby.stream.error.file=target/derby.log",
+  "-Dspark.sql.warehouse.dir=target/spark-warehouse",
 )

@@ -27,6 +27,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       // a long-lived session accumulates status-listener state across 80+
       // queries; keep retention minimal so allocation-heavy queries late in
