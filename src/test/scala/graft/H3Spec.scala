@@ -196,4 +196,28 @@ class H3Spec extends AnyFunSuite {
     val finer = H3.polyfill(poly, 6)
     assert(finer.size > cells.size * 4 && finer.size < cells.size * 11)
   }
+
+  test("polyfill: concave polygon fills both lobes, excludes the notch") {
+    // U-shape: two vertical lobes joined at the bottom; the notch between
+    // the lobes (lat > 12, 13 < lng < 17) is OUTSIDE the polygon
+    val u = Seq(
+      (10.0, 10.0), (20.0, 10.0), (20.0, 13.0), (12.0, 13.0),
+      (12.0, 17.0), (20.0, 17.0), (20.0, 20.0), (10.0, 20.0))
+    val cells = H3.polyfill(u, 6)
+    assert(cells.nonEmpty)
+    val centers = cells.map(H3.cellToLatLng)
+    // both lobes reached through the connected bottom (flood fill)
+    assert(centers.exists { case (la, ln) => la > 15 && ln < 13 })
+    assert(centers.exists { case (la, ln) => la > 15 && ln > 17 })
+    // no cell center inside the notch
+    assert(!centers.exists { case (la, ln) =>
+      la > 12.5 && ln > 13.5 && ln < 16.5 })
+    // ray-casting containment: every emitted center is inside the U
+    centers.foreach { case (la, ln) =>
+      val inLeftLobe = la >= 10 && la <= 20 && ln >= 9.9 && ln <= 13.1
+      val inRightLobe = la >= 10 && la <= 20 && ln >= 16.9 && ln <= 20.1
+      val inBottom = la >= 9.9 && la <= 12.1 && ln >= 9.9 && ln <= 20.1
+      assert(inLeftLobe || inRightLobe || inBottom, s"($la,$ln) escaped")
+    }
+  }
 }
