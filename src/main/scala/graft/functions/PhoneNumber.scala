@@ -183,7 +183,7 @@ object PhoneNumber {
     * metadata table — libphonenumber's documented strategy.
     */
   private def extractCc(digits: String): (Option[Int], String) =
-    (1 to 3).flatMap { n =>
+    (3 to 1 by -1).flatMap { n =>
       if (digits.length > n) {
         val cc = digits.take(n).toInt
         byCc.get(cc).map(_ => (Some(cc), digits.drop(n)))

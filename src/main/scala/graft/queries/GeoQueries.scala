@@ -101,7 +101,14 @@ object GeoQueries {
       // deterministic synthetic coordinates from the customer key (away
       // from the poles); DuckDB could reproduce these, but not the cells.
       // The key cap keeps the input identical at every SF so the pinned
-      // summary is scale-independent (sf0.01 holds exactly keys 1..1500)
+      // summary is scale-independent (sf0.01 holds exactly keys 1..1500).
+      // Smaller SFs can't supply the pinned key range — fail with a clear
+      // message instead of a spurious hash mismatch.
+      val maxKey = Tables.customer(s, dir)
+        .agg(max(col("c_custkey"))).head.getAs[Number](0).longValue
+      require(maxKey >= 1500,
+        s"q174_h3_rollup needs sf >= 0.01 (customer keys 1..1500 pinned); " +
+          s"this dataset tops out at key $maxKey")
       val pts = Tables.customer(s, dir)
         .filter(col("c_custkey") <= 1500).select(
         ((col("c_custkey") * 37 % 160) - 80 + 0.25).cast("double").as("lat"),

@@ -107,7 +107,12 @@ final class FileMonitor(scheduler: Events.Scheduler) {
     // fire outside the lock: WHEN jobs may themselves register monitors
     val toFire = lock.synchronized {
       monitors.filter(_.active).flatMap { m =>
-        val done = m.matches().sortBy(_._1)
+        // a transient catalog/IO error in one monitor must not abort the
+        // cycle (dfurun keeps the monitor wu alive and retries next cycle):
+        // skip this monitor this cycle, leave its triggered list untouched
+        val done = try m.matches().sortBy(_._1) catch {
+          case scala.util.control.NonFatal(_) => m.triggered.toSeq.sorted.map(t => (t, t))
+        }
         val fresh = done.filterNot(d => m.triggered.contains(d._1))
           .takeWhile { _ =>
             val go = m.shotLimit < 0 || m.shots < m.shotLimit
@@ -129,9 +134,16 @@ final class FileMonitor(scheduler: Events.Scheduler) {
   def start(intervalMs: Long = 1000L): Unit = lock.synchronized {
     if (ticker.isEmpty) {
       val t = new Thread(() => {
-        while (ticker.contains(Thread.currentThread())) {
-          poll()
-          Thread.sleep(intervalMs)
+        try {
+          while (ticker.contains(Thread.currentThread())) {
+            // an escaped error (from the scheduler's notify, say) must not
+            // leave a dead thread behind a non-empty `ticker` — that would
+            // make a later start() a silent no-op
+            try poll() catch { case scala.util.control.NonFatal(_) => () }
+            Thread.sleep(intervalMs)
+          }
+        } finally lock.synchronized {
+          if (ticker.contains(Thread.currentThread())) ticker = None
         }
       }, "graft-file-monitor")
       t.setDaemon(true)
