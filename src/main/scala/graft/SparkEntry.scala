@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.ParseQueries.defs ++
     graft.queries.StatsQueries.defs ++
     graft.queries.AnalysisQueries.defs ++
-    graft.queries.GeoQueries.defs
+    graft.queries.GeoQueries.defs ++
+    graft.queries.OlapQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

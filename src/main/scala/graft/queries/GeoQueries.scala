@@ -104,11 +104,11 @@ object GeoQueries {
       // summary is scale-independent (sf0.01 holds exactly keys 1..1500).
       // Smaller SFs can't supply the pinned key range — fail with a clear
       // message instead of a spurious hash mismatch.
-      val maxKey = Tables.customer(s, dir)
-        .agg(max(col("c_custkey"))).head.getAs[Number](0).longValue
-      require(maxKey >= 1500,
-        s"q174_h3_rollup needs sf >= 0.01 (customer keys 1..1500 pinned); " +
-          s"this dataset tops out at key $maxKey")
+      val nKeys = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 1500).count()
+      require(nKeys >= 1500,
+        s"q174_h3_rollup needs sf >= 0.01 (the pinned summary covers 1500 " +
+          s"customer keys <= 1500); this dataset has only $nKeys")
       val pts = Tables.customer(s, dir)
         .filter(col("c_custkey") <= 1500).select(
         ((col("c_custkey") * 37 % 160) - 80 + 0.25).cast("double").as("lat"),

@@ -1,0 +1,346 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Joins
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries.{sumD, sumDSql, avgD, avgDSql}
+
+/** TPC-H-class multi-join depth (round-11 brief #2): correlated
+  * subqueries, EXISTS / NOT EXISTS against self-joined facts, and
+  * scalar-subquery predicates — the classic-OLAP gauntlet the reference's
+  * regression suite exercises across `testing/regress/ecl/` (e.g.
+  * `jhtree*`/`keyed_join*`/`subquery*` families). ECL expresses these as
+  * JOIN + LEFT ONLY compositions and dictionary/SET semi-joins
+  * (`ecl/hqlcpp/hqlcppds.cpp` subselect lowering); here each shape is
+  * lowered to the Spark plan a 100-TB run wants:
+  *
+  *  - EXISTS      → left-semi join on the correlation key;
+  *  - NOT EXISTS  → left-anti join ([[Joins.LeftOnly]]);
+  *  - correlated scalar agg → aggregate once per key, join back (broadcast
+  *    when the key domain is dimension-sized);
+  *  - uncorrelated scalar  → 1-row aggregate, broadcast cross join;
+  *  - self-joined fact predicates (TPC-H q21's l2/l3) → ONE order-level
+  *    aggregate over the already-shuffled join key instead of two extra
+  *    fact-fact joins.
+  *
+  * Every query has a real DuckDB oracle with the textbook
+  * EXISTS/subquery formulation, so the gate proves the lowering — not
+  * just the arithmetic. Double aggregates route through DECIMAL(25,6) on
+  * both sides (see [[CoreQueries.sumD]]).
+  */
+object OlapQueries {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  /** [[CoreQueries.avgDSql]] without the trailing alias — for use inside
+    * scalar-subquery expressions.
+    */
+  private def avgDExpr(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q180: TPC-H Q4 — EXISTS correlated subquery ---------------------
+    // Lowering: date-pruned orders scan (pushed filter) LEFT SEMI the fact
+    // table on the correlation key; the inequality rides as the join
+    // residual. No distinct, no count — semi-join IS the EXISTS.
+    QueryDef("q180_exists_priority",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          o("o_orderkey") === l("l_orderkey") &&
+            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- q181: TPC-H Q21 — EXISTS + NOT EXISTS on self-joined facts ------
+    // The reference shape needs the fact table three times (l1, l2, l3).
+    // Lowering folds l2/l3 into ONE order-level aggregate over the join
+    // key the fact⨝orders shuffle already established: a line qualifies
+    // iff it is late, its order has ≥2 distinct suppliers, and exactly one
+    // supplier in the order is late (necessarily this one). Dimension side
+    // (supplier⨝nation, region-filtered) broadcasts.
+    QueryDef("q181_late_supplier",
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |  AND s_nationkey = n_nationkey AND n_regionkey = 2
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin) {
+      (s, dir) =>
+      val sup = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir).filter(col("n_regionkey") === 2),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val ordF = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val l = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ol = l.join(ordF, l("l_orderkey") === ordF("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+      val stats = ol.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      ol.filter(col("late"))
+        .join(stats, Seq("l_orderkey"))
+        .filter(col("n_supps") >= 2 && col("n_late") === 1)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // ---- q182: TPC-H Q22 — global scalar subquery + NOT EXISTS -----------
+    // Lowering: 1-row decimal-exact average broadcast-crossed into the
+    // dimension scan; NOT EXISTS is a LEFT ONLY (anti) join against the
+    // date-pruned fact — the date filter pushes to the orders scan, so the
+    // anti side reads a fraction of the fact at 100 TB.
+    QueryDef("q182_idle_customers",
+      s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+         |  ${sumDSql("c_acctbal", "totacctbal")}
+         |FROM customer
+         |WHERE c_mktsegment IN ('AUTOMOBILE','FURNITURE','BUILDING')
+         |  AND c_acctbal > (SELECT ${avgDExpr("c_acctbal")}
+         |                   FROM customer
+         |                   WHERE c_acctbal > 0.0
+         |                     AND c_mktsegment IN ('AUTOMOBILE','FURNITURE','BUILDING'))
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val seg = col("c_mktsegment").isin("AUTOMOBILE", "FURNITURE", "BUILDING")
+      val cust = Tables.customer(s, dir).filter(seg)
+      val cutoff = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avgD(col("c_acctbal"), "avg_bal"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("2000-01-01"))
+        .select(col("o_custkey"))
+      Joins.join(
+          cust.crossJoin(broadcast(cutoff))
+            .filter(col("c_acctbal") > col("avg_bal")),
+          recent, col("c_custkey") === col("o_custkey"), Joins.LeftOnly)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"), sumD(col("c_acctbal"), "totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ---- q183: TPC-H Q17 — correlated scalar average per part ------------
+    // Lowering: the brand filter makes `part` tiny → broadcast-join it into
+    // the fact ONCE; the correlated per-part average is a keyed aggregate
+    // of that same narrowed fact, broadcast-joined back. Two fact scans,
+    // zero fact shuffles.
+    QueryDef("q183_small_qty_revenue",
+      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+         |    AS avg_yearly
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
+         |  AND l_quantity < (SELECT 0.2 * (${avgDExpr("l_quantity")})
+         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+        .stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val liP = Joins.lookupJoinMany(li, p, col("l_partkey") === col("p_partkey"))
+      val avgs = liP.groupBy(col("l_partkey").as("ak"))
+        .agg(avgD(col("l_quantity"), "avg_qty"))
+      liP.join(broadcast(avgs), col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((sum(col("l_extendedprice").cast("decimal(25,6)")).cast("double")
+          / lit(7.0)).as("avg_yearly"))
+    },
+
+    // ---- q184: TPC-H Q2 — correlated MIN over a derived cost table -------
+    // `partsupp` has no analog in the test schema, so supply cost derives
+    // from the fact: min unit price per (part, supplier). Lowering: size/
+    // type-filtered part broadcast-narrows the fact BEFORE its one shuffle
+    // (the (part,supp) aggregate); the region-filtered dimension chain
+    // broadcasts; the correlated min re-aggregates the already-tiny cost
+    // frame and broadcast-joins back on (part, cost).
+    QueryDef("q184_min_cost_supplier",
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost
+        |FROM part, costs, supplier, nation
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = 3
+        |  AND p_size = 30 AND p_type = 'LARGE'
+        |  AND cost = (SELECT MIN(c2.cost) FROM costs c2, supplier s2, nation n2
+        |              WHERE c2.l_partkey = p_partkey AND s2.s_suppkey = c2.l_suppkey
+        |                AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = 3)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""
+        .stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir)
+        .filter(col("p_size") === 30 && col("p_type") === "LARGE")
+        .select(col("p_partkey"))
+      val supN = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir).filter(col("n_regionkey") === 3),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+      val costs = Joins.lookupJoinMany(li, p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(col("unit")).as("cost"))
+      val regional = costs.join(broadcast(supN),
+        col("l_suppkey") === col("s_suppkey"))
+      val mins = regional.groupBy(col("p_partkey").as("mk"))
+        .agg(min(col("cost")).as("min_cost"))
+      regional.join(broadcast(mins),
+          col("p_partkey") === col("mk") && col("cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+
+    // ---- q185: TPC-H Q11 — HAVING against a global scalar subquery -------
+    // Lowering: nation-filtered supplier broadcast-narrows the fact; ONE
+    // keyed aggregate builds the per-part values; the global threshold is
+    // the SAME decimal aggregate without keys (1 row, broadcast) — NOT a
+    // double re-sum of the per-part values, so both engines agree bitwise.
+    QueryDef("q185_part_value_having",
+      s"""SELECT l_partkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "value")}
+         |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         |              JOIN nation ON n_nationkey = s_nationkey
+         |WHERE n_name IN ('NATION_7','NATION_8')
+         |GROUP BY l_partkey
+         |HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |     > (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         |                      JOIN nation ON n_nationkey = s_nationkey
+         |        WHERE n_name IN ('NATION_7','NATION_8'))
+         |ORDER BY value DESC, l_partkey""".stripMargin) { (s, dir) =>
+      val sup = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir).filter(col("n_name").isin("NATION_7", "NATION_8")),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("val0"))
+      val narrowed = Joins.lookupJoinMany(li, sup,
+        col("l_suppkey") === col("s_suppkey"))
+      val v = narrowed.groupBy(col("l_partkey")).agg(sumD(col("val0"), "value"))
+      val thresh = narrowed
+        .agg((sum(col("val0").cast("decimal(25,6)")).cast("double") *
+          lit(0.001)).as("thresh"))
+      v.crossJoin(broadcast(thresh))
+        .filter(col("value") > col("thresh"))
+        .select(col("l_partkey"), col("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+
+    // ---- q186: TPC-H Q15 — MAX scalar over a derived view ----------------
+    // Lowering: date-pruned fact → one keyed aggregate (the "view"); the
+    // max is a 1-row re-aggregate of that tiny frame, broadcast back as an
+    // equality filter; dimension join broadcasts.
+    QueryDef("q186_top_supplier",
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1998-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1998-01-01") &&
+          col("l_shipdate") < ts("1998-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
+          "total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // ---- q187: TPC-H Q20 — nested IN semi-join chain with a correlated --
+    // share threshold. Lowering: name-filtered part list broadcasts as a
+    // LEFT SEMI into the date-pruned fact; per-(part,supp) and per-part
+    // decimal aggregates join on the part key; qualifying suppliers become
+    // a broadcast semi-filter on the dimension. Every IN is a semi-join;
+    // nothing materializes wider than the key columns.
+    QueryDef("q187_dominant_share",
+      s"""SELECT s_name, s_acctbal FROM supplier
+         |WHERE s_suppkey IN (
+         |  SELECT pq.l_suppkey FROM
+         |    (SELECT l_partkey, l_suppkey, ${sumDSql("l_quantity", "sq")}
+         |     FROM lineitem
+         |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |       AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |       AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |     GROUP BY l_partkey, l_suppkey) pq
+         |  JOIN
+         |    (SELECT l_partkey, ${sumDSql("l_quantity", "tq")}
+         |     FROM lineitem
+         |     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |       AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |       AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |     GROUP BY l_partkey) pt
+         |  ON pq.l_partkey = pt.l_partkey
+         |  WHERE pq.sq > 0.3 * pt.tq)
+         |  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+         |ORDER BY s_name""".stripMargin) { (s, dir) =>
+      val reds = Tables.part(s, dir)
+        .filter(col("p_name").like("red%")).select(col("p_partkey"))
+      val liF = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(reds), col("l_partkey") === col("p_partkey"), "left_semi")
+      val pq = liF.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sumD(col("l_quantity"), "sq"))
+      val pt = liF.groupBy(col("l_partkey").as("tk"))
+        .agg(sumD(col("l_quantity"), "tq"))
+      val winners = pq.join(pt, col("l_partkey") === col("tk"))
+        .filter(col("sq") > lit(0.3) * col("tq"))
+        .select(col("l_suppkey")).distinct()
+      val natF = Tables.nation(s, dir).filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"))
+      Tables.supplier(s, dir)
+        .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(natF), col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_name"))
+    }
+  )
+}

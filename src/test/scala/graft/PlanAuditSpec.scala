@@ -276,7 +276,9 @@ class PlanAuditSpec extends SparkSpec {
     // shuffle; the coarser re-rollup is pure bit math on the already-tiny
     // aggregate; the summary is a linear fold — no second pass over the
     // data, no geometry recomputation, no join at all.
-    val df = graft.SparkEntry.queries("q174_h3_rollup")(spark, sf)
+    // sf0.01: q174 guards on its pinned 1500-key input being present
+    val df = graft.SparkEntry.queries("q174_h3_rollup")(spark,
+      "/root/testdata/sf0.01")
     val plan = executed(df)
     assert("Scan parquet".r.findAllIn(plan).size == 1,
       s"data read twice:\n$plan")
@@ -319,5 +321,57 @@ class PlanAuditSpec extends SparkSpec {
     assert("Bucketed: true".r.findAllIn(plan).size >= 0) // informational
     assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1,
       s"only the final sort may exchange:\n$plan")
+  }
+
+  test("TPC-H Q4 shape (q180): EXISTS lowers to a semi join, never a count") {
+    val df = graft.SparkEntry.queries("q180_exists_priority")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // the date window reaches the orders scan
+    assert(formatted(df).contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"date filter not pushed:\n${formatted(df)}")
+  }
+
+  test("TPC-H Q21 shape (q181): self-joined-fact EXISTS folds to one " +
+      "order-level aggregate — the fact shuffles once, dims broadcast") {
+    val df = graft.SparkEntry.queries("q181_late_supplier")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    // exactly one SMJ (fact⨝orders on the orderkey); everything else
+    // broadcast — the l2/l3 subqueries must NOT appear as extra fact joins
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1,
+      s"subqueries re-joined the fact:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims not broadcast:\n$plan")
+  }
+
+  test("TPC-H Q22 shape (q182): NOT EXISTS is an anti join against the " +
+      "date-pruned fact; the scalar average broadcasts as one row") {
+    val df = graft.SparkEntry.queries("q182_idle_customers")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be anti join:\n$plan")
+    val fm = formatted(df)
+    assert(fm.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"anti-side date filter not pushed:\n$fm")
+  }
+
+  test("TPC-H Q17 shape (q183): correlated per-part average joins back " +
+      "broadcast — the fact never hash-shuffles") {
+    val df = graft.SparkEntry.queries("q183_small_qty_revenue")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact should only see broadcast joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
+  test("TPC-H Q20 shape (q187): the IN chain is a semi-join ladder") {
+    val df = graft.SparkEntry.queries("q187_dominant_share")(spark, sf)
+    val plan = executed(df)
+    assert("LeftSemi".r.findAllIn(plan).size >= 3,
+      s"INs must lower to semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
   }
 }
