@@ -304,6 +304,36 @@ object IoQueries {
       cat.read("nation_fixed").orderBy(col("n_nationkey"))
     },
 
+    // ---- DFU SprayFixed EBCDIC (round-11 brief #3; `File.ecl:551`
+    // encoding param, `type_ebcdic` rtlconst.hpp:79): the same 31-byte
+    // fixed records, but CP037-encoded — the mainframe landing-zone
+    // ingest. The sprayed table must hash-match its ASCII twin (oracle =
+    // the nation table itself). The engine path under test is the
+    // distributed binaryRecords read + per-partition CP037 decode.
+    QueryDef("q188_spray_ebcdic",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val extDir = new java.io.File(s"${ioDir(dir)}/spray_nation_ebcdic")
+      extDir.mkdirs()
+      val ext = new java.io.File(extDir, "nation.ebc")
+      val cp037 = java.nio.charset.Charset.forName("IBM037")
+      val rows = Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().sortBy(_.getInt(0))
+      val out = new java.io.FileOutputStream(ext)
+      try rows.foreach { r =>
+        out.write("%4d%-25s%2d".format(r.getInt(0), r.getString(1),
+          r.getInt(2)).getBytes(cp037))
+      } finally out.close()
+      val cat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog")
+      cat.sprayFixed("nation_ebcdic", ext.getAbsolutePath, Seq(
+        ("n_nationkey", 4, IntegerType),
+        ("n_name", 25, StringType),
+        ("n_regionkey", 2, IntegerType)), parts = 4, encoding = "ebcdic")
+      cat.read("nation_ebcdic").orderBy(col("n_nationkey"))
+    },
+
     // ---- Std.File Copy ASSUPERFILE: catalog→catalog distributed copy,
     // wrapped in a target superfile; reading the superfile on the target
     // catalog must reproduce the source table exactly. -------------------

@@ -262,6 +262,32 @@ final class FileCatalog(spark: SparkSession, root: String) {
     * would spread across slaves (a repartition, so the write is
     * distributed regardless of how few blocks the source has).
     */
+  /** DFU spray source encodings (`File.ecl:551` SprayFixed
+    * `sourceRecordSize`-adjacent encoding flag / `:606` SprayVariable's
+    * `sourceRowTagOrEncoding`; `type_ebcdic` modifier
+    * `system/include/rtlconst.hpp:79`): `ascii` (the DFU default),
+    * `utf8`, `ebcdic` (CP037 — the mainframe landing-zone code page), or
+    * any JVM charset name. Note the single CP037 wrinkle: the JDK decodes
+    * BOTH 0x15 (NL) and 0x25 (LF) to U+000A, so byte 0x25 re-encodes as
+    * 0x15 — harmless for record DATA (fixed records carry no newlines)
+    * but the reason round-trip specs exclude that one alias byte.
+    */
+  private def charsetFor(encoding: String): java.nio.charset.Charset =
+    encoding.toLowerCase match {
+      case "ascii"          => java.nio.charset.StandardCharsets.US_ASCII
+      case "utf8" | "utf-8" => UTF_8
+      case "ebcdic"         => java.nio.charset.Charset.forName("IBM037")
+      case other            => java.nio.charset.Charset.forName(other)
+    }
+
+  /** Spark's CSV reader/writer only accepts a small charset allowlist
+    * (`CharsetProvider`) — anything else (EBCDIC included) takes the
+    * hand-rolled decode path.
+    */
+  private def sparkCsvNative(cs: java.nio.charset.Charset): Boolean =
+    Set("ISO-8859-1", "US-ASCII", "UTF-8", "UTF-16", "UTF-16BE", "UTF-16LE",
+      "UTF-32").contains(cs.name().toUpperCase)
+
   def sprayDelimited(name: String, sourcePath: String,
       schema: org.apache.spark.sql.types.StructType, parts: Int,
       sep: String = ",", header: Boolean = false): Unit = {
@@ -272,18 +298,59 @@ final class FileCatalog(spark: SparkSession, root: String) {
 
   /** SprayVariable (`File.ecl:559`): delimited import with an explicit
     * record terminator — the "variable-length record" DFU mode. Same
-    * distributed layout contract as [[sprayDelimited]].
+    * distributed layout contract as [[sprayDelimited]]. With a non-ASCII
+    * `encoding` (e.g. `ebcdic`), both the record split AND the field
+    * decode happen in that charset: the terminator's charset bytes drive
+    * Hadoop's line splitting, so a CP037 file splits on 0x15, not 0x0A —
+    * fully distributed, no per-file decode funnel.
     */
   def sprayVariable(name: String, sourcePath: String,
       schema: org.apache.spark.sql.types.StructType, parts: Int,
       sep: String = ",", terminator: String = "\n",
-      header: Boolean = false): Unit = {
+      header: Boolean = false, encoding: String = "ascii"): Unit = {
     require(parts >= 1, "parts must be >= 1")
-    val reader = spark.read.schema(schema)
-      .option("sep", sep).option("header", header)
-    val withTerm = if (terminator == "\n") reader
-      else reader.option("lineSep", terminator)
-    write(name, withTerm.csv(sourcePath).repartition(parts))
+    val cs = charsetFor(encoding)
+    if (sparkCsvNative(cs)) {
+      val reader = spark.read.schema(schema)
+        .option("sep", sep).option("header", header)
+        .option("encoding", cs.name())
+      val withTerm = if (terminator == "\n") reader
+        else reader.option("lineSep", terminator)
+      write(name, withTerm.csv(sourcePath).repartition(parts))
+    } else {
+      // EBCDIC (or any other out-of-allowlist charset): split records on
+      // the terminator's CHARSET bytes via Hadoop's record delimiter —
+      // the split stays distributed and byte-exact (a CP037 file splits
+      // on 0x15, never on a 0x0A that may appear inside data) — then
+      // decode per partition and hand the decoded lines to the SAME CSV
+      // parser, so quoting/typing semantics match the native path.
+      val delimBytes = terminator.getBytes(cs)
+      require(delimBytes.nonEmpty && delimBytes.forall(b => (b & 0xFF) < 0x80),
+        s"terminator encodes to ${delimBytes.length} bytes in ${cs.name()}; " +
+          "record-split delimiters must be sub-0x80 bytes " +
+          "(Hadoop re-encodes the delimiter as UTF-8)")
+      // ISO-8859-1 chars < 0x80 re-encode to the identical UTF-8 bytes,
+      // which is how the raw delimiter bytes survive Hadoop's conf round-trip
+      val delimStr = new String(delimBytes,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      conf.set("textinputformat.record.delimiter", delimStr)
+      val csName = cs.name()
+      val lines = spark.sparkContext.newAPIHadoopFile(sourcePath,
+          classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+          classOf[org.apache.hadoop.io.LongWritable],
+          classOf[org.apache.hadoop.io.Text], conf)
+        .mapPartitions { it =>
+          val c = java.nio.charset.Charset.forName(csName)
+          it.map { case (_, t) => new String(t.copyBytes(), c) }
+        }
+      val ds = spark.createDataset(lines)(
+        org.apache.spark.sql.Encoders.STRING)
+      write(name, spark.read.schema(schema)
+        .option("sep", sep).option("header", header).csv(ds)
+        .repartition(parts))
+    }
   }
 
   /** SprayFixed (`File.ecl:551`): fixed-width binary record import. The
@@ -296,19 +363,24 @@ final class FileCatalog(spark: SparkSession, root: String) {
     */
   def sprayFixed(name: String, sourcePath: String,
       fields: Seq[(String, Int, org.apache.spark.sql.types.DataType)],
-      parts: Int): Unit = {
+      parts: Int, encoding: String = "ascii"): Unit = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     require(parts >= 1, "parts must be >= 1")
     require(fields.nonEmpty && fields.forall(_._2 > 0),
       "field widths must be positive")
     val recLen = fields.map(_._2).sum
     val offsets = fields.scanLeft(0)(_ + _._2)
+    // Charset is not Serializable — ship the canonical name, resolve once
+    // per partition (forName caches, but don't even pay the lookup per row)
+    val csName = charsetFor(encoding).name()
     val rows = spark.sparkContext.binaryRecords(sourcePath, recLen)
-      .map { bytes =>
-        org.apache.spark.sql.Row.fromSeq(fields.indices.map { i =>
-          new String(bytes, offsets(i), fields(i)._2,
-            java.nio.charset.StandardCharsets.US_ASCII).trim
-        })
+      .mapPartitions { it =>
+        val cs = java.nio.charset.Charset.forName(csName)
+        it.map { bytes =>
+          org.apache.spark.sql.Row.fromSeq(fields.indices.map { i =>
+            new String(bytes, offsets(i), fields(i)._2, cs).trim
+          })
+        }
       }
     val raw = spark.createDataFrame(rows,
       StructType(fields.map { case (n, _, _) => StructField(n, StringType) }))
@@ -406,18 +478,36 @@ final class FileCatalog(spark: SparkSession, root: String) {
     * point of despray — use OUTPUT/superfiles for big exports.
     */
   def despray(name: String, destPath: String, sep: String = ",",
-      header: Boolean = false): Unit = {
+      header: Boolean = false, encoding: String = "utf-8"): Unit = {
+    val cs = charsetFor(encoding)
     val tmp = new Path(new Path(root, "_despray"),
       java.util.UUID.randomUUID().toString)
-    read(name).coalesce(1).write
-      .option("sep", sep).option("header", header).csv(tmp.toString)
+    val writer = read(name).coalesce(1).write
+      .option("sep", sep).option("header", header)
+    (if (sparkCsvNative(cs)) writer.option("encoding", cs.name()) else writer)
+      .csv(tmp.toString)
     val part = fs.listStatus(tmp)
       .map(_.getPath).find(_.getName.startsWith("part-"))
       .getOrElse(throw new IllegalStateException("despray: no part file"))
     val dest = new Path(destPath)
     fs.delete(dest, false)
     fs.mkdirs(dest.getParent)
-    require(fs.rename(part, dest), s"despray: rename to $destPath failed")
+    if (sparkCsvNative(cs)) {
+      require(fs.rename(part, dest), s"despray: rename to $destPath failed")
+    } else {
+      // out-of-allowlist target charset (EBCDIC): stream-transcode the
+      // UTF-8 part file — despray is the single-file direction by
+      // contract, so this is one bounded sequential pass, not a funnel
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(part), UTF_8))
+      val out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(dest, true), cs))
+      try {
+        val buf = new Array[Char](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+    }
     fs.delete(tmp, true)
   }
 

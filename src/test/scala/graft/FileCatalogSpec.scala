@@ -109,6 +109,58 @@ class FileCatalogSpec extends SparkSpec {
     assert(lines == Seq("1,alpha", "2,beta", "3,gamma", "4,delta"))
   }
 
+  test("EBCDIC: CP037 decode/encode round-trips the full byte range " +
+      "(except the documented 0x25 NL/LF alias)") {
+    val cs = java.nio.charset.Charset.forName("IBM037")
+    // decode is total: every byte maps to exactly one char…
+    val allBytes = (0 to 255).map(_.toByte).toArray
+    val decoded = new String(allBytes, cs)
+    assert(decoded.length == 256)
+    // …and encode(decode(b)) == b for every byte except 0x25, which the
+    // JDK aliases to the same U+000A as 0x15 (the CP037 NL/LF wrinkle —
+    // see FileCatalog.charsetFor's scaladoc)
+    val back = decoded.getBytes(cs)
+    assert(back.length == 256)
+    val diffs = (0 until 256).filter(i => back(i) != allBytes(i))
+    assert(diffs == Seq(0x25), s"unexpected non-roundtrip bytes: $diffs")
+    // string-level round-trip over the printable record-data range — the
+    // bytes a fixed mainframe record actually carries
+    val printable = (' ' to '~').mkString
+    assert(new String(printable.getBytes(cs), cs) == printable)
+  }
+
+  test("EBCDIC sprayVariable: CP037 file splits on the CP037 terminator " +
+      "and decodes distributed; despray re-encodes") {
+    import org.apache.spark.sql.types._
+    val cs = java.nio.charset.Charset.forName("IBM037")
+    val cat = newCat("ebcdic")
+    val extDir = new java.io.File(
+      s"/root/repo/target/graft_io/ebcdic_var-${System.nanoTime()}")
+    extDir.mkdirs()
+    // CP037-encoded delimited file: ',' = 0x6B, '\n' = 0x15 — NOT ASCII
+    val text = "1,alpha\n2,beta\n3,gamma\n"
+    val f = new java.io.File(extDir, "src.ebc")
+    java.nio.file.Files.write(f.toPath, text.getBytes(cs))
+    // prove the fixture really is EBCDIC (no 0x0A, no ASCII comma)
+    val raw = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(!raw.contains(0x0A.toByte) && raw.contains(0x15.toByte))
+    val schema = StructType(Seq(StructField("k", IntegerType),
+      StructField("v", StringType)))
+    cat.sprayVariable("ebc_var", f.getAbsolutePath, schema, parts = 2,
+      encoding = "ebcdic")
+    assert(cat.read("ebc_var").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")))
+    // despray back out AS EBCDIC: the external file must byte-match a
+    // CP037 rendering, not a UTF-8 one
+    val out = s"${extDir.getAbsolutePath}/out.ebc"
+    cat.despray("ebc_var", out, encoding = "ebcdic")
+    val outBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val outText = new String(outBytes, cs)
+    assert(outText.linesIterator.toSeq.sorted ==
+      Seq("1,alpha", "2,beta", "3,gamma"))
+    assert(!outBytes.contains(0x0A.toByte), "despray wrote ASCII newlines")
+  }
+
   test("concurrent committers never lose an update (version race)") {
     val cat = newCat("race")
     cat.write("f", Seq(1).toDF("k"))
