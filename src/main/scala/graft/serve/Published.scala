@@ -115,6 +115,18 @@ final class Published(spark: SparkSession) {
     }
   private var cacheTtlMs = 0L
 
+  // hit/miss accounting (Roxie publishes the same counters per query via
+  // its metrics interface) — AtomicLongs, safe under the server's
+  // cached-thread-pool concurrency
+  private val cacheHitCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val cacheMissCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (hits, misses) since construction — only counted while caching is
+    * enabled (`cacheTtlMs > 0`), so hits+misses == requests served with
+    * the cache on.
+    */
+  def cacheStats: (Long, Long) = (cacheHitCount.get(), cacheMissCount.get())
+
   private def cacheGet(key: String): Option[(Int, String, String)] =
     cache.synchronized {
       Option(cache.get(key)).collect {
@@ -243,8 +255,11 @@ final class Published(spark: SparkSession) {
           params.toSeq.sorted.mkString("&")
         val cached = if (cacheTtlMs > 0) cacheGet(cacheKey) else None
         cached match {
-          case Some((code, body, ct)) => respond(ex, code, body, ct)
+          case Some((code, body, ct)) =>
+            cacheHitCount.incrementAndGet()
+            respond(ex, code, body, ct)
           case None =>
+        if (cacheTtlMs > 0) cacheMissCount.incrementAndGet()
         try {
           val df = run(name, params - "format")
           if (wantXml) {

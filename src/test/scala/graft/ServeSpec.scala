@@ -199,6 +199,69 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("serve survives 16+ concurrent clients: isolated responses, " +
+      "exact cache-hit accounting (roxie ccdlistener thread-pool posture)") {
+    val pub = new Published(spark)
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    def deployEcho(name: String, tag: String): Unit =
+      pub.publish(name) { (s, stored) =>
+        execs.incrementAndGet()
+        s.createDataFrame(java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(s"$tag-${stored("p", "")}")),
+          org.apache.spark.sql.types.StructType.fromDDL("r STRING"))
+      }
+    deployEcho("sq", "sq")
+    deployEcho("cu", "cu")
+    val port = pub.serve(0, 100, cacheTtlMs = 600000)
+    def get(name: String, p: String): String = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/$name?p=$p").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    try {
+      // warm 8 shared keys sequentially — deterministic misses
+      val warmKeys = for (n <- Seq("sq", "cu"); p <- 0 to 3) yield (n, p.toString)
+      warmKeys.foreach { case (n, p) => assert(get(n, p).contains(s"$n-$p")) }
+      assert(pub.cacheStats == (0L, 8L) && execs.get() == 8)
+
+      // storm: 16 clients × 20 requests. Even iterations hit the warmed
+      // keys; odd iterations request a key UNIQUE to (client, iteration),
+      // so expected misses are exact (no same-key miss races). Every
+      // client checks every body against ITS OWN request — any response
+      // cross-talk under contention fails the run.
+      val clients = 16
+      val iters = 20
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until clients).map { c =>
+        new Thread(() => {
+          (0 until iters).foreach { i =>
+            val (name, p) =
+              if (i % 2 == 0) warmKeys((c + i) % warmKeys.size)
+              else (if (c % 2 == 0) "sq" else "cu", s"u$c-$i")
+            val body = try get(name, p) catch {
+              case e: Exception => s"EX:${e.getMessage}"
+            }
+            if (!body.contains(s""""r":"$name-$p"""))
+              errors.add(s"client $c iter $i: want $name-$p got $body")
+          }
+        }, s"serve-client-$c")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"cross-talk/errors: ${errors}")
+      val total = 8 + clients * iters
+      val uniqueKeys = clients * (iters / 2) // one per odd iteration
+      val (hits, misses) = pub.cacheStats
+      assert(hits + misses == total, s"lost requests: $hits+$misses != $total")
+      assert(misses == 8 + uniqueKeys, s"misses $misses != ${8 + uniqueKeys}")
+      // every miss executed the query exactly once — no double-execution
+      // under contention, no execution ever served a hit
+      assert(execs.get() == misses.toInt, s"execs ${execs.get()} != $misses")
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
