@@ -87,6 +87,13 @@ final class FileMonitor(scheduler: Events.Scheduler) {
       shotCount)
   }
 
+  /** Custom match source (test seam + extension point): same lifecycle as
+    * the File.ecl monitors, arbitrary (identity, eventText) producer.
+    */
+  private[graft] def monitorCustom(eventToFire: String,
+      matches: () => Seq[(String, String)], shotCount: Int = 1): String =
+    add(eventToFire, matches, shotCount)
+
   /** `Std.File.AbortDfuWorkunit` on a monitor id: deactivate. */
   def abort(id: String): Unit = lock.synchronized {
     monitors.filter(_.id == id).foreach(_.active = false)

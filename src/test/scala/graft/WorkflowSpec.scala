@@ -322,6 +322,114 @@ class WorkflowSpec extends SparkSpec {
     assert(ran == 2) // both landings replayed exactly once each
   }
 
+  test("file monitor: a throwing matches() skips the cycle for that " +
+      "monitor only, state untouched; recovery resumes cleanly") {
+    val sched = new graft.workflow.Events.Scheduler
+    val mon = new graft.workflow.FileMonitor(sched)
+    val fired = scala.collection.mutable.ArrayBuffer.empty[String]
+    sched.when("cust")(e => fired += e.text)
+    @volatile var phase = 0
+    val id = mon.monitorCustom("cust", () => phase match {
+      case 0 => Seq(("a", "a"))
+      case 1 => throw new java.io.IOException("transient catalog error")
+      case _ => Seq(("a", "a"), ("b", "b"))
+    }, shotCount = -1)
+    assert(mon.poll() == 1 && fired.toSeq == Seq("a"))
+    // transient error: poll survives, fires nothing for this monitor,
+    // leaves its triggered list untouched (dfurun keeps the wu alive)
+    phase = 1
+    assert(mon.poll() == 0 && mon.isActive(id))
+    // …and a HEALTHY monitor still fires in the same error cycle
+    val dir = new java.io.File(
+      s"/root/repo/target/graft_io/lz_err/${System.nanoTime()}")
+    dir.mkdirs()
+    sched.when("ok")(e => fired += "ok")
+    mon.monitorFile("ok", dir.getPath, "*.csv", shotCount = -1)
+    new java.io.File(dir, "x.csv").createNewFile()
+    assert(mon.poll() == 1 && fired.toSeq == Seq("a", "ok"))
+    // recovery: 'a' was already triggered before the error — only the
+    // genuinely-new 'b' fires (no duplicate from the error window)
+    phase = 2
+    assert(mon.poll() == 1 && fired.toSeq == Seq("a", "ok", "b"))
+  }
+
+  test("file monitor: register/abort churn under a live 2ms ticker — " +
+      "no lost fires, no over-fires, ticker survives a throwing handler") {
+    val sched = new graft.workflow.Events.Scheduler
+    val mon = new graft.workflow.FileMonitor(sched)
+    val dir = new java.io.File(
+      s"/root/repo/target/graft_io/lz_race/${System.nanoTime()}")
+    dir.mkdirs()
+    val fires = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    sched.when("race") { e =>
+      fires.computeIfAbsent(e.text,
+        _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .incrementAndGet()
+      // the poison file's handler throws INSIDE the ticker's notify —
+      // the timer thread must survive it (ADVICE r10: a dead ticker
+      // behind a non-empty handle made start() a silent no-op)
+      if (e.text.contains("poison")) throw new RuntimeException("boom")
+    }
+    mon.start(intervalMs = 2)
+    try {
+      // land the poison first so every later fire proves the ticker lived
+      mon.monitorFile("race", dir.getPath, "poison-*", shotCount = 1)
+      new java.io.File(dir, "poison-1.dat").createNewFile()
+
+      // churn: 4 client threads × 25 monitors each, registering + landing
+      // concurrently with live ticker polls; each thread aborts a third
+      // of its own EARLIER monitors while later ones are still landing
+      // monitors with i%3==0 get aborted two registrations later (the
+      // abort may race the fire — excluded from must-fire); everything
+      // else must fire exactly once
+      val keep = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = (0 until 4).map { c =>
+        new Thread(() => {
+          val mine = scala.collection.mutable.ArrayBuffer.empty[String]
+          (0 until 25).foreach { i =>
+            val file = new java.io.File(dir, s"m$c-$i-0.dat")
+            val id = mon.monitorFile("race", dir.getPath, s"m$c-$i-*",
+              shotCount = 1)
+            mine += id
+            file.createNewFile()
+            if (i % 3 == 2) mon.abort(mine(i - 2))
+            if (i % 3 != 0) keep.add(file.getPath)
+          }
+        }, s"churn-$c")
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val mustFire = keep.asScala.toSet
+      // every kept (never-aborted) monitor must fire exactly once
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+        !mustFire.forall(p => fires.containsKey(p))) Thread.sleep(10)
+      val missing = mustFire.filterNot(fires.containsKey)
+      assert(missing.isEmpty, s"lost fires: $missing")
+      // no monitor ever fires past its shotCount — even aborted-mid-poll
+      fires.asScala.foreach { case (text, n) =>
+        assert(n.get() == 1, s"$text fired ${n.get()} times")
+      }
+      // ticker is still alive after all that (poison threw long ago)
+      val lateLatch = new java.util.concurrent.CountDownLatch(1)
+      sched.when("late")(_ => lateLatch.countDown())
+      mon.monitorFile("late", dir.getPath, "final-*", shotCount = 1)
+      new java.io.File(dir, "final-1.dat").createNewFile()
+      assert(lateLatch.await(15, java.util.concurrent.TimeUnit.SECONDS),
+        "ticker died: the poison handler's exception killed the timer")
+    } finally mon.stop()
+    // stop→start recovers (the finally-cleared handle): a fresh start
+    // drives new cycles
+    val againLatch = new java.util.concurrent.CountDownLatch(1)
+    sched.when("again")(_ => againLatch.countDown())
+    mon.monitorFile("again", dir.getPath, "again-*", shotCount = 1)
+    new java.io.File(dir, "again-1.dat").createNewFile()
+    mon.start(intervalMs = 2)
+    try assert(againLatch.await(15, java.util.concurrent.TimeUnit.SECONDS))
+    finally mon.stop()
+  }
+
   test("file monitor: background timer drives cycles until stop") {
     val sched = new graft.workflow.Events.Scheduler
     implicit val cat: graft.sources.FileCatalog = new graft.sources.FileCatalog(
