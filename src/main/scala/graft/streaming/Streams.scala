@@ -21,8 +21,12 @@ object Streams {
     * like every reference dataset; no inference on streams).
     */
   def fileSource(spark: SparkSession, path: String, schema: StructType,
-      format: String = "parquet"): DataFrame =
-    spark.readStream.schema(schema).format(format).load(path)
+      format: String = "parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema).format(format)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load(path)
+  }
 
   /** The ONE `ts` normalization for the events fixture, shared by the batch
     * loader ([[graft.Tables.events]] delegates here) and every streaming
@@ -51,9 +55,12 @@ object Streams {
     * guarded `ts` normalization as the batch loader.
     */
   def eventsStream(spark: SparkSession, sfDir: String,
-      stagedDir: String): DataFrame = {
+      stagedDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    normalizeEventTs(fileSource(spark, stagedDir, schema))
+    normalizeEventTs(
+      fileSource(spark, stagedDir, schema,
+        maxFilesPerTrigger = maxFilesPerTrigger))
   }
 
   /** Kafka source with managed offsets (the `KafkaConsumer.GetMessages` +
@@ -149,16 +156,36 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       before: String, after: String,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val (l, r) =
       if (left.isStreaming || right.isStreaming)
         (left.withWatermark("lts", watermark),
           right.withWatermark("rts", watermark))
       else (left, right)
-    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+    val range =
       col("rts") >= col("lts") - expr(s"INTERVAL $before") &&
-      col("rts") <= col("lts") + expr(s"INTERVAL $after")
-    keys.foldLeft(l.join(r, cond))((d, k) => d.drop(r(k)))
+        col("rts") <= col("lts") + expr(s"INTERVAL $after")
+    if (joinType == "inner") {
+      val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) && range
+      keys.foldLeft(l.join(r, cond, joinType))((d, k) => d.drop(r(k)))
+    } else {
+      // OUTER interval joins (reference-exceeding §2.12 surface): the
+      // stream emits null-padded rows once the watermark passes a row's
+      // match window — the "unmatched after window" alert shape for
+      // unbounded feeds. Both sides often derive from ONE source frame
+      // (click vs purchase slices), so qualify the shared key names via
+      // aliases; a dropped right key would null the key on right-only
+      // rows, so coalesce both sides into ONE key column instead.
+      val (la, ra) = (l.alias("__ij_l"), r.alias("__ij_r"))
+      val cond = keys.map(k =>
+        col(s"__ij_l.$k") === col(s"__ij_r.$k")).reduce(_ && _) && range
+      val joined = la.join(ra, cond, joinType)
+      val keyCols = keys.map(k =>
+        coalesce(col(s"__ij_l.$k"), col(s"__ij_r.$k")).as(k))
+      val rest = joined.schema.fieldNames.filterNot(keys.contains).map(col)
+      joined.select(keyCols ++ rest: _*)
+    }
   }
 
   /** Streaming DEDUP (§2.7 → §2.12): exactly-once delivery of the first

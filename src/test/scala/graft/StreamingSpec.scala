@@ -97,6 +97,95 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("FULL-outer interval join: watermark expiry emits unmatched rows " +
+      "== batch full outer; state survives a checkpoint restart") {
+    // The "unmatched after window" alert shape for unbounded feeds
+    // (§2.12 reference-exceeding contract): clicks with no purchase in
+    // the window must surface as null-padded rows once the watermark
+    // passes their match window — including across a query restart.
+    val tag = System.nanoTime()
+    val inDir = new java.io.File(s"/root/repo/target/graft_io/foj_in_$tag")
+    val outDir = s"/root/repo/target/graft_io/foj_out_$tag"
+    val ckDir = s"/root/repo/target/graft_io/foj_ck_$tag"
+    inDir.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"${inDir.getPath}/a.parquet"))
+
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("lts"),
+          col("event_id").as("l_id")),
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("rts"),
+          col("event_id").as("r_id")))
+
+    val (bl, br) = sides(Tables.events(spark, sf))
+    val expected = Streams.intervalJoin(bl, br, Seq("user_id"),
+        before = "0 seconds", after = "30 minutes", joinType = "full_outer")
+      .select("l_id", "r_id").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    // the case must exercise all three shapes: matches + both unmatches
+    assert(expected.exists(p => p._1.isDefined && p._2.isDefined))
+    assert(expected.exists(_._1.isEmpty) && expected.exists(_._2.isEmpty))
+
+    // Sentinel "flush" files whose only job is to advance the watermark
+    // past every real row's match window so the outer state drains while
+    // the stream still runs (watermark N applies during batch N+1 — hence
+    // TWO flush steps). Raw-schema bump: no ts conversion here, just
+    // arithmetic in whatever type the fixture carries.
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def bump(c: org.apache.spark.sql.Column, m: Int) =
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          c + lit(m * 60L * 1000000000L)
+        case _ => c + expr(s"INTERVAL $m MINUTES")
+      }
+    def stageFlush(name: String, id1: Long, id2: Long, m: Int,
+        modtimeBump: Long): Unit = {
+      val f = raw.agg(max(col("ts")).as("mx")).select(explode(array(
+          struct(lit(id1).as("event_id"), bump(col("mx"), m).as("ts"),
+            lit(-999L).as("user_id"), lit("click").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props")),
+          struct(lit(id2).as("event_id"), bump(col("mx"), m + 1).as("ts"),
+            lit(-998L).as("user_id"), lit("purchase").as("event_type"),
+            lit(0.0).as("value"), lit("").as("props")))).as("r"))
+        .select("r.*")
+      val tmp = s"/root/repo/target/graft_io/foj_tmp_$tag"
+      f.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(s"${inDir.getPath}/$name")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(System.currentTimeMillis() + modtimeBump)
+    }
+
+    def runOnce(): Unit = {
+      val (sl, sr) = sides(Streams.eventsStream(spark, sf, inDir.getPath,
+        maxFilesPerTrigger = Some(1)))
+      val q = Streams.intervalJoin(sl, sr, Seq("user_id"),
+          before = "0 seconds", after = "30 minutes",
+          watermark = "1 minute", joinType = "full_outer")
+        .select("l_id", "r_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+    runOnce() // run 1: inner matches emit; unmatched rows still in state
+    stageFlush("b.parquet", -1L, -2L, 40, 10000L)
+    stageFlush("c.parquet", -3L, -4L, 100, 20000L)
+    runOnce() // run 2: RESUMES from checkpoint; watermark drains the state
+
+    val got = spark.read.parquet(outDir)
+      .filter((col("l_id").isNull || col("l_id") >= 0) &&
+        (col("r_id").isNull || col("r_id") >= 0)) // drop sentinel pairs
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(got == expected)
+  }
+
   test("tumbling window: stream (AvailableNow) == batch on events") {
     val batch = Tables.events(spark, sf)
     val expected = Streams.tumblingCounts(batch, "ts", "1 hour")
