@@ -112,5 +112,26 @@ object Events {
 
     /** The ordered event history (diagnostic, workunitservices-style). */
     def history: Seq[Event] = lock.synchronized(log.toSeq)
+
+    /** CRON pseudo-event (`schedulectrl`'s CRON pushes timer ticks into
+      * the SAME event queue as NOTIFY; `job : WHEN(CRON('…'))`): a daemon
+      * timer notifying `name` every `intervalMs` until the returned handle
+      * closes. A throwing WHEN job must not kill the schedule — the tick
+      * loop survives and the failure surfaces via SUCCESS/FAILURE wrapping
+      * (Workflow.sequential), as in the reference.
+      */
+    def cron(name: String, intervalMs: Long): AutoCloseable = {
+      @volatile var live = true
+      val t = new Thread(() => {
+        while (live) {
+          try notify(name)
+          catch { case scala.util.control.NonFatal(_) => () }
+          Thread.sleep(intervalMs)
+        }
+      }, s"graft-cron-$name")
+      t.setDaemon(true)
+      t.start()
+      () => live = false
+    }
   }
 }

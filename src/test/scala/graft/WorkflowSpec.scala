@@ -430,6 +430,72 @@ class WorkflowSpec extends SparkSpec {
     finally mon.stop()
   }
 
+  test("end-to-end composite: CRON → monitor → WHEN → spray → curate → " +
+      "bucketed publish, hands-free (the reference's signature " +
+      "landing-zone pattern in one gate)") {
+    import org.apache.spark.sql.types._
+    val tag = System.nanoTime()
+    val sched = new graft.workflow.Events.Scheduler
+    val cat = new graft.sources.FileCatalog(
+      spark, s"/root/repo/target/graft_io/e2e_cat_$tag")
+    val mon = new graft.workflow.FileMonitor(sched)
+    val lz = new java.io.File(s"/root/repo/target/graft_io/e2e_lz_$tag")
+    lz.mkdirs()
+    val tableName = s"graft_e2e_docs_$tag"
+
+    // CRON wiring: the schedule's pseudo-event drives monitor cycles —
+    // the reference's `monitorCycle` timer expressed as WHEN(CRON(...))
+    sched.when("lzCron")(_ => mon.poll())
+    mon.monitorFile("fileLanded", lz.getPath, "*.csv", shotCount = 1)
+
+    // the WHEN-subscribed pipeline: spray the landed file, curate
+    // (exact dedup + quality floor), publish bucketed, notify downstream
+    sched.when("fileLanded") { e =>
+      cat.sprayDelimited("lz::docs", e.text,
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))), parts = 2)
+      val curated = cat.read("lz::docs")
+        .dropDuplicates("text")
+        .filter(length(col("text")) > 10)
+      graft.sources.Bucketed.writeBucketed(curated, tableName, "doc_id", 4,
+        s"/root/repo/target/graft_io/e2e_bkt_$tag")
+      sched.notify("published", tableName)
+    }
+    val published = new java.util.concurrent.CountDownLatch(1)
+    sched.when("published")(_ => published.countDown())
+
+    val cron = sched.cron("lzCron", 50)
+    try {
+      // drop the file AFTER all wiring: everything downstream is event-
+      // driven, no manual polls
+      val f = new java.io.File(lz, "batch1.csv")
+      java.nio.file.Files.write(f.toPath,
+        ("""1,the quick brown fox jumps
+           |2,short
+           |3,the quick brown fox jumps
+           |4,a perfectly reasonable document
+           |""".stripMargin).getBytes("UTF-8"))
+      assert(published.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        s"pipeline never published; history=${sched.history.map(_.name).distinct}")
+      // curated content: dup (3) collapsed into (1), junk (2) dropped
+      val got = spark.table(tableName)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(got.keySet.intersect(Set(2L)) == Set.empty)
+      assert(got.size == 2 && got.contains(4L))
+      assert(got.keySet.intersect(Set(1L, 3L)).size == 1) // one survivor
+      // the published table is genuinely bucketed (amortized-join ready)
+      val joined = graft.sources.Bucketed.colocatedJoin(
+        spark, tableName, tableName, "doc_id")
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"),
+        "published table lost its bucketing")
+    } finally {
+      cron.close()
+      mon.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    }
+  }
+
   test("file monitor: background timer drives cycles until stop") {
     val sched = new graft.workflow.Events.Scheduler
     implicit val cat: graft.sources.FileCatalog = new graft.sources.FileCatalog(
