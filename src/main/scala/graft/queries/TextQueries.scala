@@ -357,6 +357,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q189: training-sequence packing manifest (GPT-style document
+    // concatenation into fixed context windows; the global token offset is
+    // the two-pass Positions prefix sum, NEVER a single-partition window).
+    QueryDef("q189_sequence_pack",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+        |  CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_first,
+        |  CAST(FLOOR((cum - 1) / 2048.0) AS BIGINT) AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.TextOps.packSequences(Tables.documents(s, dir),
+          col("doc_id"), graft.text.TextOps.tokenCount(col("text")), 2048)
+        .orderBy(col("doc_id"))
+    },
+
     // ---- content fingerprint ---------------------------------------------
     QueryDef("q84_fingerprint",
       """SELECT doc_id,

@@ -496,6 +496,35 @@ object TextOps {
       .filter(col("n_tokens") > 0)
   }
 
+  /** GPT-style training-sequence packing manifest: lay the corpus out as
+    * ONE token stream in `idCol` order (document concatenation — the
+    * standard pretraining batch layout), slice the stream into
+    * `window`-token contexts, and report for each doc its global token
+    * offset plus the range of sequence ids it lands in (`seq_first` ==
+    * `seq_last` iff the doc fits one context; docs straddle otherwise).
+    *
+    * Scale shape: the global offset is [[graft.ops.Positions]]'
+    * two-pass range-partitioned prefix sum — NOT a single-partition
+    * window — so packing a 100 TB corpus is one sort shuffle plus two
+    * parallel scans; everything downstream is per-row arithmetic.
+    * Zero-token docs are dropped (they occupy no stream positions).
+    */
+  def packSequences(docs: DataFrame, id: Column, tokens: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, "context window must be >= 1")
+    val withTok = docs
+      .select(id.as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    graft.ops.Positions.runningSumSorted(withTok, col("n_tokens"),
+        Seq(col("doc_id")), "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum_tokens") - col("n_tokens")).as("tok_offset"),
+        floor((col("cum_tokens") - col("n_tokens")) / lit(window))
+          .cast("long").as("seq_first"),
+        floor((col("cum_tokens") - 1) / lit(window))
+          .cast("long").as("seq_last"))
+  }
+
   /** HTML → text extraction: drop script/style blocks and comments, strip
     * tags, decode the common entities, collapse whitespace. One chained
     * regexp_replace projection (scan-speed, zero shuffle); every pattern is
