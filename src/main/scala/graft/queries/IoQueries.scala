@@ -194,6 +194,27 @@ object IoQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // ---- LOOP with a loop FILTER (TAKloopdataset + loopfilter): rows
+    // matching the filter re-enter the body, the rest exit immediately —
+    // iterative row routing with a CLOSED-FORM oracle: while q > 10 the
+    // body subtracts 7, so the fixpoint is q - 7*ceil((q-10)/7).
+    QueryDef("q190_loop_filtered",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CASE WHEN q > 10
+        |       THEN q - 7 * CAST(CEIL((q - 10) / 7.0) AS BIGINT)
+        |       ELSE q END AS BIGINT) AS settled
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val start = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("settled"))
+      Workflow.loopFiltered(start, maxIter = 10, col("settled") > 10) {
+        (looping, _) => looping.withColumn("settled", col("settled") - 7)
+      }
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ---- PIPE through an external process (identity cat) -----------------
     QueryDef("q119_pipe",
       """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name FROM nation

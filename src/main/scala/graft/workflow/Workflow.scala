@@ -70,6 +70,51 @@ object Workflow {
     cur
   }
 
+  /** LOOP(ds, loopcondition, body) (TAKlooprow/dataset condition forms,
+    * eclhelper.hpp:989 loopAgain): iterate while the driver-evaluated
+    * dataset predicate holds (e.g. `_.isEmpty` negation — the reference
+    * evaluates loop conditions between graph executions the same way).
+    * `maxIter` is the runaway backstop the reference's MAXITERATIONS
+    * option provides.
+    */
+  def loopWhile(df: DataFrame, maxIter: Int, checkpointEvery: Int = 4)(
+      continueWhile: DataFrame => Boolean)(
+      body: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(maxIter >= 0, "maxIter must be >= 0")
+    var cur = df
+    var i = 1
+    while (i <= maxIter && continueWhile(cur)) {
+      cur = body(cur, i)
+      if (i % checkpointEvery == 0) cur = cur.localCheckpoint()
+      i += 1
+    }
+    cur
+  }
+
+  /** LOOP(ds, loopfilter, body) (TAKloopdataset :988 with a loop filter):
+    * per-iteration ROW ROUTING — rows matching `cond` feed the body
+    * again; rows that stop matching EXIT to the final result immediately,
+    * exactly the reference's loop-filter semantics. Each iteration costs
+    * one driver-side existence probe (`limit(1).count`) — the reference's
+    * engine makes the same between-graph decision — plus the body; exited
+    * rows accumulate as a lazy union, checkpointed with the loop body so
+    * lineage stays bounded.
+    */
+  def loopFiltered(df: DataFrame, maxIter: Int, cond: Column)(
+      body: (DataFrame, Int) => DataFrame): DataFrame = {
+    require(maxIter >= 1, "maxIter must be >= 1")
+    var cur = df.localCheckpoint()
+    var out: Option[DataFrame] = None
+    var i = 1
+    while (i <= maxIter && cur.filter(cond).limit(1).count() > 0) {
+      val exit = cur.filter(!cond)
+      out = Some(out.map(_.unionAll(exit)).getOrElse(exit))
+      cur = body(cur.filter(cond), i).localCheckpoint()
+      i += 1
+    }
+    out.map(_.unionAll(cur)).getOrElse(cur)
+  }
+
   /** GRAPH(ds, n, body) (TAKgraphloop :995): body sees ALL prior iteration
     * results (TAKgraphloopresultread :996).
     */

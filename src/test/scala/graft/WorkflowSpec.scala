@@ -50,6 +50,36 @@ class WorkflowSpec extends SparkSpec {
     assert(out == Set(32, 64))
   }
 
+  test("loopWhile runs while the dataset condition holds; maxIter backstops") {
+    val df = Seq(1).toDF("x")
+    var calls = 0
+    val out = Workflow.loopWhile(df, maxIter = 50) { d =>
+      d.agg(max(col("x"))).head.getInt(0) < 100
+    } { (d, _) => calls += 1; d.withColumn("x", col("x") * 2) }
+    assert(out.as[Int].head() == 128 && calls == 7) // 2^7 = 128 >= 100
+    // runaway backstop: a never-false condition stops at maxIter
+    var capped = 0
+    Workflow.loopWhile(df, maxIter = 3)(_ => true) { (d, _) =>
+      capped += 1; d
+    }
+    assert(capped == 3)
+  }
+
+  test("loopFiltered routes rows: matching rows re-enter, others exit " +
+      "immediately with their value frozen") {
+    // x counts down by 3 while > 0; each row needs ceil(x/3) iterations —
+    // the body must see ONLY the still-looping rows each round
+    val df = Seq(1, 5, 9, 10).toDF("x")
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Workflow.loopFiltered(df, maxIter = 10, col("x") > 0) {
+      (looping, _) => sizes += looping.count(); looping.withColumn("x", col("x") - 3)
+    }
+    // iteration populations: {1,5,9,10} → {2,6,7} → {3,4} → {1} → done
+    assert(sizes.toSeq == Seq(4, 3, 2, 1))
+    // 1→-2, 5→2→-1, 9→6→3→0, 10→7→4→1→-2
+    assert(out.as[Int].collect().sorted.toSeq == Seq(-2, -2, -1, 0))
+  }
+
   test("graphN exposes all prior iteration results to the body") {
     val df = Seq(1).toDF("x")
     val results = Workflow.graphN(df, 3) { (prior, _) =>
