@@ -262,6 +262,53 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("Roxie signature pattern: published INDEX-backed point lookup over " +
+      "HTTP — keyed pruning under the listener, cache-accelerated repeats") {
+    // Roxie's defining deployment: a published query whose body is a keyed
+    // index read, answering point lookups at interactive latency. The
+    // Spark analog: IndexedTable (range-partitioned sorted parquet) under
+    // Published.serve — the scan prunes to the key's row group, and the
+    // response cache answers repeats without re-planning.
+    val idx = s"/root/repo/target/graft_io/serve_idx-${System.nanoTime()}"
+    graft.sources.IndexedTable.build(
+      Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal"),
+      Seq("c_custkey"), idx, numPartitions = 4)
+    // the keyed plan prunes: pushed key predicate reaches the scan
+    val probe = graft.sources.IndexedTable.keyedRead(spark, idx,
+      col("c_custkey") === 42)
+    val fm = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(fm.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)"),
+      s"key predicate not pushed:\n$fm")
+
+    val pub = new Published(spark)
+    pub.publish("customer_by_key") { (s, stored) =>
+      graft.sources.IndexedTable.keyedRead(s, idx,
+        col("c_custkey") === stored.long("key", -1L))
+    }
+    val port = pub.serve(0, 100, cacheTtlMs = 600000)
+    def get(key: Long): String = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/customer_by_key?key=$key").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    try {
+      val expect = Tables.customer(spark, sf)
+        .filter(col("c_custkey") === 42).select("c_name")
+        .head.getString(0)
+      assert(get(42).contains(s""""c_name":"$expect""""))
+      assert(get(7).contains(""""c_custkey":7"""))
+      val missBefore = pub.cacheStats._2
+      // repeats answer from the response cache — no new misses
+      (1 to 5).foreach(_ => assert(get(42).contains(expect)))
+      assert(pub.cacheStats._2 == missBefore,
+        "repeat point lookups must be cache hits")
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
