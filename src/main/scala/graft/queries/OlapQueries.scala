@@ -341,6 +341,127 @@ object OlapQueries {
         .join(broadcast(natF), col("s_nationkey") === col("n_nationkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal"))
         .orderBy(col("s_name"))
+    },
+
+    // ---- q191: TPC-H Q7 — six-table volume shipping between nation pairs.
+    // Lowering: nation filters broadcast into the supplier/customer dims;
+    // the two fact-sized joins (lineitem⨝orders on orderkey, orders⨝
+    // customer on custkey) stay plain equi-joins — AQE broadcasts at small
+    // SF, SMJ at scale. The disjunctive nation-pair predicate rides as a
+    // post-join filter over two broadcast-joined dim columns.
+    QueryDef("q191_nation_volume",
+      s"""SELECT supp_nation, cust_nation, l_year, ${sumDSql("volume", "revenue")}
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         |        l_extendedprice * (1 - l_discount) AS volume
+         |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |        AND c_custkey = o_custkey
+         |        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |        AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val sup = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Joins.lookupJoinMany(
+        Tables.customer(s, dir),
+        Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")),
+        col("c_nationkey") === col("cnk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sumD(col("volume"), "revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // ---- q192: TPC-H Q8 — market share: conditional-sum ratio per year.
+    // Lowering: region membership is a LEFT SEMI on the customer key
+    // chain; the share is ONE aggregate with a CASE-gated decimal
+    // numerator over the same rows as the denominator — no second pass.
+    QueryDef("q192_market_share",
+      """SELECT o_year,
+        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+        |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |        l_extendedprice * (1 - l_discount) AS volume,
+        |        n2.n_name AS supp_nation
+        |      FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND l_suppkey = s_suppkey
+        |        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = 1
+        |        AND s_nationkey = n2.n_nationkey) market
+        |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, dir) =>
+      val custR = Joins.lookupJoinMany(
+        Tables.customer(s, dir),
+        Tables.nation(s, dir).filter(col("n_regionkey") === 1)
+          .select(col("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supN = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir)
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("snk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val ordR = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(ordR, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("volume"))
+            .otherwise(lit(0)).cast("decimal(25,6)")).cast("double") /
+          sum(col("volume").cast("decimal(25,6)")).cast("double"))
+          .as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // ---- q193: TPC-H Q13 — customer order-count distribution: LEFT OUTER
+    // with a non-key ON predicate, then a double aggregation. Lowering:
+    // the ON-clause filter prunes the fact BEFORE the outer join (same
+    // semantics — null-extension happens after per-row matching); the two
+    // groupBys chain, the second over an order-count-sized frame.
+    QueryDef("q193_order_distribution",
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) {
+      (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      Joins.join(Tables.customer(s, dir).select(col("c_custkey")), ord,
+          col("c_custkey") === col("o_custkey"), Joins.LeftOuter)
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
     }
   )
 }
