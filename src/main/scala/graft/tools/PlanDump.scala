@@ -71,7 +71,11 @@ object PlanDump {
       "q184_min_cost_supplier" ->
         "TPC-H Q2 shape: correlated MIN = re-aggregate of the derived cost frame broadcast back on (part,cost); dims broadcast; TakeOrderedAndProject",
       "q187_dominant_share" ->
-        "TPC-H Q20 shape: nested IN chain = semi-join ladder; every IN a broadcast LEFT SEMI, nothing wider than keys materializes")
+        "TPC-H Q20 shape: nested IN chain = semi-join ladder; every IN a broadcast LEFT SEMI, nothing wider than keys materializes",
+      "q191_nation_volume" ->
+        "TPC-H Q7 shape: six tables — nation dims broadcast, the two fact joins plain equi-joins (AQE broadcast small-SF / SMJ at scale), no cartesian despite the disjunctive pair predicate",
+      "q193_order_distribution" ->
+        "TPC-H Q13 shape: ON-predicate pruned BEFORE the outer join; chained groupBys with partial aggregation")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")

@@ -386,4 +386,32 @@ class TextOpsSpec extends SparkSpec {
       assert(got == want, s"canonicalUrl($in)")
     }
   }
+
+  test("packSequences: contiguous offsets, consistent sequence ranges, " +
+      "zero-token docs occupy no stream positions") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens
+      (2L, ""),                 // 0 tokens — dropped
+      (3L, "d e f g h"),        // 5 tokens
+      (4L, "i j"),              // 2 tokens
+      (5L, "k l m n o p q r")   // 8 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.packSequences(docs, col("doc_id"),
+        TextOps.tokenCount(col("text")), window = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // stream layout: d1 [0,3), d3 [3,8), d4 [8,10), d5 [10,18); window 4
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),   // fits window 0
+      (3L, 5L, 3L, 0L, 1L),   // straddles 0→1
+      (4L, 2L, 8L, 2L, 2L),
+      (5L, 8L, 10L, 2L, 4L))) // spans windows 2..4
+    // properties: offsets contiguous in doc order; ranges consistent
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + a._2, "offsets must be contiguous")
+    }
+    out.foreach { case (_, n, off, first, last) =>
+      assert(first == off / 4 && last == (off + n - 1) / 4)
+    }
+  }
 }
