@@ -71,6 +71,44 @@ class DifferentialSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("packSequences two-pass prefix sum == naive global-window lowering") {
+    // the scale-safe Positions scan must agree with the thing it replaces
+    // (a single-partition window) on real data
+    val docs = Tables.documents(spark, sf)
+    val fast = graft.text.TextOps.packSequences(docs, col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")), 512)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("doc_id"), col("n"), (col("cum") - col("n")).as("off"),
+        floor((col("cum") - col("n")) / 512).cast("long"),
+        floor((col("cum") - 1) / 512).cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(fast == naive)
+  }
+
+  test("loopFiltered row routing == loopN with a conditional in-place body") {
+    // routing rows OUT of the loop must equal keeping them in with a
+    // no-op guard, for a body that's idempotent past the fixpoint
+    val base = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+    val routed = graft.workflow.Workflow
+      .loopFiltered(base, maxIter = 10, col("q") > 10) { (d, _) =>
+        d.withColumn("q", col("q") - 7)
+      }
+      .as[(Long, Int, Long)].collect().toSet
+    val guarded = graft.workflow.Workflow.loopN(base, 6) { (d, _) =>
+      d.withColumn("q", when(col("q") > 10, col("q") - 7).otherwise(col("q")))
+    }.as[(Long, Int, Long)].collect().toSet
+    assert(routed == guarded)
+  }
+
   test("SAMPLE formula == explicit position filter") {
     val c = Tables.customer(spark, sf).select(col("c_custkey"))
     val viaOp = Sorting.sample(c, 7, 3, Seq(col("c_custkey")))
