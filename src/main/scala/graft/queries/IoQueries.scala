@@ -275,6 +275,35 @@ object IoQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // ---- PromoteSuperFileList (File.ecl:1003): the generation-rotation
+    // pattern — one atomic commit shifts every generation down the chain
+    // and installs the new head. The gate reads the post-rotation union:
+    // gen1=[region3] gen2=[region0] gen3=[region1]; region2's generation
+    // was displaced off the end. Oracle = plain membership SQL.
+    QueryDef("q194_promote_generations",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey IN (0, 1, 3)
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val cat = new graft.sources.FileCatalog(s, s"${ioDir(dir)}/catalog_gen")
+      val n = Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+      (0 to 3).foreach(r =>
+        cat.write(s"nat::r$r", n.filter(col("n_regionkey") === r)))
+      Seq("gen1", "gen2", "gen3").foreach(g =>
+        cat.createSuperFile(g, allowExist = true))
+      cat.transaction { t =>
+        Seq("gen1", "gen2", "gen3").foreach(t.clearSuperFile)
+        t.addSuperFile("gen1", "nat::r0")
+        t.addSuperFile("gen2", "nat::r1")
+        t.addSuperFile("gen3", "nat::r2")
+      }
+      cat.promoteSuperFileList(Seq("gen1", "gen2", "gen3"),
+        addHead = Some("nat::r3"))
+      Seq("gen1", "gen2", "gen3").map(cat.readSuper)
+        .reduce(_ unionAll _)
+        .orderBy(col("n_nationkey"))
+    },
+
     // ---- DFU spray: external delimited file → N-part catalog parquet -----
     // The import must be lossless: sprayed-and-read content hashes equal to
     // the source table.

@@ -30,14 +30,20 @@ final class FileCatalog(spark: SparkSession, root: String) {
   private def fs: FileSystem =
     catalogDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Catalog state: logical files (name → physical path) and superfiles
-    * (name → ordered sub-file logical names).
+  /** Catalog state: logical files (name → physical path), superfiles
+    * (name → ordered sub-file logical names), per-file attributes
+    * (description/expire/protect/readonly/column-mapping — the
+    * `SetFileDescription`/`SetExpireDays`/`ProtectLogicalFile` family),
+    * and file relationships (`AddFileRelationship` tuples).
     */
   private final case class State(files: Map[String, String],
-      supers: Map[String, Vector[String]])
+      supers: Map[String, Vector[String]],
+      attrs: Map[String, Map[String, String]] = Map.empty,
+      rels: Vector[Vector[String]] = Vector.empty)
 
-  // line format: F\tname\tpath | S\tname\tsub1\tsub2… (names may not
-  // contain tab/newline — enforced at registration)
+  // line formats: F\tname\tpath | S\tname\tsub1\tsub2… |
+  // A\tname\tkey\tvalue | R\tprimary\tsecondary\tpfields\tsfields\tkind\tcard\tpayload
+  // (names/values may not contain tab/newline — enforced at registration)
   private def parse(text: String): State = {
     val lines = text.split("\n").filter(_.nonEmpty)
     State(
@@ -46,7 +52,12 @@ final class FileCatalog(spark: SparkSession, root: String) {
       }.toMap,
       lines.filter(_.startsWith("S\t")).map { l =>
         val p = l.split("\t", -1); p(1) -> p.drop(2).filter(_.nonEmpty).toVector
-      }.toMap)
+      }.toMap,
+      lines.filter(_.startsWith("A\t")).map(_.split("\t", -1))
+        .groupBy(_(1))
+        .map { case (n, rows) => n -> rows.map(p => p(2) -> p(3)).toMap },
+      lines.filter(_.startsWith("R\t"))
+        .map(_.split("\t", -1).drop(1).toVector).toVector)
   }
 
   private def render(s: State): String = {
@@ -54,7 +65,11 @@ final class FileCatalog(spark: SparkSession, root: String) {
     val sLines = s.supers.toSeq.sortBy(_._1).map { case (n, subs) =>
       (Seq("S", n) ++ subs).mkString("\t")
     }
-    (fLines ++ sLines).mkString("\n")
+    val aLines = s.attrs.toSeq.sortBy(_._1).flatMap { case (n, kv) =>
+      kv.toSeq.sorted.map { case (k, v) => s"A\t$n\t$k\t$v" }
+    }
+    val rLines = s.rels.map(r => (Seq("R") ++ r).mkString("\t"))
+    (fLines ++ sLines ++ aLines ++ rLines).mkString("\n")
   }
 
   private val manifest = new VersionedManifest[State](spark,
@@ -98,6 +113,8 @@ final class FileCatalog(spark: SparkSession, root: String) {
     */
   def write(name: String, df: DataFrame): Unit = {
     checkName(name)
+    require(!getFileAttribute(name, "readonly").contains("1"),
+      s"$name is read-only (SetReadOnly) — cannot overwrite")
     val path = physicalDir(name)
     df.write.mode("overwrite").parquet(path)
     register(name, path)
@@ -117,8 +134,14 @@ final class FileCatalog(spark: SparkSession, root: String) {
   def delete(name: String, allowMissing: Boolean = false): Unit = {
     val known = load().files.get(name)
     require(known.nonEmpty || allowMissing, s"no such logical file: $name")
-    commit(s => State(s.files - name,
-      s.supers.map { case (k, subs) => k -> subs.filterNot(_ == name) }))
+    commit { s =>
+      require(!s.attrs.get(name).exists(_.get("protected").contains("1")),
+        s"$name is protected (ProtectLogicalFile) — unprotect before delete")
+      s.copy(files = s.files - name,
+        supers = s.supers.map { case (k, subs) =>
+          k -> subs.filterNot(_ == name) },
+        attrs = s.attrs - name)
+    }
     known.filter(_.startsWith(new Path(root, "data").toString))
       .foreach(p => fs.delete(new Path(p), true))
   }
@@ -134,9 +157,15 @@ final class FileCatalog(spark: SparkSession, root: String) {
       require(s.files.contains(oldName), s"no such logical file: $oldName")
       require(allowOverwrite || !s.files.contains(newName),
         s"target exists: $newName")
-      State(s.files - oldName + (newName -> s.files(oldName)),
-        s.supers.map { case (k, subs) =>
+      require(!s.attrs.get(oldName).exists(_.get("protected").contains("1")),
+        s"$oldName is protected (ProtectLogicalFile) — unprotect before rename")
+      s.copy(files = s.files - oldName + (newName -> s.files(oldName)),
+        supers = s.supers.map { case (k, subs) =>
           k -> subs.map(x => if (x == oldName) newName else x)
+        },
+        attrs = s.attrs.get(oldName) match {
+          case Some(a) => s.attrs - oldName + (newName -> a)
+          case None => s.attrs
         })
     }
   }
@@ -162,6 +191,131 @@ final class FileCatalog(spark: SparkSession, root: String) {
   def list(pattern: String = "*"): Seq[String] =
     load().files.keys.toSeq.sorted
       .filter(graft.workflow.Events.wildcardMatch(pattern, _))
+
+  // ---- file attributes (File.ecl:214-330: SetFileDescription,
+  // SetExpireDays/ClearExpireDays, ProtectLogicalFile, SetReadOnly,
+  // SetColumnMapping — Dali stores these on the DFS tree node) ------------
+
+  /** Generic attribute write (the `GetLogicalFileAttribute` counterpart). */
+  def setFileAttribute(name: String, key: String, value: String): Unit =
+    commit { s =>
+      require(s.files.contains(name), s"no such logical file: $name")
+      checkName(key)
+      require(!value.exists(c => c == '\t' || c == '\n'),
+        s"illegal attribute value for $key")
+      s.copy(attrs = s.attrs +
+        (name -> (s.attrs.getOrElse(name, Map.empty) + (key -> value))))
+    }
+
+  def getFileAttribute(name: String, key: String): Option[String] =
+    load().attrs.get(name).flatMap(_.get(key))
+
+  private def clearFileAttribute(name: String, key: String): Unit =
+    commit { s =>
+      s.copy(attrs = s.attrs.get(name) match {
+        case Some(a) => val a2 = a - key
+          if (a2.isEmpty) s.attrs - name else s.attrs + (name -> a2)
+        case None => s.attrs
+      })
+    }
+
+  /** SetFileDescription (`File.ecl:230`). */
+  def setFileDescription(name: String, description: String): Unit =
+    setFileAttribute(name, "description", description)
+  def fileDescription(name: String): String =
+    getFileAttribute(name, "description").getOrElse("")
+
+  /** SetColumnMapping (`File.ecl:320`): stored verbatim, like Dali. */
+  def setColumnMapping(name: String, mapping: String): Unit =
+    setFileAttribute(name, "columnMapping", mapping)
+
+  /** ProtectLogicalFile (`File.ecl:260`): a protected file refuses
+    * delete/rename until unprotected — the Dali protect-lock semantics.
+    */
+  def protectLogicalFile(name: String, protect: Boolean = true): Unit =
+    if (protect) setFileAttribute(name, "protected", "1")
+    else clearFileAttribute(name, "protected")
+
+  /** SetReadOnly (`File.ecl:246`): refuse catalog-managed overwrite. */
+  def setReadOnly(name: String, ro: Boolean = true): Unit =
+    if (ro) setFileAttribute(name, "readonly", "1")
+    else clearFileAttribute(name, "readonly")
+
+  /** SetExpireDays / ClearExpireDays (`File.ecl:287,300`): mark the file
+    * for expiry `days` after its last modification; [[sweepExpired]] is
+    * the Dali sweeper that actually removes expired files.
+    */
+  def setExpireDays(name: String, days: Int): Unit = {
+    require(days >= 0, "days must be >= 0")
+    setFileAttribute(name, "expireDays", days.toString)
+  }
+  def clearExpireDays(name: String): Unit =
+    clearFileAttribute(name, "expireDays")
+
+  /** The expiry sweeper: delete every non-protected file whose
+    * modification time is older than its `expireDays`. Returns the names
+    * removed. `now` is injectable for tests.
+    */
+  def sweepExpired(now: Long = System.currentTimeMillis()): Seq[String] = {
+    val st = load()
+    val doomed = st.attrs.toSeq.flatMap { case (name, a) =>
+      for {
+        days <- a.get("expireDays").flatMap(_.toIntOption)
+        if !a.get("protected").contains("1")
+        if st.files.contains(name)
+        (_, _, modified, _) <- info(name)
+        if modified > 0 && modified + days * 86400000L <= now
+      } yield name
+    }.sorted
+    doomed.foreach(delete(_, allowMissing = true))
+    doomed
+  }
+
+  // ---- file relationships (File.ecl:333-420: AddFileRelationship /
+  // FileRelationshipList / RemoveFileRelationship) ------------------------
+
+  /** AddFileRelationship: record a primary/secondary key relationship
+    * between two logical files (metadata only, like Dali).
+    */
+  def addFileRelationship(primary: String, secondary: String,
+      primaryFields: String, secondaryFields: String,
+      kind: String = "link", cardinality: String = "",
+      payload: Boolean = false): Unit =
+    commit { s =>
+      require(s.files.contains(primary), s"no such logical file: $primary")
+      require(s.files.contains(secondary), s"no such logical file: $secondary")
+      s.copy(rels = s.rels :+ Vector(primary, secondary, primaryFields,
+        secondaryFields, kind, cardinality, if (payload) "1" else "0"))
+    }
+
+  /** FileRelationshipList with `*`/`?` wildcards on both names: rows of
+    * (primary, secondary, primaryFields, secondaryFields, kind,
+    * cardinality, payload).
+    */
+  def fileRelationshipList(primaryPattern: String = "*",
+      secondaryPattern: String = "*"): Seq[Vector[String]] =
+    load().rels.filter(r =>
+      graft.workflow.Events.wildcardMatch(primaryPattern, r(0)) &&
+        graft.workflow.Events.wildcardMatch(secondaryPattern, r(1)))
+
+  def removeFileRelationship(primary: String, secondary: String): Unit =
+    commit(s => s.copy(rels =
+      s.rels.filterNot(r => r(0) == primary && r(1) == secondary)))
+
+  // ---- external (landing-zone) file utilities (File.ecl:455-520:
+  // MoveExternalFile / DeleteExternalFile / CreateExternalDirectory) ------
+
+  def moveExternalFile(source: String, dest: String): Unit = {
+    val (src, dst) = (new Path(source), new Path(dest))
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(src, dst), s"move $source -> $dest failed")
+  }
+
+  def deleteExternalFile(path: String): Unit =
+    fs.delete(new Path(path), false)
+
+  def createExternalDirectory(path: String): Unit =
+    fs.mkdirs(new Path(path))
 
   // ---- superfiles (File.ecl:917-1065) -------------------------------------
 
@@ -242,6 +396,59 @@ final class FileCatalog(spark: SparkSession, root: String) {
     val t = new Txn
     body(t) // throws → nothing committed
     commit(s => t.ops.foldLeft(s)((acc, op) => op(acc)))
+  }
+
+  /** PromoteSuperFileList (`File.ecl:1003`): generation rotation — each
+    * superfile's contents shift to the NEXT one in the list in a single
+    * atomic commit (`daily::gen1 → gen2 → gen3`); the first gets
+    * `addHead`'s name (or empty), the last generation's previous contents
+    * are displaced and returned. With `deleteTail` the displaced subfiles
+    * are also deleted (catalog + managed data), the reference's
+    * `deleteFiles` flag — protected files make the whole promote fail
+    * BEFORE any mutation, since delete would refuse.
+    */
+  def promoteSuperFileList(names: Seq[String],
+      addHead: Option[String] = None,
+      deleteTail: Boolean = false): Seq[String] = {
+    require(names.nonEmpty, "promote needs at least one superfile")
+    var displaced: Vector[String] = Vector.empty
+    commit { s =>
+      names.foreach(n => require(s.supers.contains(n),
+        s"no such superfile: $n"))
+      addHead.foreach(h => require(s.files.contains(h),
+        s"no such logical file: $h"))
+      displaced = s.supers(names.last)
+      if (deleteTail) displaced.foreach { d =>
+        require(!s.attrs.get(d).exists(_.get("protected").contains("1")),
+          s"cannot promote: displaced $d is protected")
+      }
+      val shifted = names.indices.reverse.foldLeft(s.supers) { (acc, i) =>
+        acc + (names(i) -> (if (i == 0) addHead.toVector
+          else s.supers(names(i - 1))))
+      }
+      s.copy(supers = shifted)
+    }
+    if (deleteTail)
+      // only delete what no surviving generation still references
+      displaced.filterNot(d =>
+          load().supers.values.exists(_.contains(d)))
+        .foreach(delete(_, allowMissing = true))
+    displaced
+  }
+
+  /** DeleteOwnedSubFiles (`File.ecl:966` — remove, and with `del` also
+    * delete, every subfile of `superName` that no OTHER superfile
+    * references). Returns the affected names.
+    */
+  def deleteOwnedSubFiles(superName: String, del: Boolean = true): Seq[String] = {
+    val st = load()
+    require(st.supers.contains(superName), s"no such superfile: $superName")
+    val owned = st.supers(superName).filter(sub =>
+      !st.supers.exists { case (k, subs) =>
+        k != superName && subs.contains(sub) })
+    transaction { t => owned.foreach(t.removeSuperFile(superName, _)) }
+    if (del) owned.foreach(delete(_, allowMissing = true))
+    owned
   }
 
   /** Single-op conveniences (each its own transaction). */

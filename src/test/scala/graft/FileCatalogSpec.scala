@@ -228,6 +228,118 @@ class FileCatalogSpec extends SparkSpec {
     assert(cat.read("back4").count() == 3)
   }
 
+  test("file attributes: description/columnMapping round-trip; protect " +
+      "blocks delete+rename; readonly blocks overwrite; rename moves attrs") {
+    val cat = newCat("attrs")
+    cat.write("f", Seq((1, "x")).toDF("k", "v"))
+    cat.setFileDescription("f", "the daily snapshot")
+    cat.setColumnMapping("f", "k{set(unsignedSwap)}")
+    assert(cat.fileDescription("f") == "the daily snapshot")
+    assert(cat.getFileAttribute("f", "columnMapping")
+      .contains("k{set(unsignedSwap)}"))
+    cat.protectLogicalFile("f")
+    intercept[IllegalArgumentException] { cat.delete("f") }
+    intercept[IllegalArgumentException] { cat.rename("f", "g") }
+    cat.protectLogicalFile("f", protect = false)
+    cat.setReadOnly("f")
+    intercept[IllegalArgumentException] {
+      cat.write("f", Seq((2, "y")).toDF("k", "v"))
+    }
+    cat.setReadOnly("f", ro = false)
+    cat.rename("f", "g") // attrs travel with the rename
+    assert(cat.fileDescription("g") == "the daily snapshot")
+    cat.delete("g")
+    assert(!cat.exists("g"))
+  }
+
+  test("expiry: sweepExpired removes stale non-protected files only") {
+    val cat = newCat("expire")
+    cat.write("old", Seq(1).toDF("k"))
+    cat.write("fresh", Seq(2).toDF("k"))
+    cat.write("locked", Seq(3).toDF("k"))
+    cat.setExpireDays("old", 7)
+    cat.setExpireDays("fresh", 7000) // far future
+    cat.setExpireDays("locked", 7)
+    cat.protectLogicalFile("locked")
+    // pretend 30 days pass
+    val future = System.currentTimeMillis() + 30L * 86400000L
+    assert(cat.sweepExpired(future) == Seq("old"))
+    assert(!cat.exists("old") && cat.exists("fresh") && cat.exists("locked"))
+    // ClearExpireDays makes a stale file immortal again
+    cat.protectLogicalFile("locked", protect = false)
+    cat.clearExpireDays("locked")
+    assert(cat.sweepExpired(future).isEmpty && cat.exists("locked"))
+  }
+
+  test("PromoteSuperFileList rotates generations atomically; deleteTail " +
+      "removes only unreferenced displaced files") {
+    val cat = newCat("promote")
+    Seq("d1", "d2", "d3").foreach(n =>
+      cat.write(n, Seq(n).toDF("v")))
+    Seq("gen1", "gen2", "gen3").foreach(n =>
+      cat.createSuperFile(n, allowExist = true))
+    cat.addSuperFile("gen1", "d1")
+    cat.addSuperFile("gen2", "d2")
+    cat.addSuperFile("gen3", "d3")
+    cat.write("d0", Seq("d0").toDF("v"))
+    // rotate: gen3 ← gen2 ← gen1 ← d0; d3 displaced and deleted
+    val displaced = cat.promoteSuperFileList(Seq("gen1", "gen2", "gen3"),
+      addHead = Some("d0"), deleteTail = true)
+    assert(displaced == Seq("d3"))
+    assert(cat.superFileContents("gen1") == Seq("d0"))
+    assert(cat.superFileContents("gen2") == Seq("d1"))
+    assert(cat.superFileContents("gen3") == Seq("d2"))
+    assert(!cat.exists("d3"), "displaced tail must be deleted")
+    // a second rotate without addHead empties gen1; d2 still referenced
+    // by NOTHING after displacement → deleted
+    val d2 = cat.promoteSuperFileList(Seq("gen1", "gen2", "gen3"),
+      deleteTail = true)
+    assert(d2 == Seq("d2") && !cat.exists("d2"))
+    assert(cat.superFileContents("gen1").isEmpty)
+    assert(cat.superFileContents("gen2") == Seq("d0"))
+    assert(cat.superFileContents("gen3") == Seq("d1"))
+  }
+
+  test("deleteOwnedSubFiles spares subfiles shared with other superfiles") {
+    val cat = newCat("owned")
+    Seq("a", "b").foreach(n => cat.write(n, Seq(n).toDF("v")))
+    cat.createSuperFile("s1"); cat.createSuperFile("s2")
+    cat.addSuperFile("s1", "a")
+    cat.addSuperFile("s1", "b")
+    cat.addSuperFile("s2", "b") // b is shared
+    assert(cat.deleteOwnedSubFiles("s1") == Seq("a"))
+    assert(!cat.exists("a") && cat.exists("b"))
+    assert(cat.superFileContents("s1") == Seq("b"))
+    assert(cat.superFileContents("s2") == Seq("b"))
+  }
+
+  test("file relationships record, list by wildcard, and remove") {
+    val cat = newCat("rels")
+    Seq("person", "addr", "acct").foreach(n =>
+      cat.write(n, Seq(1).toDF("k")))
+    cat.addFileRelationship("person", "addr", "id", "person_id")
+    cat.addFileRelationship("person", "acct", "id", "owner_id",
+      cardinality = "1:M", payload = true)
+    assert(cat.fileRelationshipList().size == 2)
+    assert(cat.fileRelationshipList(secondaryPattern = "ac*").head ==
+      Vector("person", "acct", "id", "owner_id", "link", "1:M", "1"))
+    cat.removeFileRelationship("person", "addr")
+    assert(cat.fileRelationshipList().map(_(1)) == Seq("acct"))
+  }
+
+  test("external file utilities: create dir, move, delete") {
+    val cat = newCat("ext")
+    val base = s"/root/repo/target/graft_io/ext_util-${System.nanoTime()}"
+    cat.createExternalDirectory(s"$base/in")
+    val f = new java.io.File(s"$base/in/drop.csv")
+    java.nio.file.Files.write(f.toPath, "1,a\n".getBytes)
+    cat.moveExternalFile(s"$base/in/drop.csv", s"$base/archive/drop.csv")
+    assert(!f.exists() &&
+      new java.io.File(s"$base/archive/drop.csv").exists())
+    cat.deleteExternalFile(s"$base/archive/drop.csv")
+    assert(!new java.io.File(s"$base/archive/drop.csv").exists())
+  }
+
   test("manifest GC bounds catalog-dir growth; state intact") {
     val root = s"/root/repo/target/graft_io/filecat_spec/gc-${System.nanoTime()}"
     val cat = new FileCatalog(spark, root)
