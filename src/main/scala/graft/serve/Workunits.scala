@@ -21,11 +21,44 @@ final class Workunits(spark: SparkSession) {
 
   final case class WuRecord(wuid: String, name: String, owner: String,
       state: String, startMs: Long, endMs: Long, rows: Long,
-      filesRead: Seq[String], messages: Seq[String])
+      filesRead: Seq[String], messages: Seq[String],
+      filesWritten: Seq[String] = Nil,
+      timings: Seq[(String, Long)] = Nil,
+      stats: Seq[(String, String, Long)] = Nil,
+      appValues: Map[String, String] = Map.empty)
 
   private val runs =
     scala.collection.concurrent.TrieMap.empty[String, WuRecord]
   private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Reference wuid shape: `W<yyyymmdd>-<hhmmss>` (+ a uniquifying seq —
+    * the reference bumps the seconds for collisions). String-sorted wuids
+    * are therefore time-ordered, which is what makes [[wuidOnDate]] /
+    * [[wuidDaysAgo]] usable as range bounds.
+    */
+  private def newWuid(at: Long): String = {
+    val d = java.time.Instant.ofEpochMilli(at)
+      .atZone(java.time.ZoneOffset.UTC)
+    f"W${d.getYear}%04d${d.getMonthValue}%02d${d.getDayOfMonth}%02d" +
+      f"-${d.getHour}%02d${d.getMinute}%02d${d.getSecond}%02d" +
+      f"-${seq.incrementAndGet()}%06d"
+  }
+
+  /** `WUIDonDate` (Workunit.ecl:104): the lowest wuid a workunit started
+    * at that UTC time could have — a range bound for wuid filters.
+    */
+  def wuidOnDate(year: Int, month: Int, day: Int, hour: Int = 0,
+      minute: Int = 0): String =
+    f"W$year%04d$month%02d$day%02d-$hour%02d$minute%02d00"
+
+  /** `WUIDdaysAgo` (Workunit.ecl:113). */
+  def wuidDaysAgo(daysAgo: Int,
+      now: Long = System.currentTimeMillis()): String = {
+    val d = java.time.Instant.ofEpochMilli(now)
+      .minus(java.time.Duration.ofDays(daysAgo.toLong))
+      .atZone(java.time.ZoneOffset.UTC)
+    wuidOnDate(d.getYear, d.getMonthValue, d.getDayOfMonth)
+  }
 
   /** Paths the executed plan actually scanned (wsWorkunitFilesRead). */
   private def scannedPaths(df: DataFrame): Seq[String] = {
@@ -46,13 +79,21 @@ final class Workunits(spark: SparkSession) {
     */
   def record(name: String, owner: String = "",
       messages: Seq[String] = Nil)(body: => DataFrame): String = {
-    val wuid = f"W${seq.incrementAndGet()}%08d"
     val start = System.currentTimeMillis()
+    val wuid = newWuid(start)
     try {
       val df = body
-      val rows = df.count()
+      val created = System.currentTimeMillis()
+      // execute THE RECORDED PLAN (df.count() would execute a different,
+      // count-optimized plan, leaving this plan's SQL metrics at zero —
+      // WorkunitStatistics reads those metrics)
+      val rows = df.queryExecution.executedPlan.execute().count()
+      val end = System.currentTimeMillis()
       runs(wuid) = WuRecord(wuid, name, owner, "completed", start,
-        System.currentTimeMillis(), rows, scannedPaths(df), messages)
+        end, rows, scannedPaths(df), messages,
+        timings = Seq(("create", created - start),
+          ("execute", end - created), ("total", end - start)),
+        stats = planStats(df))
       wuid
     } catch {
       case t: Throwable =>
@@ -60,6 +101,24 @@ final class Workunits(spark: SparkSession) {
           System.currentTimeMillis(), -1L, Nil,
           messages :+ String.valueOf(t.getMessage))
         throw t
+    }
+  }
+
+  /** Post-execution plan metrics — `WorkunitStatistics`
+    * (Workunit.ecl:167): one (activity, statistic, value) row per
+    * populated SQL metric of the executed plan, the Spark twin of the
+    * reference's per-activity statistics tree.
+    */
+  private def planStats(df: DataFrame): Seq[(String, String, Long)] = {
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case other => other +: other.children.flatMap(leaves)
+    }
+    leaves(df.queryExecution.executedPlan).flatMap { node =>
+      node.metrics.toSeq.collect {
+        case (k, m) if m.value > 0 => (node.nodeName, k, m.value)
+      }
     }
   }
 
@@ -121,4 +180,56 @@ final class Workunits(spark: SparkSession) {
     runs.get(wuid).toSeq.flatMap(r => r.messages.map((r.wuid, _)))
       .toDF("wuid", "message")
   }
+
+  /** `WorkunitFilesWritten` (Workunit.ecl:149). Writes happen inside the
+    * body's own sinks, so they register explicitly — [[addFileWritten]]
+    * is the hook OUTPUT-style helpers call.
+    */
+  def addFileWritten(wuid: String, path: String): Boolean =
+    runs.get(wuid) match {
+      case Some(r) =>
+        runs(wuid) = r.copy(filesWritten = r.filesWritten :+ path); true
+      case None => false
+    }
+
+  def workunitFilesWritten(wuid: String): DataFrame = {
+    import spark.implicits._
+    runs.get(wuid).toSeq.flatMap(r => r.filesWritten.map((r.wuid, _)))
+      .toDF("wuid", "path")
+  }
+
+  /** `WorkunitTimings` (Workunit.ecl:158): create/execute/total edges. */
+  def workunitTimings(wuid: String): DataFrame = {
+    import spark.implicits._
+    runs.get(wuid).toSeq.flatMap(r =>
+        r.timings.map { case (c, ms) => (r.wuid, c, ms) })
+      .toDF("wuid", "component", "elapsed_ms")
+  }
+
+  /** `WorkunitStatistics` (Workunit.ecl:167): executed-plan SQL metrics,
+    * optionally filtered by a statistic-name wildcard.
+    */
+  def workunitStatistics(wuid: String, filter: String = "*"): DataFrame = {
+    import spark.implicits._
+    runs.get(wuid).toSeq.flatMap(r => r.stats.collect {
+        case (act, stat, v)
+          if graft.workflow.Events.wildcardMatch(filter, stat) =>
+          (r.wuid, act, stat, v)
+      })
+      .toDF("wuid", "activity", "statistic", "value")
+  }
+
+  /** `SetWorkunitAppValue` (Workunit.ecl:179) + its read-back. */
+  def setWorkunitAppValue(wuid: String, app: String, key: String,
+      value: String, overwrite: Boolean = true): Boolean =
+    runs.get(wuid) match {
+      case Some(r) =>
+        val k = s"$app/$key"
+        if (!overwrite && r.appValues.contains(k)) false
+        else { runs(wuid) = r.copy(appValues = r.appValues + (k -> value)); true }
+      case None => false
+    }
+
+  def workunitAppValue(wuid: String, app: String, key: String): Option[String] =
+    runs.get(wuid).flatMap(_.appValues.get(s"$app/$key"))
 }

@@ -156,6 +156,43 @@ class ServeSpec extends SparkSpec {
     assert(wu.workunitExists(w2))
   }
 
+  test("workunits: timings, plan statistics, files written, app values, " +
+      "WUID date math") {
+    val wu = new graft.serve.Workunits(spark)
+    val dir = s"/root/repo/target/graft_io/wu_spec2-${System.nanoTime()}"
+    Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val w = wu.record("stats_run") {
+      spark.read.parquet(dir).filter(col("k") > 1)
+    }
+    // timings: the three edges exist and total >= parts
+    val t = wu.workunitTimings(w).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(t.keySet == Set("create", "execute", "total"))
+    assert(t("total") >= t("execute"))
+    // statistics: real executed-plan metrics — the scan's output rows
+    val stats = wu.workunitStatistics(w).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(stats.exists { case (_, k, v) =>
+      k == "numOutputRows" && v >= 2 }, stats.mkString(","))
+    assert(wu.workunitStatistics(w, filter = "numOutput*").count() > 0)
+    assert(wu.workunitStatistics(w, filter = "zzz*").count() == 0)
+    // files written registers explicitly (OUTPUT-helper hook)
+    assert(wu.addFileWritten(w, s"$dir/out"))
+    assert(wu.workunitFilesWritten(w).collect().map(_.getString(1)).toSeq ==
+      Seq(s"$dir/out"))
+    // app values: overwrite flag honored
+    assert(wu.setWorkunitAppValue(w, "etl", "batch", "42"))
+    assert(!wu.setWorkunitAppValue(w, "etl", "batch", "43", overwrite = false))
+    assert(wu.workunitAppValue(w, "etl", "batch").contains("42"))
+    // wuid shape + date math: today's floor wuid precedes the run's wuid;
+    // a future date's succeeds it; 0-days-ago == today's floor
+    assert(w.startsWith("W") && w.length == "Wyyyymmdd-hhmmss-nnnnnn".length)
+    assert(wu.wuidDaysAgo(0) <= w)
+    assert(wu.wuidOnDate(2099, 1, 1) > w)
+    assert(wu.wuidOnDate(2020, 1, 1) < w)
+  }
+
   test("WeightedAvgMicros matches the closed-form ratio exactly") {
     val df = Seq((10L, 2L), (30L, 4L), (20L, 4L)).toDF("pq", "q")
     val wavg = udaf(Aggregators.WeightedAvgMicros)
