@@ -185,4 +185,82 @@ object StdUni {
     }
     fn(text)
   }
+
+  /** Uni.LocaleToTitleCase (Uni.ecl:186): ICU locale-aware title casing
+    * (word-break driven, e.g. Dutch "ijssel" → "IJssel").
+    */
+  def localeToTitleCase(c: Column, localeName: String = ""): Column = {
+    val fn = udf { (s: String) =>
+      if (s == null) null
+      else com.ibm.icu.lang.UCharacter.toTitleCase(
+        ULocale.forLocale(localeOf(localeName)), s, null, 0)
+    }
+    fn(c)
+  }
+
+  /** Collation-strength substring search — the machinery behind
+    * Uni.LocaleFindAtStrength (Uni.ecl:268): at strength 1 "FRANCE"
+    * matches "français", at strength 2 it doesn't. Returns (start0, len)
+    * of the `instance`-th match or null.
+    */
+  private def searchNth(src: String, target: String, instance: Int,
+      localeName: String, strength: Int): Option[(Int, Int)] = {
+    if (src.isEmpty || target.isEmpty || instance < 1) return None
+    val coll = Collator.getInstance(ULocale.forLocale(localeOf(localeName)))
+      .asInstanceOf[com.ibm.icu.text.RuleBasedCollator]
+    coll.setStrength(icuStrength(strength))
+    val it = new com.ibm.icu.text.StringSearch(target,
+      new java.text.StringCharacterIterator(src), coll)
+    var pos = it.first()
+    var k = 1
+    while (pos != com.ibm.icu.text.SearchIterator.DONE && k < instance) {
+      pos = it.next(); k += 1
+    }
+    if (pos == com.ibm.icu.text.SearchIterator.DONE) None
+    else Some((pos, it.getMatchLength))
+  }
+
+  /** Uni.LocaleFindAtStrength (Uni.ecl:268): 1-based start position of the
+    * `instance`-th collation match, 0 when absent. Strength 1 folds case
+    * AND accents, 2 folds case only, 3+ exact.
+    */
+  def localeFindAtStrength(src: Column, target: Column, instance: Int,
+      localeName: String, strength: Int): Column = {
+    val fn = udf { (s: String, t: String) =>
+      if (s == null || t == null) null.asInstanceOf[Integer]
+      else Integer.valueOf(
+        searchNth(s, t, instance, localeName, strength)
+          .map(_._1 + 1).getOrElse(0))
+    }
+    fn(src, target)
+  }
+
+  /** Uni.LocaleFindAtStrengthReplace (Uni.ecl:284): replace EVERY
+    * collation-strength match of `target` with `replacement`.
+    */
+  def localeFindAtStrengthReplace(src: Column, target: Column,
+      replacement: Column, localeName: String, strength: Int): Column = {
+    val fn = udf { (s: String, t: String, r: String) =>
+      if (s == null || t == null || r == null) null
+      else if (s.isEmpty || t.isEmpty) s
+      else {
+        val sb = new StringBuilder
+        var from = 0
+        var hit = searchNth(s, t, 1, localeName, strength)
+        var cur = s
+        // re-search the tail after each replacement so overlapping
+        // matches can't loop forever
+        while (hit.isDefined) {
+          val (p, len) = hit.get
+          sb.append(cur.substring(0, p)).append(r)
+          cur = cur.substring(p + len)
+          hit = searchNth(cur, t, 1, localeName, strength)
+          from += 1
+          if (from > s.length) hit = None // defensive bound
+        }
+        sb.append(cur).toString
+      }
+    }
+    fn(src, target, replacement)
+  }
 }

@@ -101,4 +101,37 @@ class StdUniSpec extends SparkSpec {
       .select(EclFunctions.transferStringToUInt(col("s"))).head.getLong(0)
       == 0x41424344L)
   }
+
+  test("LocaleFindAtStrength(Replace): reference unicodelib vectors + " +
+      "strength folding") {
+    // testing/regress/ecl/unicodelib.ecl:58-60,134 pinned outputs
+    def findAt(src: String, t: String, inst: Int, strength: Int): Int =
+      Seq(src).toDF("s")
+        .select(StdUni.localeFindAtStrength(col("s"), lit(t), inst,
+          "en_us", strength).as("p"))
+        .head.getInt(0)
+    assert(findAt("ABCDE", "BC", 1, 1) == 2)
+    assert(findAt("ABCDE", "BC", 2, 1) == 0)
+    assert(findAt("ABCDEABCDE", "BC", 2, 1) == 7)
+    // strength 1 folds case and accents; strength 3 is exact
+    assert(findAt("abçde", "BC", 1, 1) == 2)
+    assert(findAt("abcde", "BC", 1, 3) == 0)
+    val rep = Seq("ABCDEABCDE").toDF("s")
+      .select(StdUni.localeFindAtStrengthReplace(col("s"), lit("BC"),
+        lit("XX"), "en_us", 1)).head.getString(0)
+    assert(rep == "AXXDEAXXDE") // unicodelib.ecl:134
+    // accent-folded replace: both 'ç' and 'c' sites rewritten at strength 1
+    val rep2 = Seq("façade facade").toDF("s")
+      .select(StdUni.localeFindAtStrengthReplace(col("s"), lit("cad"),
+        lit("-"), "en_us", 1)).head.getString(0)
+    assert(rep2 == "fa-e fa-e")
+  }
+
+  test("LocaleToTitleCase: ICU word-break titling") {
+    val out = Seq("once upon a time", "İSTANBUL lights").toDF("s")
+      .select(StdUni.localeToTitleCase(col("s")).as("t"))
+      .as[String].collect().toSeq
+    assert(out.head == "Once Upon A Time")
+    assert(out(1).startsWith("İstanbul") || out(1).startsWith("Istanbul"))
+  }
 }
