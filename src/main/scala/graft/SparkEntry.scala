@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.StatsQueries.defs ++
     graft.queries.AnalysisQueries.defs ++
     graft.queries.GeoQueries.defs ++
-    graft.queries.OlapQueries.defs
+    graft.queries.OlapQueries.defs ++
+    graft.queries.Olap2Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

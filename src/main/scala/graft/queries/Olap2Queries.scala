@@ -1,0 +1,401 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries.{sumD, sumDSql}
+
+/** Completion of the classic-OLAP gauntlet (TPC-H Q3/Q5/Q6/Q9/Q10/Q12/Q14/
+  * Q16/Q18/Q19 shapes) on top of the round-11 correlated-subquery set in
+  * [[OlapQueries]] (Q2/Q4/Q7/Q8/Q11/Q13/Q15/Q17/Q20/Q21/Q22). Together the
+  * 21 gates cover every join/aggregate shape of the 22-query benchmark —
+  * the complexity class the reference's regression suite
+  * (`testing/regress/ecl/`, 956 queries) exercises through generated
+  * activity graphs (`rtl/include/eclhelper.hpp:883` TAK kinds).
+  *
+  * Schema adaptations (the driver's test schema has no partsupp /
+  * shipmode / commitdate / receiptdate / container columns):
+  *  - supply cost (Q9)     → per-(part,supplier) MIN unit price derived
+  *    from the fact, as in q184;
+  *  - partsupp (Q16)       → DISTINCT (l_partkey, l_suppkey) pairs;
+  *  - ship delay (Q12)     → l_shipdate − o_orderdate buckets instead of
+  *    receipt/commit lag, priority CASE-counts kept verbatim;
+  *  - container (Q19)      → p_type brackets.
+  *
+  * Scale lowerings follow the house rules: dimension chains broadcast,
+  * the fact shuffles at most once per distinct key, every double
+  * aggregate routes through DECIMAL(25,6) on both engines, and top-k
+  * lands in TakeOrderedAndProject (never a global sort).
+  */
+object Olap2Queries {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q195: TPC-H Q3 — shipping priority top-10 -----------------------
+    // Lowering: segment-filtered customers broadcast as a LEFT SEMI into
+    // the date-pruned orders scan; one fact equi-join; the top-10 is a
+    // TakeOrderedAndProject over the (orderkey, date, priority) aggregate —
+    // no global sort of the revenue frame.
+    QueryDef("q195_shipping_priority",
+      s"""SELECT l_orderkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+         |  o_orderdate, o_orderpriority
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1997-06-01'
+         |  AND l_shipdate  > TIMESTAMP '1997-06-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < ts("1997-06-01"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > ts("1997-06-01"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sumD(col("volume"), "revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q196: TPC-H Q5 — local supplier volume --------------------------
+    // The distinguishing predicate: customer and supplier must share a
+    // nation (c_nationkey = s_nationkey) INSIDE the region. Lowering: both
+    // dim chains broadcast; the nation-equality rides as a residual filter
+    // after the supplier broadcast join, so the fact still shuffles only
+    // on its two equi-keys (orderkey; none for the broadcasts).
+    QueryDef("q196_local_supplier_volume",
+      s"""SELECT n_name, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+      val natR = Joins.lookupJoinMany(
+        Tables.nation(s, dir),
+        Tables.region(s, dir).filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Joins.lookupJoinMany(
+        Tables.supplier(s, dir), natR,
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < ts("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sumD(col("volume"), "revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- q197: TPC-H Q6 — forecast revenue change ------------------------
+    // Pure scan shape: every predicate pushes to the parquet reader
+    // (PushedFilters on shipdate/discount/quantity), one partial+final
+    // aggregate, zero joins, zero shuffles beyond the 1-row exchange.
+    QueryDef("q197_forecast_revenue",
+      s"""SELECT ${sumDSql("l_extendedprice * l_discount", "revenue")}
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.07
+         |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sumD(col("l_extendedprice") * col("l_discount"), "revenue"))
+    },
+
+    // ---- q198: TPC-H Q9 — product-type profit by nation and year ---------
+    // partsupp's supply cost derives from the fact (per-(part,supp) MIN
+    // unit price, the q184 costs view). Lowering: the name-filtered part
+    // list broadcast-narrows the fact BEFORE its (part,supp) aggregate;
+    // the derived cost frame (dimension-sized) broadcasts back into the
+    // narrowed fact; orders joins on the fact's orderkey shuffle.
+    QueryDef("q198_product_profit",
+      s"""WITH costs AS (
+         |  SELECT l_partkey AS ck_part, l_suppkey AS ck_supp,
+         |         FLOOR(MIN(l_extendedprice / l_quantity) * 100) / 100 AS supp_cost
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT n_name AS nation, o_year, ${sumDSql("amount", "sum_profit")}
+         |FROM (SELECT n.n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         |        l_extendedprice * (1 - l_discount) - supp_cost * l_quantity AS amount
+         |      FROM part, supplier, lineitem, orders, nation n, costs
+         |      WHERE s_suppkey = l_suppkey AND ck_supp = l_suppkey
+         |        AND ck_part = l_partkey AND p_partkey = l_partkey
+         |        AND o_orderkey = l_orderkey AND s_nationkey = n.n_nationkey
+         |        AND p_name LIKE '%red%') profit
+         |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin) {
+      (s, dir) =>
+      val reds = Tables.part(s, dir)
+        .filter(col("p_name").like("%red%")).select(col("p_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(reds), col("l_partkey") === col("p_partkey"), "left_semi")
+      // Derived supply cost must aggregate the FULL fact (the oracle's
+      // costs view is unfiltered), then narrows to the red parts.
+      val costs = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("ck_part"), col("l_suppkey").as("ck_supp"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(broadcast(reds), col("ck_part") === col("p_partkey"), "left_semi")
+        .groupBy(col("ck_part"), col("ck_supp"))
+        // Truncate the cost to whole cents via FLOOR, not ROUND: floor of
+        // a double is a pure binary operation (no decimal-string tie
+        // breaking), so both engines see the identical cost and every
+        // downstream product stays a short decimal — the double→
+        // DECIMAL(25,6) cast is then tie-free and bitwise-stable.
+        .agg((floor(min(col("unit")) * 100) / 100).as("supp_cost"))
+      val supN = Joins.lookupJoinMany(
+        Tables.supplier(s, dir),
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      li.join(broadcast(costs),
+          col("l_partkey") === col("ck_part") && col("l_suppkey") === col("ck_supp"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("amount",
+          col("l_extendedprice") * (lit(1) - col("l_discount")) -
+            col("supp_cost") * col("l_quantity"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sumD(col("amount"), "sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // ---- q199: TPC-H Q10 — returned-item revenue, top 20 customers -------
+    // Lowering: quarter-pruned orders ⨝ returnflag-pruned fact on the
+    // orderkey shuffle; customer joins on the custkey aggregate's key;
+    // nation broadcasts; top-20 is TakeOrderedAndProject.
+    QueryDef("q199_returned_items",
+      s"""SELECT c_custkey, c_name, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+         |  c_acctbal, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= ts("1997-01-01") &&
+          col("o_orderdate") < ts("1997-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey")).agg(sumD(col("volume"), "revenue"))
+      val custN = Joins.lookupJoinMany(
+        Tables.customer(s, dir),
+        Tables.nation(s, dir).select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      rev.join(custN, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ---- q200: TPC-H Q12 — priority CASE-counts by shipping-delay bucket.
+    // The schema has no shipmode/receiptdate, so the Q12 line category is
+    // the ship-delay bucket (l_shipdate − o_orderdate); the CASE-gated
+    // high/low-priority counts are verbatim Q12. Lowering: one fact
+    // equi-join on orderkey, the CASE sums fold into ONE aggregate pass.
+    QueryDef("q200_shipmode_priority",
+      """SELECT ship_bucket,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM (SELECT o_orderpriority,
+        |        CASE WHEN l_shipdate < o_orderdate + INTERVAL 30 DAY THEN 'FAST'
+        |             WHEN l_shipdate < o_orderdate + INTERVAL 90 DAY THEN 'NORMAL'
+        |             ELSE 'SLOW' END AS ship_bucket
+        |      FROM orders, lineitem
+        |      WHERE o_orderkey = l_orderkey
+        |        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |        AND l_shipdate <  TIMESTAMP '1998-01-01') shipped
+        |GROUP BY ship_bucket ORDER BY ship_bucket""".stripMargin) { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("ship_bucket",
+          when(col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"), "FAST")
+            .when(col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"), "NORMAL")
+            .otherwise("SLOW"))
+        .groupBy(col("ship_bucket"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("ship_bucket"))
+    },
+
+    // ---- q201: TPC-H Q14 — promo revenue share for one month -------------
+    // Lowering: month-pruned fact broadcast-joins the part dimension; the
+    // ratio is ONE aggregate with a CASE-gated decimal numerator (the q192
+    // pattern) — numerator and denominator see identical rows, so both
+    // engines agree bitwise.
+    QueryDef("q201_promo_revenue",
+      """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin) { (s, dir) =>
+      val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= ts("1997-09-01") &&
+          col("l_shipdate") < ts("1997-10-01"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0))
+            .cast("decimal(25,6)")).cast("double") /
+          sum(col("volume").cast("decimal(25,6)")).cast("double"))
+          .as("promo_revenue"))
+    },
+
+    // ---- q202: TPC-H Q16 — supplier count by part attributes -------------
+    // partsupp = DISTINCT (l_partkey, l_suppkey) from the fact; the
+    // "complaints" exclusion becomes s_acctbal < 0 suppliers, lowered as a
+    // broadcast LEFT ANTI. Lowering: the pair-distinct is the fact's one
+    // shuffle; part attributes broadcast in; the final count-distinct
+    // groups by the (brand,type,size) key.
+    QueryDef("q202_parts_supplier_count",
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        |      FROM lineitem) partsupp, part
+        |WHERE p_partkey = ps_partkey
+        |  AND p_brand <> 'Brand#21' AND p_type <> 'PROMO'
+        |  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+      (s, dir) =>
+      val partsupp = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .distinct()
+      val pAttrs = Tables.part(s, dir)
+        .filter(col("p_brand") =!= "Brand#21" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val complained = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      partsupp
+        .join(broadcast(complained),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(pAttrs), col("ps_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // ---- q203: TPC-H Q18 — large-volume customers (top 100) --------------
+    // Lowering: the HAVING subquery is ONE keyed aggregate over the fact's
+    // orderkey shuffle; qualifying orderkeys (rare) broadcast back as a
+    // LEFT SEMI onto orders; customer joins the surviving sliver; the
+    // per-order quantity re-join reuses the same aggregate frame — the
+    // fact is scanned once, shuffled once.
+    QueryDef("q203_large_volume_customer",
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      val qty = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sumD(col("l_quantity"), "sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .join(qty, col("o_orderkey") === col("l_orderkey"))
+      ord.join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ---- q204: TPC-H Q19 — disjunctive bracket predicate -----------------
+    // Three (brand, type, size-range, quantity-range) brackets OR-ed
+    // together. Lowering: ONE broadcast join on partkey; the part-only
+    // disjunction (brand/type/size) prunes the broadcast side BEFORE the
+    // join; the mixed part×line residual evaluates post-join. No union of
+    // three scans — the fact is read once.
+    QueryDef("q204_bracket_revenue",
+      s"""SELECT ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND
+         | ((p_brand = 'Brand#12' AND p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_type = 'MEDIUM' AND p_size BETWEEN 1 AND 25
+         |    AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_type = 'LARGE'  AND p_size BETWEEN 1 AND 35
+         |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin) { (s, dir) =>
+      val pPred =
+        (col("p_brand") === "Brand#12" && col("p_type") === "SMALL" &&
+          col("p_size").between(1, 15)) ||
+        (col("p_brand") === "Brand#23" && col("p_type") === "MEDIUM" &&
+          col("p_size").between(1, 25)) ||
+        (col("p_brand") === "Brand#34" && col("p_type") === "LARGE" &&
+          col("p_size").between(1, 35))
+      val p = Tables.part(s, dir).filter(pPred)
+        .select(col("p_partkey"), col("p_brand"))
+      val bracket =
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30))
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(sumD(col("volume"), "revenue"))
+    }
+  )
+}

@@ -75,7 +75,17 @@ object PlanDump {
       "q191_nation_volume" ->
         "TPC-H Q7 shape: six tables — nation dims broadcast, the two fact joins plain equi-joins (AQE broadcast small-SF / SMJ at scale), no cartesian despite the disjunctive pair predicate",
       "q193_order_distribution" ->
-        "TPC-H Q13 shape: ON-predicate pruned BEFORE the outer join; chained groupBys with partial aggregation")
+        "TPC-H Q13 shape: ON-predicate pruned BEFORE the outer join; chained groupBys with partial aggregation",
+      "q195_shipping_priority" ->
+        "TPC-H Q3 shape: segment customers broadcast LEFT SEMI into date-pruned orders; top-10 is TakeOrderedAndProject, never a global sort",
+      "q198_product_profit" ->
+        "TPC-H Q9 shape: name-filtered parts broadcast-narrow the fact BEFORE the (part,supp) cost aggregate; derived cost frame broadcasts back",
+      "q202_parts_supplier_count" ->
+        "TPC-H Q16 shape: partsupp = one distinct over the fact's pair shuffle; complaints exclusion a broadcast LEFT ANTI; part attrs broadcast",
+      "q203_large_volume_customer" ->
+        "TPC-H Q18 shape: HAVING subquery = ONE keyed aggregate reused for both the filter and the output column — fact scanned once, shuffled once",
+      "q204_bracket_revenue" ->
+        "TPC-H Q19 shape: disjunctive brackets prune the broadcast part side pre-join; mixed residual post-join; fact read once, no union of scans")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")

@@ -374,4 +374,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
   }
+
+  test("TPC-H Q3 shape (q195): segment semi-filter broadcasts; top-10 is " +
+      "TakeOrderedAndProject, never a global sort") {
+    val df = graft.SparkEntry.queries("q195_shipping_priority")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(plan.contains("LeftSemi"), s"segment filter must semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // the date windows reach both scans
+    val fm = formatted(df)
+    assert(fm.contains("PushedFilters: [IsNotNull(o_orderdate)"), s"plan:\n$fm")
+    assert(fm.contains("PushedFilters: [IsNotNull(l_shipdate)"), s"plan:\n$fm")
+  }
+
+  test("TPC-H Q9 shape (q198): part filter narrows the fact BEFORE the " +
+      "cost aggregate; the derived cost frame joins back broadcast") {
+    val df = graft.SparkEntry.queries("q198_product_profit")(spark, sf)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // the fact may shuffle for the orders equi-join and the (part,supp)
+    // cost aggregate — but the cost frame itself must come back broadcast,
+    // not as a third fact-sized SMJ
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 2,
+      s"derived cost frame re-shuffled the fact:\n$plan")
+  }
+
+  test("TPC-H Q16 shape (q202): complaints exclusion is a broadcast anti " +
+      "join over the pair-distinct") {
+    val df = graft.SparkEntry.queries("q202_parts_supplier_count")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("LeftAnti"), s"NOT IN must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // partsupp derivation = ONE distinct aggregate over the fact; the
+    // (brand,type,size) count re-aggregates that dimension-sized frame
+    assert(plan.contains("HashAggregate"), s"plan:\n$plan")
+  }
+
+  test("TPC-H Q18 shape (q203): the HAVING subquery aggregate is computed " +
+      "once and reused — one fact scan, no second quantity aggregate") {
+    val df = graft.SparkEntry.queries("q203_large_volume_customer")(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    assert("Scan parquet .*lineitem".r.findAllIn(plan).size == 1,
+      s"fact scanned more than once:\n$plan")
+  }
+
+  test("TPC-H Q19 shape (q204): disjunctive brackets stay ONE broadcast " +
+      "join over ONE fact scan — no union of per-bracket scans") {
+    val df = graft.SparkEntry.queries("q204_bracket_revenue")(spark, sf)
+    val plan = executed(df)
+    assert("Scan parquet .*lineitem".r.findAllIn(plan).size == 1,
+      s"fact must be read once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
+    assert(!plan.contains("Union"), s"no per-bracket scan union:\n$plan")
+  }
 }
