@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.AnalysisQueries.defs ++
     graft.queries.GeoQueries.defs ++
     graft.queries.OlapQueries.defs ++
-    graft.queries.Olap2Queries.defs
+    graft.queries.Olap2Queries.defs ++
+    graft.queries.TemporalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF (temporal) join: for each left row, the single most recent right
+  * row at-or-before the left row's timestamp, per key — the
+  * quote-at-trade-time / feature-at-event-time join every time-series and
+  * training-feature pipeline needs. The reference has no dedicated
+  * activity for this (users compose SORT + ITERATE/ROLLUP per group, e.g.
+  * the pattern behind `testing/regress/ecl/iterate*.ecl` run-carrying);
+  * here it is a first-class operator with the lowering a 100 TB run
+  * wants.
+  *
+  * Lowering — union-merge, NOT a range join: tag both inputs, union, and
+  * run ONE window over (key) ordered by (ts, side) carrying the latest
+  * right-side payload forward with `last(ignoreNulls)`. Cost is a single
+  * hash shuffle + in-partition sort of |L|+|R| rows — linear, no per-row
+  * range probe, no O(|L|·|R|) interval expansion, and Catalyst keeps the
+  * whole carry inside one codegen'd Window stage. At equal timestamps the
+  * right row sorts first (side 0 < side 1), so "at-or-before" includes
+  * exact ties, matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` oracle
+  * semantics.
+  *
+  * Keys partition the window, so parallelism = #distinct keys; for the
+  * entity-keyed workloads this serves (user, instrument, device) key
+  * cardinality dwarfs the cluster. A single monster key degrades to one
+  * task's local sort — the same bound as any per-key ordered fold
+  * (ITERATE, session windows), and spill-safe because Spark's window
+  * buffers only the carry column here, not the whole partition payload.
+  */
+object Temporal {
+
+  /** Left as-of join (backward): every left row survives; `payload`
+    * columns from `right` arrive nulled when no right row is at-or-before
+    * the left timestamp (or none within `tolerance`).
+    *
+    * @param toleranceSec right rows older than `leftTs - tolerance` do
+    *        not match (null payload) — the "quote too stale" guard.
+    *        The match itself is still the latest-at-or-before row; the
+    *        tolerance only decides whether it counts.
+    * @note right must be unique per (key, rightTs); pre-aggregate
+    *       otherwise (the match would be nondeterministic).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("__asof_p"),
+      "left input already carries the reserved __asof_p column")
+    // right side: key + event time + payload rolled into one struct so the
+    // window carries a single column regardless of payload width
+    val rTagged = right.select(
+      Seq(col(key), col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
+        struct(col(rightTs).as("__m_ts") +: payload.map(col): _*).as("__asof_p")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(key), col(leftTs).as("__asof_ts"), lit(1).as("__asof_side"),
+        lit(null).as("__asof_p")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    // columns aligned by NAME (unionByName): rTagged nulls the left
+    // payload, lTagged nulls the right struct
+    val merged = rTagged.unionByName(lTagged)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__asof_ts"), col("__asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = merged.withColumn("__asof_m", last(col("__asof_p"), ignoreNulls = true).over(w))
+      .filter(col("__asof_side") === 1)
+    val fresh = toleranceSec match {
+      case Some(tol) =>
+        col("__asof_m").isNotNull &&
+          col("__asof_m.__m_ts") >= col("__asof_ts") - expr(s"INTERVAL $tol SECONDS")
+      case None => col("__asof_m").isNotNull
+    }
+    val matched = carried.withColumn("__asof_ok", fresh)
+    val matchedCols =
+      when(col("__asof_ok"), col("__asof_m.__m_ts")).as("matched_ts") +:
+        payload.map(f => when(col("__asof_ok"), col(s"__asof_m.$f")).as(f))
+    matched.select(leftCols.map(col) ++ matchedCols: _*)
+  }
+
+  /** Staleness profile of an as-of join: per left-side `groupCol`, how old
+    * the matched right row is (seconds), averaged — the data-freshness
+    * report an event-time feature store publishes.
+    */
+  def asofStaleness(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      groupCol: String): DataFrame = {
+    import graft.queries.CoreQueries.avgD
+    asofJoin(left, right, key, leftTs, rightTs, Seq.empty)
+      .filter(col("matched_ts").isNotNull)
+      // integer micros difference divided by 1e6: the same binary double
+      // on both engines, so the decimal-routed average is bitwise-stable
+      .withColumn("age_s",
+        (unix_micros(col(leftTs)) - unix_micros(col("matched_ts"))) / lit(1e6))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_matched"), avgD(col("age_s"), "avg_age_s"))
+  }
+}

@@ -85,7 +85,9 @@ object PlanDump {
       "q203_large_volume_customer" ->
         "TPC-H Q18 shape: HAVING subquery = ONE keyed aggregate reused for both the filter and the output column — fact scanned once, shuffled once",
       "q204_bracket_revenue" ->
-        "TPC-H Q19 shape: disjunctive brackets prune the broadcast part side pre-join; mixed residual post-join; fact read once, no union of scans")
+        "TPC-H Q19 shape: disjunctive brackets prune the broadcast part side pre-join; mixed residual post-join; fact read once, no union of scans",
+      "q205_asof_join" ->
+        "AS-OF join: union-merge lowering — ONE hash exchange + window carry over |L|+|R| rows, NO join operator, no range probe")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")
