@@ -1,14 +1,15 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.Temporal
+import graft.ops.{Ranges, Temporal}
 import org.apache.spark.sql.functions._
 import graft.queries.CoreQueries.avgDSql
 
-/** AS-OF join gates over the events stream (see [[graft.ops.Temporal]]
-  * for the union-merge lowering). DuckDB's native `ASOF JOIN` is the
-  * oracle, so the gate proves latest-at-or-before semantics — including
-  * exact-tie inclusion and left-outer null extension — not just row
+/** AS-OF and range-join gates over the events stream (see
+  * [[graft.ops.Temporal]] / [[graft.ops.Ranges]] for the lowerings).
+  * DuckDB is the oracle — native `ASOF JOIN` for q205–q207, plain
+  * inequality joins for q208/q209 — so the gates prove the semantics
+  * (tie inclusion, half-open bounds, pair uniqueness), not just row
   * counts.
   */
 object TemporalQueries {
@@ -90,6 +91,57 @@ object TemporalQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       Temporal.asofStaleness(rest, clicks, "user_id", "ts", "ts", "event_type")
         .orderBy(col("event_type"))
+    },
+
+    // ---- q208: point-in-interval range join ------------------------------
+    // Each error opens a 30-minute incident window; count the clicks
+    // falling inside each (half-open, no user key — the shape Spark would
+    // otherwise BNLJ). The bucketed lowering equi-joins on the window's
+    // bucket id instead.
+    QueryDef("q208_range_join",
+      """WITH win AS (
+        |  SELECT event_id AS win_id, ts AS w_start,
+        |         ts + INTERVAL 30 MINUTE AS w_end
+        |  FROM events WHERE event_type = 'error'),
+        |clk AS (SELECT ts FROM events WHERE event_type = 'click')
+        |SELECT win_id, CAST(COUNT(*) AS BIGINT) AS n_clicks
+        |FROM win JOIN clk ON clk.ts >= win.w_start AND clk.ts < win.w_end
+        |GROUP BY win_id ORDER BY win_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val win = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      val clk = ev.filter(col("event_type") === "click").select(col("ts"))
+      Ranges.pointInInterval(clk, win, "ts", "w_start", "w_end", 1800L)
+        .groupBy(col("win_id")).agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("win_id"))
+    },
+
+    // ---- q209: interval-overlap range join -------------------------------
+    // 30-minute incident windows × 60-minute signup-activity windows:
+    // overlapping pairs counted exactly once each (the max-start-bucket
+    // uniqueness trick — no distinct), aggregated per incident.
+    QueryDef("q209_interval_overlap",
+      """WITH a AS (
+        |  SELECT event_id AS a_id, ts AS a_start,
+        |         ts + INTERVAL 30 MINUTE AS a_end
+        |  FROM events WHERE event_type = 'error'),
+        |b AS (
+        |  SELECT ts AS b_start, ts + INTERVAL 60 MINUTE AS b_end
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT a_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |GROUP BY a_id ORDER BY a_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val a = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("a_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("a_end"))
+      val b = ev.filter(col("event_type") === "signup")
+        .select(col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 60 MINUTES")).as("b_end"))
+      Ranges.intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end", 1800L)
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("a_id"))
     }
   )
 }

@@ -87,7 +87,9 @@ object PlanDump {
       "q204_bracket_revenue" ->
         "TPC-H Q19 shape: disjunctive brackets prune the broadcast part side pre-join; mixed residual post-join; fact read once, no union of scans",
       "q205_asof_join" ->
-        "AS-OF join: union-merge lowering — ONE hash exchange + window carry over |L|+|R| rows, NO join operator, no range probe")
+        "AS-OF join: union-merge lowering — ONE hash exchange + window carry over |L|+|R| rows, NO join operator, no range probe",
+      "q208_range_join" ->
+        "range join: interval explode to spanned buckets + EQUI-join on bucket id (exact predicate residual) — never a BroadcastNestedLoopJoin")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")
