@@ -304,6 +304,29 @@ object IoQueries {
         .orderBy(col("n_nationkey"))
     },
 
+    // ---- Z-ordered BUILD: multi-key data skipping ------------------------
+    // The index shape BUILD(index) can't give: a box predicate over TWO
+    // keys against a layout clustered on BOTH (bit-interleaved Morton
+    // sort). Correctness gate here; the skipping measurement (scan
+    // numOutputRows z-order ≪ single-key sort for a second-key predicate)
+    // is ZOrderSpec's.
+    QueryDef("q210_zorder_read",
+      s"""SELECT l_partkey, l_suppkey, ${sumDSql("l_quantity", "sum_qty")}
+         |FROM lineitem
+         |WHERE l_partkey BETWEEN 200 AND 400 AND l_suppkey BETWEEN 10 AND 40
+         |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey"""
+        .stripMargin) { (s, dir) =>
+      val path = s"${ioDir(dir)}/lineitem_zorder"
+      graft.sources.ZOrder.build(Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        Seq("l_partkey", "l_suppkey"), path, numPartitions = 16)
+      graft.sources.ZOrder.read(s, path,
+          col("l_partkey").between(200, 400) && col("l_suppkey").between(10, 40))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sumD(col("l_quantity"), "sum_qty"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+    },
+
     // ---- DFU spray: external delimited file → N-part catalog parquet -----
     // The import must be lossless: sprayed-and-read content hashes equal to
     // the source table.
