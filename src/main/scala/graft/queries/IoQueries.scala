@@ -327,6 +327,42 @@ object IoQueries {
         .orderBy(col("l_partkey"), col("l_suppkey"))
     },
 
+    // ---- Incrementally-maintained aggregate (daily-build pattern) --------
+    // Orders split into yearly parts; the rollup state folds them in three
+    // refreshes (3+2+2 parts), each reading ONLY its new parts. The oracle
+    // recomputes from scratch — merge-of-partials must equal the full
+    // aggregate bit-for-bit (decimal-routed sums make that exact).
+    QueryDef("q211_incremental_agg",
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         |  o_orderstatus,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  MAX(o_totalprice) AS top_price
+         |FROM orders GROUP BY o_year, o_orderstatus
+         |ORDER BY o_year, o_orderstatus""".stripMargin) { (s, dir) =>
+      import graft.workflow.Incremental
+      val parts = s"${ioDir(dir)}/inc_parts"
+      val years = 1995 to 2001
+      val ord = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+      years.foreach { y =>
+        ord.filter(col("o_year") === y)
+          .write.mode("overwrite").parquet(s"$parts/y$y")
+      }
+      val inc = new Incremental(s, s"${ioDir(dir)}/inc_state",
+        Seq("o_year", "o_orderstatus"),
+        Seq(Incremental.sumOf("o_totalprice", "total"),
+          Incremental.countAll("n"),
+          Incremental.maxOf("o_totalprice", "top_price")))
+      val paths = years.map(y => s"$parts/y$y")
+      inc.refresh(paths.take(3))
+      inc.refresh(paths.take(5)) // 2 new, 3 already consumed
+      val (st, _) = inc.refresh(paths)
+      st.select(col("o_year"), col("o_orderstatus"),
+          col("total").cast("double").as("total"), col("n"), col("top_price"))
+        .orderBy(col("o_year"), col("o_orderstatus"))
+    },
+
     // ---- DFU spray: external delimited file → N-part catalog parquet -----
     // The import must be lossless: sprayed-and-read content hashes equal to
     // the source table.

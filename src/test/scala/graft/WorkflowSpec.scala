@@ -543,4 +543,40 @@ class WorkflowSpec extends SparkSpec {
       assert(seen.await(15, java.util.concurrent.TimeUnit.SECONDS))
     } finally mon.stop()
   }
+
+  test("incremental aggregate: refresh reads ONLY unseen parts, no-op " +
+      "refresh leaves the state version untouched, merge equals recompute") {
+    import graft.workflow.Incremental
+    val base = s"/root/repo/target/graft_io/inc_spec/${System.nanoTime()}"
+    val rows = Seq((1, 10.0), (1, 20.0), (2, 5.0), (2, 7.0), (1, 40.0), (3, 1.0))
+    val paths = rows.grouped(2).zipWithIndex.map { case (g, i) =>
+      val p = s"$base/part$i"
+      g.toDF("k", "v").write.parquet(p)
+      p
+    }.toSeq
+    val inc = new Incremental(spark, s"$base/state", Seq("k"),
+      Seq(Incremental.sumOf("v", "s"), Incremental.countAll("n"),
+        Incremental.minOf("v", "lo"), Incremental.maxOf("v", "hi")))
+
+    val (_, read1) = inc.refresh(paths.take(2))
+    assert(read1.toSet == paths.take(2).toSet)
+    // overlapping request: only the genuinely new part is read
+    val (st2, read2) = inc.refresh(paths)
+    assert(read2 == Seq(paths(2)), s"re-read old parts: $read2")
+    // no-op refresh: nothing read, no new version
+    val before = inc.consumed
+    val (_, read3) = inc.refresh(paths)
+    assert(read3.isEmpty && inc.consumed == before)
+
+    val got = st2.orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getDecimal(1).doubleValue, r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val full = rows.toDF("k", "v").groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == full.toSeq)
+  }
 }
