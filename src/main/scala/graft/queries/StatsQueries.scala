@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.agg.Aggregators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.queries.CoreQueries.{sumD, sumDSql}
 
 /** Statistical aggregates (no_variance/covariance/correlation
   * `ecl/hql/hqlexpr.hpp:634-636`), bitwise ops (no_band/bor/bxor/lshift/
@@ -111,6 +112,49 @@ object StatsQueries {
         .groupBy(col("l_returnflag"))
         .agg(wavg(col("pq"), col("q")).as("wavg_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- grouping sets / ROLLUP (§2.5 "superset" row, now gated) ---------
+    // Subtotal + grand-total rows in ONE aggregate pass (Spark expands the
+    // grouping sets before the exchange — still a single shuffle);
+    // grouping_id() disambiguates NULL-as-subtotal from NULL data.
+    QueryDef("q212_rollup_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         |  ${sumDSql("l_quantity", "sum_qty")},
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          sumD(col("l_quantity"), "sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- exact heavy hitters without a full-domain shuffle ---------------
+    // Token frequencies ≥ 0.2% of the corpus: per-partition SpaceSaving
+    // candidates (bounded memory, no false negatives) + exact recount of
+    // the candidate sliver. The oracle is the plain exact HAVING — the
+    // sketch must change NOTHING about the answer.
+    QueryDef("q213_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS k
+        |  FROM documents),
+        |tt AS (SELECT COUNT(*) AS total FROM toks WHERE k <> '')
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks, tt WHERE k <> ''
+        |GROUP BY k, total HAVING COUNT(*) >= CEIL(total * 0.002)
+        |ORDER BY k""".stripMargin) { (s, dir) =>
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("k"))
+        .filter(col("k") =!= "")
+      graft.ops.HeavyHitters.heavyHitters(toks, col("k"), 0.002)
+        .orderBy(col("k"))
     }
   )
 }
