@@ -363,6 +363,39 @@ object IoQueries {
         .orderBy(col("o_year"), col("o_orderstatus"))
     },
 
+    // ---- schema-on-read translation across layout generations ------------
+    // One logical table, two written layouts: generation 1 predates
+    // n_regionkey and stores the key narrow (INT); generation 2 is the
+    // current layout. The translated read widens the key, fills the ECL
+    // default (0, not null) for the missing column, and drops a retired
+    // column — parquet mergeSchema would refuse the INT32/INT64 conflict
+    // outright.
+    QueryDef("q214_schema_translate",
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(CASE WHEN n_nationkey < 13 THEN 0 ELSE n_regionkey END AS BIGINT)
+        |    AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val base = s"${ioDir(dir)}/layout_gens"
+      val n = Tables.nation(s, dir)
+      // gen1: narrow key, a retired column, NO region
+      n.filter(col("n_nationkey") < 13)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"),
+          lit("legacy").as("n_retired"))
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      // gen2: the current layout
+      n.filter(col("n_nationkey") >= 13)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      val expected = StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      graft.sources.Sources.readTranslated(
+          s, Seq(s"$base/gen1", s"$base/gen2"), expected)
+        .orderBy(col("n_nationkey"))
+    },
+
     // ---- DFU spray: external delimited file → N-part catalog parquet -----
     // The import must be lossless: sprayed-and-read content hashes equal to
     // the source table.

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Sources & sinks (SURVEY §2.1-2.2): declared-schema CSV/JSON/XML
@@ -68,4 +69,39 @@ object Sources {
   /** Superfile read: a union of file paths presented as one dataset. */
   def superfile(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.parquet(paths: _*)
+
+  /** Schema-on-read translation: present parts written under DIFFERENT
+    * record layouts as one dataset with the `expected` layout — the
+    * reference's runtime record translator (`rtl/eclrtl/rtldynfield.cpp`
+    * `createRowReadFormatMapping`, `common/thorhelper/thorread.hpp:64`),
+    * which lets a superfile span years of layout evolution. Semantics
+    * match the translator's: fields align BY NAME, compatible casts apply
+    * (int widening, decimal rescale), fields missing from an old layout
+    * take the ECL default initializer (0 / '' / false — NOT null:
+    * `rtldynfield` builds defaults from the type, ECL has no null), and
+    * fields the expected layout dropped vanish.
+    *
+    * Parquet's own mergeSchema refuses conflicting primitive types
+    * (INT32 vs INT64), so each part is read under its written schema and
+    * translated independently — per-part cast projections fuse into the
+    * scans (pushdown still works), then a zero-cost unionByName.
+    */
+  def readTranslated(spark: SparkSession, parts: Seq[String],
+      expected: org.apache.spark.sql.types.StructType): DataFrame = {
+    def eclDefault(dt: org.apache.spark.sql.types.DataType): Column = dt match {
+      case t: org.apache.spark.sql.types.NumericType => lit(0).cast(t)
+      case org.apache.spark.sql.types.StringType => lit("")
+      case org.apache.spark.sql.types.BooleanType => lit(false)
+      case org.apache.spark.sql.types.BinaryType => lit(Array.empty[Byte])
+      case t => lit(null).cast(t)
+    }
+    parts.map { p =>
+      val df = spark.read.parquet(p)
+      val have = df.columns.toSet
+      df.select(expected.fields.toSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else eclDefault(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
 }
