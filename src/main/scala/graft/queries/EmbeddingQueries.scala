@@ -18,6 +18,37 @@ object EmbeddingQueries {
       |    CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)) AS c_norm
       |  FROM cx GROUP BY c_id)""".stripMargin
 
+  /** One spherical k-means round (the `ivfInitHashSample` + `ivfTrain`
+    * iters=1 + `ivfAssign` chain) unrolled in SQL — shared by q98b and
+    * the SemDeDup gate q215. Ends with `d2` (vec × trained-centroid dots).
+    */
+  private val IvfTrainCte =
+    """init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
+      |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT 8),
+      |u0 AS (SELECT cx.c_id AS ex_id, cx.pos,
+      |    CAST(cx.v AS DOUBLE) / cn.c_norm AS u
+      |  FROM cx JOIN cn USING (c_id) JOIN init ON init.ex_id = cx.c_id),
+      |d1 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
+      |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      |  FROM cx a JOIN u0 b ON a.pos = b.pos GROUP BY 1, 2),
+      |cells1 AS (SELECT vec_id, ex_id AS cell FROM (
+      |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY dot DESC, ex_id) AS rn FROM d1) WHERE rn = 1),
+      |mexp AS (SELECT cells1.cell, a.pos,
+      |    CAST(SUM(CAST(CAST(a.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+      |      / COUNT(*) AS m
+      |  FROM cx a JOIN cells1 ON cells1.vec_id = a.c_id GROUP BY 1, 2),
+      |mnorm AS (SELECT cell, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
+      |    AS DOUBLE)) AS norm FROM mexp GROUP BY cell),
+      |u1 AS (SELECT mexp.cell AS ex_id, pos, m / norm AS u
+      |  FROM mexp JOIN mnorm USING (cell)
+      |  UNION ALL
+      |  SELECT u0.ex_id, u0.pos, u0.u FROM u0
+      |  WHERE u0.ex_id NOT IN (SELECT DISTINCT cell FROM cells1)),
+      |d2 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
+      |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+      |  FROM cx a JOIN u1 b ON a.pos = b.pos GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- brute-force exact cosine top-5 for 20 query vectors -------------
@@ -252,31 +283,7 @@ object EmbeddingQueries {
     // a drifted mean, norm, or tie-break anywhere flips assignments. ------
     QueryDef("q98b_ivf_trained",
       s"""WITH $VecCte,
-         |init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
-         |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT 8),
-         |u0 AS (SELECT cx.c_id AS ex_id, cx.pos,
-         |    CAST(cx.v AS DOUBLE) / cn.c_norm AS u
-         |  FROM cx JOIN cn USING (c_id) JOIN init ON init.ex_id = cx.c_id),
-         |d1 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
-         |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
-         |  FROM cx a JOIN u0 b ON a.pos = b.pos GROUP BY 1, 2),
-         |cells1 AS (SELECT vec_id, ex_id AS cell FROM (
-         |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |    ORDER BY dot DESC, ex_id) AS rn FROM d1) WHERE rn = 1),
-         |mexp AS (SELECT cells1.cell, a.pos,
-         |    CAST(SUM(CAST(CAST(a.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
-         |      / COUNT(*) AS m
-         |  FROM cx a JOIN cells1 ON cells1.vec_id = a.c_id GROUP BY 1, 2),
-         |mnorm AS (SELECT cell, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
-         |    AS DOUBLE)) AS norm FROM mexp GROUP BY cell),
-         |u1 AS (SELECT mexp.cell AS ex_id, pos, m / norm AS u
-         |  FROM mexp JOIN mnorm USING (cell)
-         |  UNION ALL
-         |  SELECT u0.ex_id, u0.pos, u0.u FROM u0
-         |  WHERE u0.ex_id NOT IN (SELECT DISTINCT cell FROM cells1)),
-         |d2 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
-         |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
-         |  FROM cx a JOIN u1 b ON a.pos = b.pos GROUP BY 1, 2)
+         |$IvfTrainCte
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
          |  SELECT vec_id, ex_id AS cell, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id ORDER BY dot DESC, ex_id) AS rn FROM d2)
@@ -287,6 +294,40 @@ object EmbeddingQueries {
       val cents = Embeddings.ivfTrain(emb,
         col("vec_id"), col("embedding"), init, iters = 1)
       Embeddings.ivfAssign(emb, col("vec_id"), col("embedding"), cents)
+        .orderBy(col("vec_id"))
+    },
+
+    // ---- SemDeDup: cluster-then-exact-pairwise semantic dedup ------------
+    // The trained-IVF chain (q98b) assigns cells; EVERY within-cell pair
+    // gets an exact decimal cosine; a vector dies iff a smaller-id
+    // cellmate is ≥ tau. The oracle unrolls the full chain — a drift in
+    // training, assignment, norm, or the dominance policy flips survivors.
+    QueryDef("q215_semdedup",
+      s"""WITH $VecCte,
+         |$IvfTrainCte,
+         |cells2 AS (SELECT vec_id, ex_id AS cell FROM (
+         |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |    ORDER BY dot DESC, ex_id) AS rn FROM d2) WHERE rn = 1),
+         |pd AS (SELECT a.c_id AS q_id, b.c_id AS r_id, CAST(SUM(CAST(
+         |    CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE) AS DECIMAL(30,12)))
+         |    AS DOUBLE) AS dot
+         |  FROM cx a JOIN cells2 ca ON ca.vec_id = a.c_id
+         |       JOIN cells2 cb ON cb.cell = ca.cell
+         |       JOIN cx b ON b.c_id = cb.vec_id AND b.pos = a.pos
+         |  WHERE a.c_id > b.c_id GROUP BY 1, 2),
+         |removed AS (SELECT DISTINCT pd.q_id FROM pd
+         |  JOIN cn n1 ON n1.c_id = pd.q_id JOIN cn n2 ON n2.c_id = pd.r_id
+         |  WHERE pd.dot / (n1.c_norm * n2.c_norm) >= 0.35)
+         |SELECT cells2.vec_id, CAST(cells2.cell AS INTEGER) AS cell
+         |FROM cells2
+         |WHERE cells2.vec_id NOT IN (SELECT q_id FROM removed)
+         |ORDER BY cells2.vec_id""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val init = Embeddings.ivfInitHashSample(emb,
+        col("vec_id"), col("embedding"), 8)
+      val cents = Embeddings.ivfTrain(emb,
+        col("vec_id"), col("embedding"), init, iters = 1)
+      Embeddings.semDeDup(emb, col("vec_id"), col("embedding"), cents, 0.35)
         .orderBy(col("vec_id"))
     },
 

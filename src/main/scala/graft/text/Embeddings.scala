@@ -276,6 +276,40 @@ object Embeddings {
     cosineNearDupDedup(df, id, vec, tau,
       planesFor(df.count(), targetBucketSize), numTables, dim)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * clustering first, then EXACT pairwise cosine within each cluster —
+    * the cluster pass bounds the quadratic (occupancy ~N/C per cell, C ~
+    * sqrt(N)), which is the whole trick: within-cluster all-pairs is
+    * affordable precisely because the cluster assignment already grouped
+    * the near-duplicates. Removal policy matches [[cosineNearDupDedup]]
+    * (smaller-id-wins dominance, one anti-join). Unlike the RP-LSH path
+    * this has NO recall miss within a cell — every within-cell pair ≥ tau
+    * is found; pairs split across cells are the (intended) recall knob.
+    *
+    * Lowering: zero-shuffle broadcast cell assignment ([[ivfAssign]]),
+    * ONE hash shuffle on the cell id for the self-join, decimal-exact
+    * refine. Output: surviving (vec_id, cell).
+    */
+  def semDeDup(df: DataFrame, id: Column, vec: Column,
+      centroids: Seq[(Int, Array[Double])], tau: Double): DataFrame = {
+    val base = graft.ops.Shape.split(
+      df.select(id.as("vec_id"), vec.as("emb"))
+        .withColumn("__norm", normExact(col("emb"))))
+    val cells = ivfAssign(base, col("vec_id"), col("emb"), centroids)
+    val withCell = graft.ops.Shape.split(base.join(cells, "vec_id"))
+    val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
+      col("emb").as("q_emb"), col("__norm").as("q_norm"))
+    val b = withCell.select(col("cell"), col("vec_id").as("r_id"),
+      col("emb").as("r_emb"), col("__norm").as("r_norm"))
+    val removed = a.join(b, Seq("cell"))
+      .filter(col("q_id") > col("r_id"))
+      .filter((dotExact(col("q_emb"), col("r_emb")) /
+        (col("q_norm") * col("r_norm"))) >= tau)
+      .select(col("q_id").as("vec_id")).distinct()
+    withCell.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** IVF cell assignment — the coarse-quantizer ANN alternative to RP-LSH
     * (inverted-file search: candidates come from the nearest centroid
     * cell instead of hash buckets). `centroids` is a SMALL driver-held
