@@ -40,6 +40,9 @@ object Temporal {
     *        not match (null payload) — the "quote too stale" guard.
     *        The match itself is still the latest-at-or-before row; the
     *        tolerance only decides whether it counts.
+    * @param forward match the EARLIEST right row at-or-AFTER the left
+    *        timestamp instead (next-event semantics — "first fill after
+    *        the order"); tolerance then bounds how far ahead.
     * @note right must be unique per (key, rightTs); pre-aggregate
     *       otherwise (the match would be nondeterministic).
     */
@@ -50,7 +53,8 @@ object Temporal {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      toleranceSec: Option[Long] = None): DataFrame = {
+      toleranceSec: Option[Long] = None,
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!leftCols.contains("__asof_p"),
       "left input already carries the reserved __asof_p column")
@@ -67,12 +71,20 @@ object Temporal {
     // columns aligned by NAME (unionByName): rTagged nulls the left
     // payload, lTagged nulls the right struct
     val merged = rTagged.unionByName(lTagged)
+    // backward: scan ascending, carry the latest right seen → at-or-before.
+    // forward: scan DESCENDING, carry the latest (= smallest-ts) right
+    // seen → at-or-after. Either way a right row at the exact left ts
+    // sorts before the left row (side 0 first), so ties are included.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__asof_ts"), col("__asof_side"))
+      .orderBy(if (forward) col("__asof_ts").desc else col("__asof_ts").asc,
+        col("__asof_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = merged.withColumn("__asof_m", last(col("__asof_p"), ignoreNulls = true).over(w))
       .filter(col("__asof_side") === 1)
     val fresh = toleranceSec match {
+      case Some(tol) if forward =>
+        col("__asof_m").isNotNull &&
+          col("__asof_m.__m_ts") <= col("__asof_ts") + expr(s"INTERVAL $tol SECONDS")
       case Some(tol) =>
         col("__asof_m").isNotNull &&
           col("__asof_m.__m_ts") >= col("__asof_ts") - expr(s"INTERVAL $tol SECONDS")

@@ -93,6 +93,32 @@ object TemporalQueries {
         .orderBy(col("event_type"))
     },
 
+    // ---- q216: forward as-of join (conversion tracking) ------------------
+    // For each signup, the user's FIRST purchase at-or-after it — the
+    // next-event direction (order→fill, signup→conversion). Same
+    // union-merge lowering scanning descending.
+    QueryDef("q216_asof_forward",
+      """WITH pur AS (
+        |  SELECT user_id, ts, value AS purchase_value FROM events
+        |  WHERE event_type = 'purchase'),
+        |sup AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'signup')
+        |SELECT sup.event_id, sup.user_id, sup.ts,
+        |  pur.ts AS matched_ts, pur.purchase_value
+        |FROM sup ASOF LEFT JOIN pur
+        |  ON sup.user_id = pur.user_id AND sup.ts <= pur.ts
+        |ORDER BY sup.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      val sup = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Temporal.asofJoin(sup, pur, "user_id", "ts", "ts",
+          Seq("purchase_value"), forward = true)
+        .orderBy(col("event_id"))
+    },
+
     // ---- q208: point-in-interval range join ------------------------------
     // Each error opens a 30-minute incident window; count the clicks
     // falling inside each (half-open, no user key — the shape Spark would

@@ -119,4 +119,45 @@ class DifferentialSpec extends SparkSpec {
       .map(_._1).toSet
     assert(viaOp == manual)
   }
+
+  test("AS-OF join: union-merge window lowering == naive per-row scan " +
+      "over real events") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val viaOp = graft.ops.Temporal
+      .asofJoin(pur, clicks, "user_id", "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("matched_ts")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getTimestamp(1))).toMap
+    // naive: collect both sides, scan per purchase
+    val cs = clicks.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1))).groupBy(_._1)
+    val naive = pur.collect().map { r =>
+      val prior = cs.getOrElse(r.getLong(1), Array.empty)
+        .map(_._2).filter(!_.after(r.getTimestamp(2)))
+      r.getLong(0) -> (if (prior.isEmpty) null else prior.max)
+    }.toMap
+    assert(viaOp == naive)
+  }
+
+  test("range join: bucketed equi-join lowering == plain inequality join") {
+    val ev = Tables.events(spark, sf)
+    val win = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 45 MINUTES")).as("w_end"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts"))
+    val viaOp = graft.ops.Ranges
+      .pointInInterval(clk, win, "ts", "w_start", "w_end", 600L)
+      .select(col("win_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    val naive = clk.join(win,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select(col("win_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaOp == naive)
+  }
 }

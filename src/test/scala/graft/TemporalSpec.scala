@@ -66,6 +66,32 @@ class TemporalSpec extends SparkSpec {
     assert(row.getAs[Double]("price") == 7.0)
   }
 
+  test("forward direction picks the EARLIEST at-or-after row, ties included") {
+    val l = mkLeft((1, 100L, "a"), (1, 300L, "b"))
+    val r = mkRight((1, 100L, 1.0), (1, 200L, 2.0), (1, 250L, 3.0))
+    val out = Temporal.asofJoin(l, r, "k", "lt", "rt", Seq("price"),
+        forward = true)
+      .select(col("tag"), col("price")).collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getDouble(1)))
+      .toMap
+    // "a" at t=100 ties the t=100 row (included); "b" at t=300 has nothing
+    // after it → null
+    assert(out("a") == 1.0)
+    assert(out("b") == null)
+  }
+
+  test("forward tolerance bounds how far ahead the match may be") {
+    val l = mkLeft((1, 100L, "near"), (1, 500L, "far"))
+    val r = mkRight((1, 150L, 1.0), (1, 900L, 2.0))
+    val out = Temporal.asofJoin(l, r, "k", "lt", "rt", Seq("price"),
+        toleranceSec = Some(100L), forward = true)
+      .select(col("tag"), col("price")).collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getDouble(1)))
+      .toMap
+    assert(out("near") == 1.0) // 50s ahead, within 100s
+    assert(out("far") == null) // 400s ahead, beyond tolerance — nulled
+  }
+
   test("plan contract: union-merge lowers to ONE hash exchange and NO join") {
     val l = mkLeft((1, 100L, "a"))
     val r = mkRight((1, 50L, 1.0))
