@@ -818,6 +818,22 @@ object StdlibQueries {
           coalesce(expr("xpath_string(ph, '//phone[1]/@e164')"), lit(""))
             .as("first_e164"))
         .orderBy(col("id"))
+    },
+
+    // ---- fuzzy self-join: edit-distance pairing WITHOUT all-pairs --------
+    // Every customer-name pair within one edit, via the deletion-
+    // neighborhood signature join (FastSS) — the oracle is the naive
+    // quadratic inequality join, so the gate proves the signature is
+    // complete (a missed pair = a missing row).
+    QueryDef("q217_fuzzy_join",
+      """WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
+        |SELECT a.nm AS a, b.nm AS b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM n a JOIN n b ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      graft.ops.FuzzyJoin.editDistanceSelfJoin(
+          Tables.customer(s, dir), col("c_name"), radius = 1)
+        .orderBy(col("a"), col("b"))
     }
   )
 
