@@ -153,6 +153,33 @@ object Sorting {
       .drop("__rn")
   }
 
+  /** Grouped QUANTILE (TAKquantile on a GROUPED dataset — per-group
+    * boundary rows; `testing/regress/ecl/quantile1.ecl:46-58` shows the
+    * FIRST/LAST variants): for each group, the row at position
+    * ceil(q·count/n) for q = 1..n-1, plus the group's first row as
+    * quantile 0 under FIRST and its last row as quantile n under LAST.
+    * One hash shuffle on the group keys; the per-group window never
+    * funnels to a single partition (groups partition the work).
+    */
+  def quantileGrouped(df: DataFrame, n: Int, groupKeys: Seq[Column],
+      order: Seq[Column], first: Boolean = false,
+      last: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupKeys: _*).orderBy(order: _*)
+    val wc = Window.partitionBy(groupKeys: _*)
+    val lo = if (first) 0 else 1
+    val hi = if (last) n else n - 1
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__c", count(lit(1)).over(wc))
+      .withColumn("quantile", explode(sequence(lit(lo), lit(hi))))
+      .filter(
+        (col("quantile") === 0 && col("__rn") === 1) ||
+        (col("quantile") === n && col("__rn") === col("__c")) ||
+        (col("quantile") > 0 && col("quantile") < n &&
+          col("__rn") === ceil(col("quantile") * col("__c") / n)))
+      .drop("__rn", "__c")
+  }
+
   /** ds[n] — select the nth row (1-based) of the given order
     * (TAKselectn eclhelper.hpp:912).
     */

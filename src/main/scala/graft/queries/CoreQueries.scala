@@ -252,6 +252,32 @@ object CoreQueries {
         .orderBy(col("quantile"))
     },
 
+    // ---- grouped QUANTILE with FIRST/LAST (per-group boundary rows) ------
+    QueryDef("q218_quantile_grouped",
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |SELECT o_orderstatus, q.quantile, o_totalprice
+        |FROM ranked, (SELECT UNNEST(generate_series(0, 4)) AS quantile) q
+        |WHERE (q.quantile = 0 AND rn = 1)
+        |   OR (q.quantile = 4 AND rn = cnt)
+        |   OR (q.quantile > 0 AND q.quantile < 4
+        |       AND rn = CEIL(q.quantile * cnt / 4))
+        |ORDER BY o_orderstatus, q.quantile""".stripMargin) { (s, dir) =>
+      Sorting.quantileGrouped(
+          Tables.orders(s, dir)
+            .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+          4, Seq(col("o_orderstatus")),
+          Seq(col("o_totalprice"), col("o_orderkey")),
+          first = true, last = true)
+        .select(col("o_orderstatus"), col("quantile").cast("long").as("quantile"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("quantile"))
+    },
+
     // ---- ds[n]: select nth row (TAKselectn :912) -------------------------
     QueryDef("q11_selectnth",
       """SELECT p_partkey, p_name FROM (
