@@ -97,6 +97,35 @@ object Temporal {
     matched.select(leftCols.map(col) ++ matchedCols: _*)
   }
 
+  /** Regular-grid resampling with fill-forward — the time-series
+    * normalization every feature pipeline runs before windowed training
+    * (irregular events → one row per key per step, carrying the last
+    * observation forward). Composition: per-key span (one aggregate),
+    * grid explode (`sequence` — linear, no driver loop), then
+    * [[asofJoin]] against the original events. Grid ticks are
+    * min + i·step per key, so the first tick always has a match.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      payload: Seq[String],
+      stepSec: Long): DataFrame = {
+    val span = df.groupBy(col(key)).agg(
+      min(unix_micros(col(ts))).as("__lo"),
+      max(unix_micros(col(ts))).as("__hi"))
+    val stepUs = stepSec * 1000000L
+    val grid = span.select(col(key),
+        explode(sequence(lit(0L), floor((col("__hi") - col("__lo")) / stepUs)))
+          .as("__i"),
+        col("__lo"))
+      .select(col(key),
+        timestamp_micros(col("__lo") + col("__i") * stepUs).as("tick"))
+    asofJoin(grid, df.select((col(key) +: col(ts).as("__ev_ts") +:
+        payload.map(col)): _*),
+      key, "tick", "__ev_ts", payload)
+  }
+
   /** Staleness profile of an as-of join: per left-side `groupCol`, how old
     * the matched right row is (seconds), averaged — the data-freshness
     * report an event-time feature store publishes.

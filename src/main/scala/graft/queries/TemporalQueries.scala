@@ -119,6 +119,32 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     },
 
+    // ---- q219: regular-grid resample with fill-forward -------------------
+    // Each user's purchase history resampled onto a 7-day grid anchored at
+    // their first purchase, carrying the last purchase value forward — the
+    // irregular-events → fixed-step normalization before windowed feature
+    // extraction. Oracle: epoch-micros grid + native ASOF.
+    QueryDef("q219_resample_ffill",
+      """WITH pur AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |span AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM pur GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, make_timestamp(lo + i * 604800000000) AS tick
+        |  FROM span, UNNEST(range(0, CAST(FLOOR((hi - lo) / 604800000000.0) AS BIGINT) + 1)) AS t(i))
+        |SELECT grid.user_id, grid.tick,
+        |  pur.ts AS matched_ts, pur.value
+        |FROM grid ASOF LEFT JOIN pur
+        |  ON grid.user_id = pur.user_id AND grid.tick >= pur.ts
+        |ORDER BY grid.user_id, grid.tick""".stripMargin) { (s, dir) =>
+      val pur = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      Temporal.resampleFfill(pur, "user_id", "ts", Seq("value"), 604800L)
+        .orderBy(col("user_id"), col("tick"))
+    },
+
     // ---- q208: point-in-interval range join ------------------------------
     // Each error opens a 30-minute incident window; count the clicks
     // falling inside each (half-open, no user key — the shape Spark would
