@@ -97,6 +97,125 @@ object Temporal {
     matched.select(leftCols.map(col) ++ matchedCols: _*)
   }
 
+  /** [[asofJoin]] for SKEWED key domains — the variant that survives one
+    * monster key. The window lowering puts each key in ONE task; fine
+    * when keys are numerous (users, instruments), a straggler when one
+    * key holds half the data. Here the merged stream range-partitions on
+    * (key, ts, side) — a single key SPANS partitions — and the carry
+    * crosses partition boundaries by a two-pass handoff, the same
+    * per-partition-summary + broadcast-prefix discipline as
+    * [[Positions.withGlobalPosition]]:
+    *
+    *  pass 1: per partition, the last right payload per key (≤ #keys-in-
+    *          partition rows; with the few-huge-keys workload this serves,
+    *          #partitions × #keys is driver-bounded);
+    *  pass 2: re-stream each partition seeded with the latest payload any
+    *          EARLIER partition holds for each key.
+    *
+    * Same semantics as [[asofJoin]] (backward, tie-inclusive, left-outer,
+    * tolerance) — DifferentialSpec pins the two lowerings to each other.
+    */
+  def asofJoinRanged(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceSec: Option[Long] = None,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = left.sparkSession
+    val leftCols = left.columns.toSeq
+    val rTagged = right.select(
+      Seq(col(key), col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
+        struct(col(rightTs).as("__m_ts") +: payload.map(col): _*).as("__asof_p")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(key), col(leftTs).as("__asof_ts"), lit(1).as("__asof_side"),
+        lit(null).cast(rTagged.schema("__asof_p").dataType).as("__asof_p")) ++
+        leftCols.filterNot(_ == key).map(col): _*)
+    val merged = rTagged.unionByName(lTagged)
+    val np = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ordered = merged
+      .repartitionByRange(np, col(key), col("__asof_ts"), col("__asof_side"))
+      .sortWithinPartitions(col(key), col("__asof_ts"), col("__asof_side"))
+      .persist()
+    val schema = ordered.schema
+    val kIdx = schema.fieldIndex(key)
+    val tsIdx = schema.fieldIndex("__asof_ts")
+    val sideIdx = schema.fieldIndex("__asof_side")
+    val pIdx = schema.fieldIndex("__asof_p")
+
+    // pass 1: (partitionId, key, last right payload) — driver-bounded by
+    // #partitions × #distinct-keys-per-partition
+    val bounds = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val lastPerKey = scala.collection.mutable.LinkedHashMap.empty[Any, Row]
+      it.foreach { r =>
+        if (r.getInt(sideIdx) == 0) lastPerKey(r.get(kIdx)) = r.getStruct(pIdx)
+      }
+      lastPerKey.iterator.map { case (k, p) => (pid, k, p) }
+    }.collect()
+    // carry entering partition p for key k = payload from the LARGEST
+    // earlier partition holding k (partition ranges follow the sort order,
+    // so larger pid = later (key, ts) range)
+    val entering: Map[(Int, Any), Row] = {
+      val byKey = bounds.groupBy(_._2)
+      (for {
+        (k, rows) <- byKey.iterator
+        sorted = rows.sortBy(_._1)
+        p <- 0 until np
+        prior = sorted.filter(_._1 < p)
+        if prior.nonEmpty
+      } yield (p, k) -> prior.last._3).toMap
+    }
+    val enteringB = spark.sparkContext.broadcast(entering)
+
+    val leftFieldIdx = leftCols.map { c =>
+      if (c == key) kIdx
+      else if (c == leftTs) tsIdx
+      else schema.fieldIndex(c)
+    }
+    val pStruct = schema("__asof_p").dataType.asInstanceOf[StructType]
+    val tolUs = toleranceSec.map(_ * 1000000L)
+    val outRows = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val carry = scala.collection.mutable.HashMap.empty[Any, Row]
+      enteringB.value.foreach { case ((p, k), row) =>
+        if (p == pid) carry(k) = row
+      }
+      it.flatMap { r =>
+        if (r.getInt(sideIdx) == 0) {
+          carry(r.get(kIdx)) = r.getStruct(pIdx); Iterator.empty
+        } else {
+          def us(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val m = carry.get(r.get(kIdx)).filter { pr =>
+            tolUs.forall(t =>
+              us(r.getAs[java.sql.Timestamp](tsIdx)) -
+                us(pr.getAs[java.sql.Timestamp](0)) <= t)
+          }
+          val matched: Seq[Any] = m match {
+            case Some(pr) => pr.toSeq
+            case None => Seq.fill(pStruct.length)(null)
+          }
+          Iterator(Row.fromSeq(leftFieldIdx.map(r.get) ++ matched))
+        }
+      }
+    }
+    val outSchema = StructType(
+      leftCols.map(c => schema(if (c == leftTs) "__asof_ts" else c)
+        .copy(name = c)) ++
+        (StructField("matched_ts", pStruct(0).dataType) +:
+          payload.map(f => pStruct(pStruct.fieldIndex(f))))
+          .map(_.copy(nullable = true)))
+    // `ordered` stays persisted: pass 1 already materialized it and pass 2
+    // re-reads the cached blocks (or the shuffle files) instead of
+    // re-shuffling the union
+    spark.createDataFrame(outRows, outSchema)
+  }
+
   /** Regular-grid resampling with fill-forward — the time-series
     * normalization every feature pipeline runs before windowed training
     * (irregular events → one row per key per step, carrying the last

@@ -143,6 +143,53 @@ class DifferentialSpec extends SparkSpec {
     assert(viaOp == naive)
   }
 
+  test("AS-OF ranged (skew-safe two-pass) == window lowering on real events") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("matched_ts"), col("value")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getTimestamp(1),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val win = norm(graft.ops.Temporal
+      .asofJoin(pur, clicks, "user_id", "ts", "ts", Seq("value")))
+    val ranged = norm(graft.ops.Temporal
+      .asofJoinRanged(pur, clicks, "user_id", "ts", "ts", Seq("value"),
+        numPartitions = 7))
+    assert(ranged == win)
+  }
+
+  test("AS-OF ranged: ONE monster key spanning every partition still " +
+      "matches the window lowering (the skew case the variant exists for)") {
+    import spark.implicits._
+    val n = 20000
+    val right = spark.range(n).select(lit(1L).as("k"),
+      timestamp_seconds(col("id") * 10).as("ts"),
+      (col("id") * 2).as("v"))
+    val left = spark.range(n / 2).select(lit(1L).as("k"),
+      timestamp_seconds(col("id") * 20 + 5).as("ts"),
+      col("id").as("lid"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lid"), col("v")).as[(Long, Option[Long])].collect().toSet
+    val win = norm(graft.ops.Temporal
+      .asofJoin(left, right, "k", "ts", "ts", Seq("v")))
+    val ranged = norm(graft.ops.Temporal
+      .asofJoinRanged(left, right, "k", "ts", "ts", Seq("v"),
+        numPartitions = 16))
+    assert(ranged == win)
+    // tolerance parity on the same skewed layout
+    val winT = norm(graft.ops.Temporal
+      .asofJoin(left, right, "k", "ts", "ts", Seq("v"),
+        toleranceSec = Some(4L)))
+    val rangedT = norm(graft.ops.Temporal
+      .asofJoinRanged(left, right, "k", "ts", "ts", Seq("v"),
+        toleranceSec = Some(4L), numPartitions = 16))
+    assert(rangedT == winT)
+  }
+
   test("range join: bucketed equi-join lowering == plain inequality join") {
     val ev = Tables.events(spark, sf)
     val win = ev.filter(col("event_type") === "error")
