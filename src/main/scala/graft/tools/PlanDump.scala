@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    // sf0.01 minimum: q174's pinned rollup summary asserts >= 1500
+    // customer keys (c736d40's ADVICE guard) and fails fast below that
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -89,7 +91,13 @@ object PlanDump {
       "q205_asof_join" ->
         "AS-OF join: union-merge lowering — ONE hash exchange + window carry over |L|+|R| rows, NO join operator, no range probe",
       "q208_range_join" ->
-        "range join: interval explode to spanned buckets + EQUI-join on bucket id (exact predicate residual) — never a BroadcastNestedLoopJoin")
+        "range join: interval explode to spanned buckets + EQUI-join on bucket id (exact predicate residual) — never a BroadcastNestedLoopJoin",
+      "q213_heavy_hitters" ->
+        "exact heavy hitters: per-partition SpaceSaving candidates (bounded state), broadcast-semi recount — the full key domain never shuffles",
+      "q215_semdedup" ->
+        "SemDeDup: broadcast IVF assignment (zero shuffle), ONE cell-id hash shuffle for the within-cell pair join, decimal-exact refine",
+      "q217_fuzzy_join" ->
+        "fuzzy join: deletion-variant explode + equi-join on the signature — no BNLJ despite the edit-distance predicate")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")
