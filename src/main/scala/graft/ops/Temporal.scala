@@ -245,6 +245,33 @@ object Temporal {
       key, "tick", "__ev_ts", payload)
   }
 
+  /** Slowly-changing-dimension type-2 history build: collapse a per-key
+    * observation stream into validity intervals — one row per run of
+    * unchanged `attrs`, with `effective_from` = first observation of the
+    * run and `effective_to` = start of the next run (null while
+    * current). The warehouse counterpart of [[DedupRollup]]'s
+    * DEDUP-adjacent (`dedup(ds, field, RIGHT)` keeps run starts; the
+    * interval endpoints need the NEXT run's start, hence the second
+    * window pass). One hash shuffle on the key; both windows reuse the
+    * same (key, ts) sort.
+    */
+  def scdType2(
+      df: DataFrame,
+      key: String,
+      ts: String,
+      attrs: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val attrStruct = struct(attrs.map(col): _*)
+    val changes = df
+      .withColumn("__prev", lag(attrStruct, 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= attrStruct)
+      .drop("__prev")
+    changes
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .drop(ts)
+  }
+
   /** Staleness profile of an as-of join: per left-side `groupCol`, how old
     * the matched right row is (seconds), averaged — the data-freshness
     * report an event-time feature store publishes.

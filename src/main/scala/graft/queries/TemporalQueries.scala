@@ -145,6 +145,31 @@ object TemporalQueries {
         .orderBy(col("user_id"), col("tick"))
     },
 
+    // ---- q220: SCD type-2 history build ----------------------------------
+    // Each user's event-type stream collapsed to validity intervals: one
+    // row per run of unchanged type, effective_to = next run's start
+    // (null while current) — the dimension-history shape every warehouse
+    // maintains.
+    QueryDef("q220_scd2_history",
+      """WITH obs AS (
+        |  SELECT user_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type, ts AS effective_from
+        |  FROM obs WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, effective_from,
+        |  LEAD(effective_from) OVER (PARTITION BY user_id
+        |    ORDER BY effective_from) AS effective_to
+        |FROM runs ORDER BY user_id, effective_from""".stripMargin) { (s, dir) =>
+      Temporal.scdType2(
+          Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type")),
+          "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type"), col("effective_from"),
+          col("effective_to"))
+        .orderBy(col("user_id"), col("effective_from"))
+    },
+
     // ---- q208: point-in-interval range join ------------------------------
     // Each error opens a 30-minute incident window; count the clicks
     // falling inside each (half-open, no user key — the shape Spark would
