@@ -188,6 +188,35 @@ object Streams {
     }
   }
 
+  /** Streaming AS-OF enrichment (stream-static): every event picks up the
+    * most recent at-or-before row of a SLOWLY-CHANGING dimension history —
+    * the feature-at-event-time lookup an unbounded feed needs (the batch
+    * counterpart is [[graft.ops.Temporal.asofJoin]]; StreamingSpec pins
+    * the two to each other). Lowering: the history collapses to ONE row
+    * per key holding its time-sorted (ts, payload) array — dimension-
+    * sized, broadcast into the stream — and the per-event match is a
+    * codegen'd array filter + element_at(-1): STATELESS, so it needs no
+    * watermark, survives restart trivially, and adds zero stream-side
+    * shuffles. History arrays are per-key change logs (SCD-2-sized), not
+    * fact-sized — the same contract as any broadcast dimension.
+    */
+  def asofEnrich(events: DataFrame, history: DataFrame, key: String,
+      eventTs: String, histTs: String, payload: Seq[String]): DataFrame = {
+    val packed = history
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(
+        struct(col(histTs).as("__h_ts") +: payload.map(col): _*)))
+        .as("__hist"))
+    val joined = events.join(broadcast(packed), Seq(key), "left_outer")
+    val matches = expr(s"filter(__hist, h -> h.__h_ts <= $eventTs)")
+    // guard the element_at: no history for the key (null) or no row at-or-
+    // before the event (empty) → null match, ANSI-safe
+    val m = when(size(matches) > 0, element_at(matches, size(matches)))
+    val matchedCols = m.getField("__h_ts").as("matched_ts") +:
+      payload.map(f => m.getField(f).as(f))
+    joined.select(events.columns.map(col) ++ matchedCols: _*)
+  }
+
   /** Streaming DEDUP (§2.7 → §2.12): exactly-once delivery of the first
     * event per key. `dropDuplicatesWithinWatermark` evicts a key's state
     * once the watermark passes it, so state is bounded by the watermark

@@ -304,6 +304,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == expected)
   }
 
+  test("streaming AS-OF enrichment: stream-static == batch asofJoin") {
+    val batch = Tables.events(spark, sf)
+    val history = batch.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value").as("click_value"))
+    val purBatch = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val expected = graft.ops.Temporal
+      .asofJoin(purBatch, history, "user_id", "ts", "ts", Seq("click_value"))
+      .select(col("event_id"), col("matched_ts"), col("click_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+
+    val purStream = Streams.eventsStream(spark, sf, streamDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = Streams.asofEnrich(purStream, history, "user_id", "ts", "ts",
+        Seq("click_value"))
+      .writeStream.format("memory").queryName("asof_enrich_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("asof_enrich_test")
+      .select(col("event_id"), col("matched_ts"), col("click_value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getTimestamp(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(got == expected)
+    // stateless: the enrichment plan must carry NO stateful operator
+    // (no watermark needed, restart is trivially exactly-once)
+    assert(!q.lastProgress.stateOperators.iterator.hasNext ||
+      q.lastProgress.stateOperators.isEmpty)
+  }
+
   test("fixture guard: normalizeEventTs handles long-nanos AND timestamp") {
     import org.apache.spark.sql.types._
     // long-nanos shape (pre-regeneration testdata): converts to micros ts
