@@ -36,6 +36,38 @@ object ShapeQueries {
         .orderBy(col("o_orderkey"), col("tag"))
     },
 
+    // ---- child-dataset AGGREGATE without explode (§2.10 superset): ECL
+    // computes over a child DATASET inline (COUNT(child)/SUM(child.x) per
+    // parent row, eclhelper child iterators); the Spark lowering keeps the
+    // child NESTED and folds it with higher-order functions — aggregate()/
+    // filter()/size() run inside whole-stage codegen, zero extra shuffle
+    // beyond building the nested rows, no explode → re-group round trip.
+    // Oracle: the flat GROUP BY equivalent.
+    QueryDef("q221_child_aggregate",
+      """SELECT l_orderkey AS o_orderkey,
+        |  CAST(COUNT(*) AS INTEGER) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS INTEGER)
+        |    AS n_returned
+        |FROM lineitem WHERE l_orderkey <= 2000
+        |GROUP BY l_orderkey ORDER BY o_orderkey""".stripMargin) {
+      (s, dir) =>
+      val nested = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(collect_list(struct(col("l_quantity"), col("l_returnflag")))
+          .as("lines"))
+      nested.select(col("o_orderkey"),
+          size(col("lines")).as("n_lines"),
+          expr("CAST(aggregate(lines, CAST(0 AS DECIMAL(25,6)), " +
+            "(acc, x) -> CAST(acc + CAST(x.l_quantity AS DECIMAL(25,6)) " +
+            "AS DECIMAL(25,6))) AS DOUBLE)")
+            .as("sum_qty"),
+          size(expr("filter(lines, x -> x.l_returnflag = 'R')"))
+            .as("n_returned"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ---- FUNNEL + MERGE(SORTED, DEDUP) (TAKfunnel :903 / TAKmerge :937).
     // DEDUP collapses rows equal under the MERGE KEY (not whole rows): the
     // two inputs carry DIFFERENT payloads for overlapping keys, and the
