@@ -368,6 +368,66 @@ object Embeddings {
       element_at(typedLit(centroids.map(_._1)), idx).as("cell"))
   }
 
+  /** [[ivfAssign]] through a TWO-LEVEL quantizer — the >10M-vector path
+    * the flat argmax's N·C dot cost demands (q98b scaladoc). Centroids
+    * group under ⌈√C⌉ super-centroids (driver-side spherical Lloyd over
+    * the C points — trivially small); each row takes the argmax over the
+    * supers, then the argmax over ONLY that super's children, lazily via
+    * a CASE branch per super — Catalyst evaluates one branch per row, so
+    * the per-row cost is √C + C/√C dots instead of C. The assignment is
+    * approximate exactly the way IVF search is (nearest super need not
+    * contain the globally-nearest centroid): it re-scopes WHICH cell a
+    * vector lands in — a recall knob — never the exactness of any
+    * downstream comparison. Ties and ordering stay deterministic (first
+    * max wins at both levels).
+    */
+  def ivfAssignHierarchical(df: DataFrame, id: Column, vec: Column,
+      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head._2.length
+    val s = math.max(1, math.ceil(math.sqrt(centroids.size)).toInt)
+    // driver-side spherical Lloyd over the C centroid points
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    var supers: Seq[Array[Double]] =
+      centroids.sortBy(_._1).take(s).map(c => unit(c._2))
+    var groups: Map[Int, Seq[(Int, Array[Double])]] = Map.empty
+    (0 until 3).foreach { _ =>
+      groups = centroids.groupBy { case (_, cv) =>
+        supers.zipWithIndex.maxBy { case (sv, i) =>
+          sv.zip(cv).map { case (a, b) => a * b }.sum - i * 1e-12 // first-max tie
+        }._2
+      }.map { case (k, v) => k -> v.toSeq }
+      supers = supers.indices.map { i =>
+        groups.get(i) match {
+          case Some(members) =>
+            unit(members.map(_._2).transpose.map(_.sum / members.size).toArray)
+          case None => supers(i)
+        }
+      }
+    }
+    def dotsOf(cents: Seq[Array[Double]]): Column = array(cents.map(cv =>
+      decimalArraySum(zip_with(vec, typedLit(cv.toSeq),
+        (v, c) => coalesce(v.cast("double") * c, lit(0.0)))).cast("double")): _*)
+    val sArr = dotsOf(supers)
+    val sIdx = array_position(sArr, array_max(sArr)).cast("int")
+    // one lazily-evaluated branch per super: only the winning super's
+    // child dots are computed for a given row
+    val branches = supers.indices.map { i =>
+      val members = groups.getOrElse(i, centroids.take(1))
+      val cArr = dotsOf(members.map(_._2))
+      val cIdx = array_position(cArr, array_max(cArr)).cast("int")
+      (i, element_at(typedLit(members.map(_._1)), cIdx))
+    }
+    val cell = branches.tail.foldLeft(
+      when(sIdx === (branches.head._1 + 1), branches.head._2)) {
+      case (acc, (i, e)) => acc.when(sIdx === (i + 1), e)
+    }
+    df.select(id.as("vec_id"), cell.as("cell"))
+  }
+
   /** Deterministic, RNG-free trainer init — the k-means‖ oversampling
     * stand-in: the `c` corpus vectors with the smallest
     * `md5(vec_id)` (content-addressed pseudo-random spread, same idea as

@@ -161,6 +161,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 0))
   }
 
+  test("ivfAssignHierarchical: total, deterministic, and agrees with the " +
+      "flat argmax on well-separated cells") {
+    // 9 centroids in 3 well-separated direction families → 3 supers; a
+    // vector near any family member must land on the same cell as flat
+    // assignment (hierarchy only risks disagreement near super borders)
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.95, 0.05, 0.0, 0.0), Array(0.9, 0.0, 0.1, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0), Array(0.05, 0.95, 0.0, 0.0), Array(0.0, 0.9, 0.1, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.05, 0.95, 0.0), Array(0.1, 0.0, 0.9, 0.0))
+    val cents = dirs.zipWithIndex.map { case (d, i) => i -> d }
+    val vecs = (0 until 90).map { i =>
+      val d = dirs(i % 9)
+      (i.toLong, d.map(x => (x * 0.98 + 0.005).toFloat))
+    }.toDF("vec_id", "embedding")
+    val flat = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hier = Embeddings.ivfAssignHierarchical(
+        vecs, col("vec_id"), col("embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // totality + determinism
+    assert(hier.size == 90 && hier.values.forall(c => c >= 0 && c < 9))
+    val hier2 = Embeddings.ivfAssignHierarchical(
+        vecs, col("vec_id"), col("embedding"), cents)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(hier == hier2)
+    // far from super borders, the two-level argmax equals the flat one
+    assert(hier == flat, s"diverged: ${hier.toSet.diff(flat.toSet)}")
+  }
+
   test("ivfTrain: deterministic, converging, dead cells keep centroids") {
     // two tight clusters around (1,0,..) and (0,1,..) plus a far-out init
     // exemplar that captures nothing after round 1
