@@ -423,6 +423,40 @@ class PlanAuditSpec extends SparkSpec {
       s"fact scanned more than once:\n$plan")
   }
 
+  test("runtime bloom-filter join pruning: a selective dim side injects a " +
+      "might_contain filter on the fact scan (jhtree bloom.hpp analog)") {
+    // the reference attaches bloom filters to index keys
+    // (system/jhtree/bloom.hpp:33) so keyed joins skip non-matching leaf
+    // reads; Spark's runtime bloom filter is the same idea applied at the
+    // join: the filtered dim side's keys build a bloom consumed by the
+    // fact scan BEFORE the shuffle
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      // the test fixture is small: drop the "app side must be huge" gate so
+      // the injection rule fires at sf0.001 (at real scale the default
+      // 10GB threshold is exactly right)
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.part(spark, sf).filter(col("p_size") === 10)
+        .select(col("p_partkey"))
+      val fact = Tables.lineitem(spark, sf)
+        .select(col("l_partkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_quantity")))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("TPC-H Q19 shape (q204): disjunctive brackets stay ONE broadcast " +
       "join over ONE fact scan — no union of per-bracket scans") {
     val df = graft.SparkEntry.queries("q204_bracket_revenue")(spark, sf)
