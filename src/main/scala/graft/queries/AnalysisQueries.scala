@@ -165,6 +165,41 @@ object AnalysisQueries {
         .select(col("attribute"), col("d_1"), col("d_2"), col("d_3"),
           col("d_9"), col("chi_squared"), col("num_values"))
         .orderBy("attribute")
+    },
+
+    // ---- dataset quality contracts (batch ASSERT; expectations report) ---
+    // Every predicate rule folds into ONE conditional-count aggregate over
+    // ONE fact scan; uniqueness is one keyed aggregate; referential
+    // integrity is one broadcast anti join. The report is rule-sized.
+    QueryDef("q222_validate",
+      """SELECT 'in_range:l_discount' AS rule,
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE NOT (l_discount >= 0.0 AND l_discount <= 0.07)) AS BIGINT)
+        |  AS n_violations
+        |UNION ALL
+        |SELECT 'not_null:l_orderkey',
+        |  CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'positive_extended_price',
+        |  CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_extendedprice > 0)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'ref:l_orderkey->o_orderkey',
+        |  CAST((SELECT COUNT(*) FROM lineitem
+        |        WHERE l_orderkey IS NOT NULL
+        |          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+        |UNION ALL
+        |SELECT 'unique:l_orderkey,l_linenumber',
+        |  CAST((SELECT COUNT(*) FROM lineitem) -
+        |       (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+        |                              FROM lineitem)) AS BIGINT)
+        |ORDER BY rule""".stripMargin) { (s, dir) =>
+      import graft.analysis.Validate
+      Validate.report(Tables.lineitem(s, dir), Seq(
+          Validate.inRange("l_discount", 0.0, 0.07),
+          Validate.notNull("l_orderkey"),
+          Validate.satisfies("positive_extended_price", col("l_extendedprice") > 0),
+          Validate.refIntegrity("l_orderkey", Tables.orders(s, dir), "o_orderkey"),
+          Validate.unique("l_orderkey", "l_linenumber")))
     }
   )
 }

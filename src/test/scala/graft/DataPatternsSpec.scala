@@ -11,6 +11,31 @@ import org.apache.spark.sql.Row
 class DataPatternsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Validate.report: null FKs are not RI violations; unique counts " +
+      "rows beyond the first per key; predicate nulls count as ok") {
+    import graft.analysis.Validate
+    val dim = Seq(1, 2).toDF("id")
+    val df = Seq(
+      (Some(1), Some(5.0)), (Some(1), None), (Some(9), Some(20.0)),
+      (None, Some(5.0)), (Some(2), Some(5.0)), (Some(1), Some(5.0))
+    ).toDF("fk", "v")
+    val got = Validate.report(df, Seq(
+        Validate.notNull("fk"),
+        Validate.inRange("v", 0.0, 10.0),
+        Validate.unique("fk"),
+        Validate.refIntegrity("fk", dim, "id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("not_null:fk") == 1)     // one null fk row
+    // v=20 violates; the NULL v row does NOT count (predicate null ≠ false
+    // violation — same semantics as SQL WHERE NOT(...))
+    assert(got("in_range:v") == 1)
+    // fk=1 appears 3× (2 extra); others unique → 2
+    assert(got("unique:fk") == 2)
+    // fk=9 misses the dim; the null fk is excluded from RI by contract
+    assert(got("ref:fk->id") == 1)
+  }
+  import spark.implicits._
+
   private lazy val df = Seq(
     (1, "Alpha", "red", 10.0, true),
     (2, "Beta9", "red", 20.0, false),
