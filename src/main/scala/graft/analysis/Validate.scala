@@ -47,10 +47,12 @@ object Validate {
         count(when(!preds.head.ok, 1)).as("n0"),
         preds.tail.zipWithIndex.map { case (p, i) =>
           count(when(!p.ok, 1)).as(s"n${i + 1}") }: _*)
-        .selectExpr(s"stack(${preds.size}, " +
-          preds.zipWithIndex.map { case (p, i) =>
-            s"'${p.name.replace("'", "''")}', n$i"
-          }.mkString(", ") + ") as (rule, n_violations)"))
+        // Typed unpivot (array-of-structs + inline) rather than a
+        // selectExpr/stack string: rule names are data, not SQL, so no
+        // quoting rules apply and any name round-trips verbatim.
+        .select(inline(array(preds.zipWithIndex.map { case (p, i) =>
+          struct(lit(p.name).as("rule"), col(s"n$i").as("n_violations"))
+        }: _*))))
     val others = rules.collect {
       case Unique(name, keys) =>
         df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))

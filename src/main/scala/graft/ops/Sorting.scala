@@ -169,9 +169,14 @@ object Sorting {
     val wc = Window.partitionBy(groupKeys: _*)
     val lo = if (first) 0 else 1
     val hi = if (last) n else n - 1
+    // Degenerate n=1 without FIRST/LAST has no interior boundaries:
+    // sequence(1, 0) would yield the DESCENDING array [1, 0] in Spark,
+    // emitting spurious rows — explode an empty array instead.
+    val qs = if (lo > hi) typedLit(Seq.empty[Int])
+             else sequence(lit(lo), lit(hi))
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__c", count(lit(1)).over(wc))
-      .withColumn("quantile", explode(sequence(lit(lo), lit(hi))))
+      .withColumn("quantile", explode(qs))
       .filter(
         (col("quantile") === 0 && col("__rn") === 1) ||
         (col("quantile") === n && col("__rn") === col("__c")) ||

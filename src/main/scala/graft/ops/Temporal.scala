@@ -32,6 +32,24 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Internal column names the as-of lowerings stage on the merged
+    * stream; a left input carrying any of them would collide after the
+    * union, and `matched_ts`/payload names collide in the final select.
+    */
+  private val AsofReserved =
+    Set("__asof_p", "__asof_ts", "__asof_side", "__asof_m", "__asof_ok")
+
+  private def checkAsofColumns(leftCols: Seq[String],
+      payload: Seq[String]): Unit = {
+    val reserved = leftCols.filter(AsofReserved)
+    require(reserved.isEmpty,
+      s"left input carries reserved as-of columns: ${reserved.mkString(", ")}")
+    val clash = leftCols.filter(c => c == "matched_ts" || payload.contains(c))
+    require(clash.isEmpty,
+      "left columns collide with as-of output columns (matched_ts / " +
+        s"payload): ${clash.mkString(", ")} — rename before joining")
+  }
+
   /** Left as-of join (backward): every left row survives; `payload`
     * columns from `right` arrive nulled when no right row is at-or-before
     * the left timestamp (or none within `tolerance`).
@@ -56,8 +74,7 @@ object Temporal {
       toleranceSec: Option[Long] = None,
       forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("__asof_p"),
-      "left input already carries the reserved __asof_p column")
+    checkAsofColumns(leftCols, payload)
     // right side: key + event time + payload rolled into one struct so the
     // window carries a single column regardless of payload width
     val rTagged = right.select(
@@ -128,6 +145,7 @@ object Temporal {
     import org.apache.spark.sql.types._
     val spark = left.sparkSession
     val leftCols = left.columns.toSeq
+    checkAsofColumns(leftCols, payload)
     val rTagged = right.select(
       Seq(col(key), col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
         struct(col(rightTs).as("__m_ts") +: payload.map(col): _*).as("__asof_p")) ++

@@ -22,27 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  private val Bits = 16 // per-column resolution: 16 bits × up to 4 columns
-
-  /** Map a numeric column onto the 0..65535 grid given its global min/max
-    * (half-ulp clamp keeps max inside the top bucket).
+  /** Per-column resolution: 16 bits, narrowed so the interleaved value
+    * never reaches bit 63 — the long SIGN bit. With 4 columns a 16-bit
+    * grid would land column 3's top bit at position 63, flipping z-values
+    * negative for half of that dimension and inverting the curve's
+    * top-level split under the signed range sort. 63/k bits keeps the
+    * whole word non-negative (k=4 → 15 bits/column, still 32k buckets).
     */
-  private def gridded(c: Column, mn: Double, mx: Double): Column = {
+  private def bitsFor(k: Int): Int = math.min(16, 63 / k)
+
+  /** Map a numeric column onto the 0..2^bits-1 grid given its global
+    * min/max (half-ulp clamp keeps max inside the top bucket).
+    */
+  private def gridded(c: Column, mn: Double, mx: Double, bits: Int): Column = {
     val span = if (mx > mn) mx - mn else 1.0
     least(greatest(
-      floor((c.cast("double") - lit(mn)) / lit(span) * lit((1 << Bits) - 1)),
-      lit(0L)), lit(((1 << Bits) - 1).toLong))
+      floor((c.cast("double") - lit(mn)) / lit(span) * lit((1 << bits) - 1)),
+      lit(0L)), lit(((1 << bits) - 1).toLong))
   }
 
   /** Bit-interleave k gridded columns (k ≤ 4): bit b of column i lands at
     * position b*k + i. Pure shift/mask expression tree — codegen'd.
+    * Total width ≤ 63 bits (see [[bitsFor]]) so the result is always
+    * non-negative and the signed range sort matches curve order.
     */
   def interleave(gridCols: Seq[Column]): Column = {
     require(gridCols.nonEmpty && gridCols.size <= 4,
       s"1..4 z-order columns supported, got ${gridCols.size}")
     val k = gridCols.size
     val terms = for {
-      b <- 0 until Bits
+      b <- 0 until bitsFor(k)
       (c, i) <- gridCols.zipWithIndex
     } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * k + i)
     terms.reduce(_.bitwiseOR(_))
@@ -57,7 +66,8 @@ object ZOrder {
       keys.flatMap(k => Seq(min(col(k).cast("double")).as(s"mn_$k"),
         max(col(k).cast("double")).as(s"mx_$k"))): _*).collect().head
     val grids = keys.zipWithIndex.map { case (k, i) =>
-      gridded(col(k), stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      gridded(col(k), stats.getDouble(2 * i), stats.getDouble(2 * i + 1),
+        bitsFor(keys.size))
     }
     val z = df.withColumn("__zv", interleave(grids))
     val ranged = if (numPartitions > 0)

@@ -37,12 +37,15 @@ final class Incremental(
 
   Files.createDirectories(Paths.get(stateDir))
 
-  private def versions: Seq[Int] =
-    Files.list(Paths.get(stateDir)).iterator.asScala
+  private def versions: Seq[Int] = {
+    val stream = Files.list(Paths.get(stateDir))
+    try stream.iterator.asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("manifest_v") =>
         s.stripPrefix("manifest_v").stripSuffix(".txt").toInt }
       .toSeq.sorted
+    finally stream.close() // directory stream holds an fd until closed
+  }
 
   /** Part paths already folded into the current state. */
   def consumed: Set[String] = versions.lastOption match {
@@ -64,7 +67,11 @@ final class Incremental(
   def refresh(parts: Seq[String]): (DataFrame, Seq[String]) = {
     val seen = consumed
     val fresh = parts.filterNot(seen)
-    if (fresh.isEmpty) return (state.get, Nil)
+    if (fresh.isEmpty) return (state.getOrElse(throw new IllegalStateException(
+      s"Incremental state at $stateDir has no prior version and refresh() " +
+        "was given no unseen parts — the aggregate schema (key/value types " +
+        "come from the data) is unknowable; pass at least one part on the " +
+        "first refresh")), Nil)
     val delta = applyAggs(spark.read.parquet(fresh: _*))
     val merged = state match {
       case Some(prev) => mergeAggs(prev.unionByName(delta))

@@ -34,6 +34,18 @@ class DataPatternsSpec extends SparkSpec {
     // fk=9 misses the dim; the null fk is excluded from RI by contract
     assert(got("ref:fk->id") == 1)
   }
+
+  test("Validate.report: rule names with quotes round-trip verbatim " +
+      "(typed unpivot, no SQL string quoting)") {
+    import graft.analysis.Validate
+    import org.apache.spark.sql.functions.col
+    val df = Seq(1, 2, 3).toDF("v")
+    val name = "it's o'clock \"quoted\" rule"
+    val got = Validate.report(df,
+        Seq(Validate.satisfies(name, col("v") < 3)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got(name) == 1) // v=3 violates; the name survives untouched
+  }
   import spark.implicits._
 
   private lazy val df = Seq(

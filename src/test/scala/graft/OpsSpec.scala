@@ -67,6 +67,19 @@ class OpsSpec extends SparkSpec {
     assert(q == Set((1, 25), (2, 50), (3, 75)))
   }
 
+  test("quantileGrouped n=1 without FIRST/LAST emits no rows (no interior " +
+      "boundaries; sequence(1,0) would be the descending [1,0] trap)") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x")
+    assert(Sorting.quantileGrouped(df, 1, Seq(col("g")), Seq(col("x")))
+      .count() == 0)
+    // but FIRST/LAST still yield the endpoints under n=1
+    val fl = Sorting.quantileGrouped(df, 1, Seq(col("g")), Seq(col("x")),
+        first = true, last = true)
+      .select(col("g"), col("quantile"), col("x")).as[(String, Int, Int)]
+      .collect().toSet
+    assert(fl == Set(("a", 0, 1), ("a", 1, 2), ("b", 0, 3), ("b", 1, 3)))
+  }
+
   test("dedupAdjacent removes only adjacent duplicates (order matters)") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("pos", "k")
     val out = DedupRollup.dedupAdjacent(df, Seq(col("k")), Seq(col("pos")))

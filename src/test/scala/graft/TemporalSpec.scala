@@ -103,6 +103,29 @@ class TemporalSpec extends SparkSpec {
     assert(plan.contains("Window"), s"carry must be a window:\n$plan")
   }
 
+  test("reserved internal columns and output-name collisions on the left " +
+      "input are rejected up front") {
+    val r = mkRight((1, 50L, 1.0))
+    // any staged internal name, not just __asof_p
+    val resv = mkLeft((1, 100L, "a")).withColumn("__asof_side", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(resv, r, "k", "lt", "rt", Seq("price"))
+    }
+    assert(e1.getMessage.contains("__asof_side"))
+    // a left column named like the matched-ts output
+    val mts = mkLeft((1, 100L, "a")).withColumn("matched_ts", lit(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(mts, r, "k", "lt", "rt", Seq("price"))
+    }
+    assert(e2.getMessage.contains("matched_ts"))
+    // a left column shadowing a payload name
+    val pay = mkLeft((1, 100L, "a")).withColumn("price", lit(9.9))
+    val e3 = intercept[IllegalArgumentException] {
+      Temporal.asofJoinRanged(pay, r, "k", "lt", "rt", Seq("price"))
+    }
+    assert(e3.getMessage.contains("price"))
+  }
+
   test("q205 lowering on real events: single window pass, no join operator") {
     val df = SparkEntry.queries("q205_asof_join")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

@@ -579,4 +579,14 @@ class WorkflowSpec extends SparkSpec {
         r.getDouble(3), r.getDouble(4)))
     assert(got.toSeq == full.toSeq)
   }
+
+  test("incremental aggregate: first-ever refresh with no unseen parts " +
+      "fails with a clear error, not NoSuchElementException") {
+    import graft.workflow.Incremental
+    val base = s"/root/repo/target/graft_io/inc_empty/${System.nanoTime()}"
+    val inc = new Incremental(spark, s"$base/state", Seq("k"),
+      Seq(Incremental.countAll("n")))
+    val e = intercept[IllegalStateException] { inc.refresh(Nil) }
+    assert(e.getMessage.contains("no prior version"))
+  }
 }

@@ -28,6 +28,19 @@ class ZOrderSpec extends SparkSpec {
     assert(z21 > z11 && z12 > z11)
   }
 
+  test("4-key interleave never reaches the long sign bit (z stays " +
+      "non-negative, so the signed range sort follows curve order)") {
+    // max 15-bit grid value in all four dims — the worst case that, at
+    // 16 bits/column, would put column 3's top bit at position 63
+    val mx = (1L << 15) - 1
+    val df = Seq((mx, mx, mx, mx)).toDF("a", "b", "c", "d")
+      .select(ZOrder.interleave(
+        Seq(col("a"), col("b"), col("c"), col("d"))).as("z"))
+    val z = df.collect().head.getLong(0)
+    assert(z >= 0L, s"sign bit set: $z")
+    assert(z == (1L << 60) - 1) // 15 bits × 4 columns, all ones
+  }
+
   /** Rows the scan emitted (post row-group skipping) for a count over
     * `pred` on the parquet at `path`.
     */
