@@ -56,6 +56,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // repetitions per query (arg 0 or SPARK_GRAFT_REPEAT, default 2): the
+    // VM shows multi-minute noisy-neighbor windows that made committed
+    // sweeps read 1.2× apart on identical code (r11 verdict #3); per-query
+    // min over N runs is the session-noise estimator the cross-round
+    // analysis used by hand — now emitted in the artifact itself.
+    val repeat = args.headOption.orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
+      .map(_.toInt).getOrElse(2).max(1)
     val spark = newSession(cpus)
     warmup(spark, sfDir)
 
@@ -73,24 +80,29 @@ object Bench {
       ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(p => nameFrags.exists(p.getName.contains))
         .map(_.getUsage.getUsed).sum
+    // optional subset (SPARK_GRAFT_ONLY=q215_semdedup,q92b_...): probe
+    // runs at big synthetic SFs time a handful of queries, not the sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = names.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val t1 = once()
-      // only retry slow first runs — bounds total wall time while still
-      // filtering out compile-backlog / noisy-neighbor outliers
-      val t = if (t1 > 5.0) math.min(t1, once()) else t1
-      System.err.println(f"[bench] $name%-24s $t%8.2f s  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
+      val times = (1 to repeat).map(_ => once()).sorted
+      val tMin = times.head
+      val tMed = if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      System.err.println(f"[bench] $name%-24s min=$tMin%8.2f s med=$tMed%8.2f s  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
       // generated classes are per-query garbage once the query completes;
       // collecting lets the JVM unload them and reclaim code cache before
       // it fills and flushing starts evicting HOT methods (25× observed
       // on late-alphabet queries in long runs)
       System.gc()
-      name -> t
+      (name, tMin, tMed)
     }
     // 3-decimal times keep the whole JSON inside the driver's log-tail
     // window — this line is the machine-read deliverable, nothing may
@@ -99,12 +111,17 @@ object Bench {
     // comma-decimal locales would emit invalid JSON ("q01":1,234)
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${d3(v)}""" }
+    // "queries" stays the headline estimator (per-query MIN over the
+    // repetitions) for cross-round comparability; medians ride alongside
+    val qs = results.map { case (k, v, _) => s""""$k":${d3(v)}""" }
+      .mkString("{", ",", "}")
+    val qMed = results.map { case (k, _, m) => s""""$k":${d3(m)}""" }
       .mkString("{", ",", "}")
     val (contrast, main) = results.partition(r => Contrast(r._1))
     val total = main.map(_._2).sum
     val cTotal = contrast.map(_._2).sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","contrast_total":${d3(cTotal)},"queries":$qs,"sf":"$sfDir"}""")
+    val medTotal = main.map(_._3).sum
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -140,12 +140,28 @@ object Temporal {
       rightTs: String,
       payload: Seq[String],
       toleranceSec: Option[Long] = None,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      maxCarryEntries: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = left.sparkSession
     val leftCols = left.columns.toSeq
     checkAsofColumns(leftCols, payload)
+    // Driver-budget guard on the pass-1 boundary collect (r11 verdict #8).
+    // Partitions are ranges over sorted (key, ts), so each partition's key
+    // set is a contiguous key range and overlaps its neighbors only at the
+    // two boundaries: Σ_p distinctKeys(p) ≤ distinctKeys + np − 1. One
+    // cheap approx-distinct pass bounds the collect BEFORE it happens; a
+    // many-key workload over the budget is exactly the shape the window
+    // lowering handles well (one task per key, no monster stragglers), so
+    // falling back is the right plan, not a degradation.
+    // only RIGHT rows create carry entries (pass 1 records the last right
+    // payload per key), so the right side's key cardinality is the bound
+    val approxKeys = right.select(col(key))
+      .agg(approx_count_distinct(col(key))).collect().head.getLong(0)
+    if (approxKeys + math.max(numPartitions, 1) > maxCarryEntries)
+      return asofJoin(left, right, key, leftTs, rightTs, payload,
+        toleranceSec)
     val rTagged = right.select(
       Seq(col(key), col(rightTs).as("__asof_ts"), lit(0).as("__asof_side"),
         struct(col(rightTs).as("__m_ts") +: payload.map(col): _*).as("__asof_p")) ++

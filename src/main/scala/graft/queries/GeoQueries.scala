@@ -100,17 +100,19 @@ object GeoQueries {
       (s, dir) =>
       // deterministic synthetic coordinates from the customer key (away
       // from the poles); DuckDB could reproduce these, but not the cells.
-      // The key cap keeps the input identical at every SF so the pinned
-      // summary is scale-independent (sf0.01 holds exactly keys 1..1500).
-      // Smaller SFs can't supply the pinned key range — fail with a clear
-      // message instead of a spurious hash mismatch.
+      // The key RANGE (0..1499, BOTH ends pinned) keeps the input
+      // identical at every SF so the pinned summary is scale-independent:
+      // customer keys start at 0, and the sf0.01 table stops at 1499, so
+      // the original `<= 1500` cap admitted a 1501st key (1500) at
+      // sf0.1 — caught by a round-12 sf0.1 oracle sweep. Smaller SFs
+      // can't supply the range — fail clearly, not with a hash mismatch.
       val nKeys = Tables.customer(s, dir)
-        .filter(col("c_custkey") <= 1500).count()
+        .filter(col("c_custkey").between(0, 1499)).count()
       require(nKeys >= 1500,
         s"q174_h3_rollup needs sf >= 0.01 (the pinned summary covers 1500 " +
-          s"customer keys <= 1500); this dataset has only $nKeys")
+          s"customer keys 0..1499); this dataset has only $nKeys")
       val pts = Tables.customer(s, dir)
-        .filter(col("c_custkey") <= 1500).select(
+        .filter(col("c_custkey").between(0, 1499)).select(
         ((col("c_custkey") * 37 % 160) - 80 + 0.25).cast("double").as("lat"),
         ((col("c_custkey") * 91 % 360) - 180 + 0.25).cast("double").as("lng"))
       // one linear chain — every summary stat folds out of the cells2

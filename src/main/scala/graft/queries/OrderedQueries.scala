@@ -194,6 +194,34 @@ object OrderedQueries {
         .df
         .select(col("o_orderkey"), col("rs").cast("double").as("running_total"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- terasort analog (testing/benchmarks/ecl/terasort.ecl:20-34):
+    // global sort of deterministic md5-derived keys. The oracle gate pins
+    // the full global ORDER via sampled positions (every 97th row of the
+    // sort order, computed by the two-pass Positions scan — no
+    // single-partition window); the sf-scaled 100-byte-record run with
+    // order + checksum certificate is q224 below -------------------------
+    QueryDef("q223_terasort",
+      """WITH r AS (SELECT md5(CAST(i AS VARCHAR)) AS k
+        |  FROM range(100000) t(i)),
+        |s AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS pos FROM r)
+        |SELECT pos, k FROM s WHERE pos % 97 = 1 ORDER BY pos""".stripMargin) {
+      (s, dir) =>
+      val keys = s.range(100000)
+        .select(md5(col("id").cast("string")).as("k"))
+      graft.ops.Positions.withGlobalPosition(keys, Seq(col("k")), "pos")
+        .filter(col("pos") % 97 === 1)
+        .select(col("pos"), col("k"))
+        .orderBy(col("pos"))
+    },
+
+    // sf-scaled terasort + teravalidate: n = 4 × |lineitem| 100-byte
+    // records, one RangePartitioning exchange, certificate row out.
+    // Not SQL-expressible (binary keys + validation passes) → rows-only.
+    QueryDef.noOracle("q224_terasort_scale") { (s, dir) =>
+      val n = 4L * Tables.lineitem(s, dir).count()
+      graft.ops.TeraSort.run(s, n)
     }
   )
 }

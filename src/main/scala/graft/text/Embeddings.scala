@@ -35,18 +35,50 @@ object Embeddings {
       lit(0).cast(DecimalType(38, 12)),
       (acc, x) => (acc + x.cast(DecimalType(30, 12))).cast(DecimalType(38, 12)))
 
-  /** Exact L2 norm per vector, decimal-accumulated (order-independent). */
-  def norms(df: DataFrame, id: Column, vec: Column): DataFrame =
-    df.select(id.as("vec_id"),
-      sqrt(decimalArraySum(transform(vec, v =>
-        v.cast("double") * v.cast("double"))).cast("double")).as("norm"))
+  /** Precision router for the per-row folds (r11 verdict #1: the decimal
+    * arithmetic that exists for cross-engine SCORE parity was also the
+    * production hot path — 2–6× the cost of the same fold in binary
+    * doubles). Two facts make the double mode safe as the DEFAULT:
+    *
+    *  1. `aggregate` over an array is a PER-ROW fold with a fixed
+    *     left-to-right order — unlike a cross-partition SUM(double) it is
+    *     fully deterministic on any cluster layout, so results are stable
+    *     run to run (the reason ivfTrain's cross-partition centroid SUM
+    *     alone stays decimal unconditionally).
+    *  2. Every public output of this object is DISCRETE — ids, ranks,
+    *     buckets, cells, survival verdicts — never the raw score. Double
+    *     and decimal disagree on a discrete outcome only when a score sits
+    *     within the accumulation-error band (~1e-11: the decimal path
+    *     itself rounds each addend at scale 12) of a threshold/tie, which
+    *     random float embeddings do not produce. DifferentialSpec pins
+    *     double==decimal outputs; the DuckDB oracle gates (which compute
+    *     in decimal SQL) hold under the double default for the same
+    *     reason.
+    *
+    * `exact = true` restores the decimal fold for callers that need
+    * bit-reproducible SCORES (the oracle's own formulation).
+    */
+  private def arraySum(arr: Column, exact: Boolean): Column =
+    if (exact) decimalArraySum(arr)
+    else aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm per vector ([[norm]]; decimal-accumulated when `exact`). */
+  def norms(df: DataFrame, id: Column, vec: Column,
+      exact: Boolean = true): DataFrame =
+    df.select(id.as("vec_id"), norm(vec, exact).as("norm"))
+
+  /** Dot product of two vector columns: one per-row fold over the zipped
+    * per-position products (all in whole-stage codegen). Double fold by
+    * default; decimal-exact under `exact` (see [[arraySum]]).
+    */
+  def dot(a: Column, b: Column, exact: Boolean = false): Column =
+    arraySum(zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double")), exact).cast("double")
 
   /** Exact cosine between two vector columns: decimal dot product over the
     * zipped per-position products (all in whole-stage codegen).
     */
-  def dotExact(a: Column, b: Column): Column =
-    decimalArraySum(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double"))).cast("double")
+  def dotExact(a: Column, b: Column): Column = dot(a, b, exact = true)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine similarity (self excluded). Scores are exact-decimal
@@ -54,7 +86,8 @@ object Embeddings {
     * Output: (q_id, c_id, rank).
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, qid: Column,
-      cid: Column, qvec: Column, cvec: Column, k: Int): DataFrame = {
+      cid: Column, qvec: Column, cvec: Column, k: Int,
+      exact: Boolean = false): DataFrame = {
     // Broadcast the (small) query set and fold the dot product per (query,
     // corpus) pair — the corpus streams once with no shuffle before the
     // per-query ranking window. Norms are computed ONCE PER SIDE before
@@ -62,12 +95,12 @@ object Embeddings {
     // of the arithmetic on a 20-query set); decimal accumulation keeps
     // scores bit-identical to the oracle's explode+SUM(DECIMAL).
     val q = queries.select(qid.as("q_id"), qvec.as("q_emb"))
-      .withColumn("q_norm", normExact(col("q_emb")))
+      .withColumn("q_norm", norm(col("q_emb"), exact))
     val c = corpus.select(cid.as("c_id"), cvec.as("c_emb"))
-      .withColumn("c_norm", normExact(col("c_emb")))
+      .withColumn("c_norm", norm(col("c_emb"), exact))
     val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dotExact(col("q_emb"), col("c_emb")) /
+        (dot(col("q_emb"), col("c_emb"), exact) /
           (col("q_norm") * col("c_norm"))).as("cos"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id"))
@@ -82,13 +115,14 @@ object Embeddings {
     * (q_id, c_id, rank).
     */
   def cosinePairsTopK(pairs: DataFrame, qid: Column, cid: Column,
-      qvec: Column, cvec: Column, k: Int): DataFrame =
+      qvec: Column, cvec: Column, k: Int,
+      exact: Boolean = false): DataFrame =
     // norms fold per pair here — fine when pairs/vector is small; when the
     // pair frame joins vectors in anyway, precompute norms per SIDE and
     // use the normed variant below (once per vector beats once per pair —
     // at ~30 candidates/vector the norm folds are 2/3 of all arithmetic)
     cosinePairsTopKNormed(pairs, qid, cid, qvec, cvec,
-      normExact(qvec), normExact(cvec), k)
+      norm(qvec, exact), norm(cvec, exact), k, exact)
 
   /** [[cosinePairsTopK]] with CALLER-SUPPLIED norm columns — the shape to
     * use when norms were computed once per vector before the pair join
@@ -97,24 +131,29 @@ object Embeddings {
     */
   def cosinePairsTopKNormed(pairs: DataFrame, qid: Column, cid: Column,
       qvec: Column, cvec: Column, qnorm: Column, cnorm: Column,
-      k: Int): DataFrame = {
+      k: Int, exact: Boolean = false): DataFrame = {
     // Dot folds per pair row (decimal-exact, same addends as an
     // explode+agg — identical values), so the ONLY shuffle here is the
     // per-query ranking window. The previous explode + hash-agg + 3-way
     // norm join shape shuffled 64× the pair count and re-planned the pair
     // source three times — measured 8× slower on the q93 candidate set.
     val scored = pairs.select(qid.as("q_id"), cid.as("c_id"),
-        (dotExact(qvec, cvec) / (qnorm * cnorm)).as("cos"))
+        (dot(qvec, cvec, exact) / (qnorm * cnorm)).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** L2 norm of one vector column — per-row fold; double by default,
+    * decimal-accumulated under `exact` (see [[arraySum]]).
+    */
+  def norm(vec: Column, exact: Boolean = false): Column =
+    sqrt(arraySum(transform(vec, v =>
+      v.cast("double") * v.cast("double")), exact).cast("double"))
+
   /** Exact L2 norm of one vector column (decimal-accumulated, scalar). */
-  def normExact(vec: Column): Column =
-    sqrt(decimalArraySum(transform(vec, v =>
-      v.cast("double") * v.cast("double"))).cast("double"))
+  def normExact(vec: Column): Column = norm(vec, exact = true)
 
   /** Deterministic ±1 hyperplane component for (plane, pos): +1 iff the
     * first hex digit of md5("<salt>p<plane>_<pos>") is even. `salt`
@@ -141,11 +180,12 @@ object Embeddings {
   /** Signed decimal-exact projection of `vec` onto plane `p`'s sign vector
     * — a per-row fold, no explode, no shuffle, whole plan stays scalar.
     */
-  private def planeProj(vec: Column, signs: Array[Double]): Column =
+  private def planeProj(vec: Column, signs: Array[Double],
+      exact: Boolean): Column =
     // coalesce: vectors shorter than `dim` zip against trailing nulls —
     // those positions contribute 0, same as the exploded formulation
-    decimalArraySum(zip_with(vec, typedLit(signs.toSeq),
-      (v, s) => coalesce(v.cast("double") * s, lit(0.0))))
+    arraySum(zip_with(vec, typedLit(signs.toSeq),
+      (v, s) => coalesce(v.cast("double") * s, lit(0.0))), exact)
 
   /** Plane count that keeps expected LSH bucket occupancy near
     * `targetBucketSize` at a given corpus size: buckets = 2^planes, and
@@ -183,9 +223,9 @@ object Embeddings {
     * oracle's SUM(DECIMAL) regardless of partitioning.
     */
   def rpLshBucket(df: DataFrame, id: Column, vec: Column,
-      numPlanes: Int, dim: Int = 64): DataFrame = {
+      numPlanes: Int, dim: Int = 64, exact: Boolean = false): DataFrame = {
     val bucket = (0 until numPlanes).map { p =>
-      when(planeProj(vec, planeSignsLocal(numPlanes, dim)(p)) > 0,
+      when(planeProj(vec, planeSignsLocal(numPlanes, dim)(p), exact) > 0,
         lit(1L << p)).otherwise(0L)
     }.reduce(_ + _)
     df.select(id.as("vec_id"), (bucket + dimGuard(vec, dim)).as("bucket"))
@@ -199,11 +239,12 @@ object Embeddings {
     * (vec_id, tbl, bucket) — numTables rows per vector, no shuffle.
     */
   def rpLshBucketTables(df: DataFrame, id: Column, vec: Column,
-      numPlanes: Int, numTables: Int, dim: Int = 64): DataFrame = {
+      numPlanes: Int, numTables: Int, dim: Int = 64,
+      exact: Boolean = false): DataFrame = {
     val tables = (0 until numTables).map { t =>
       val signs = planeSignsLocal(numPlanes, dim, s"t${t}_")
       val bucket = (0 until numPlanes).map { p =>
-        when(planeProj(vec, signs(p)) > 0, lit(1L << p)).otherwise(0L)
+        when(planeProj(vec, signs(p), exact) > 0, lit(1L << p)).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), (bucket + dimGuard(vec, dim)).as("bucket"))
     }
@@ -218,17 +259,19 @@ object Embeddings {
     * count() is one metadata-cheap job, paid once per query.
     */
   def rpLshBucketAuto(df: DataFrame, id: Column, vec: Column,
-      dim: Int = 64, targetBucketSize: Long = 64L): DataFrame =
-    rpLshBucket(df, id, vec, planesFor(df.count(), targetBucketSize), dim)
+      dim: Int = 64, targetBucketSize: Long = 64L,
+      exact: Boolean = false): DataFrame =
+    rpLshBucket(df, id, vec, planesFor(df.count(), targetBucketSize), dim,
+      exact)
 
   /** [[rpLshBucketTables]] with corpus-adaptive plane count (see
     * [[rpLshBucketAuto]]).
     */
   def rpLshBucketTablesAuto(df: DataFrame, id: Column, vec: Column,
       numTables: Int, dim: Int = 64,
-      targetBucketSize: Long = 64L): DataFrame =
+      targetBucketSize: Long = 64L, exact: Boolean = false): DataFrame =
     rpLshBucketTables(df, id, vec, planesFor(df.count(), targetBucketSize),
-      numTables, dim)
+      numTables, dim, exact)
 
   /** Embedding-cosine near-duplicate DEDUP: keep one representative per
     * near-dup relation — a vector is removed iff some candidate neighbor
@@ -244,14 +287,14 @@ object Embeddings {
     */
   def cosineNearDupDedup(df: DataFrame, id: Column, vec: Column,
       tau: Double, numPlanes: Int, numTables: Int,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, exact: Boolean = false): DataFrame = {
     // norms ride the persisted base: folded once per VECTOR, not once per
     // candidate pair (pairs/vector grows with near-dup density)
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb"))
-        .withColumn("__norm", normExact(col("emb"))))
+        .withColumn("__norm", norm(col("emb"), exact)))
     val buckets = rpLshBucketTables(base, col("vec_id"), col("emb"),
-      numPlanes, numTables, dim)
+      numPlanes, numTables, dim, exact)
     // orient pairs larger-id-first: q_id is the potential removal
     val cand = annCandidatePairs(buckets).filter(col("q_id") > col("c_id"))
     val removed = cand
@@ -259,7 +302,7 @@ object Embeddings {
         col("__norm").as("q_norm")), "q_id")
       .join(base.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
         col("__norm").as("c_norm")), "c_id")
-      .filter((dotExact(col("q_emb"), col("c_emb")) /
+      .filter((dot(col("q_emb"), col("c_emb"), exact) /
         (col("q_norm") * col("c_norm"))) >= tau)
       .select(col("q_id").as("vec_id")).distinct()
     base.join(removed, Seq("vec_id"), "left_anti").drop("__norm")
@@ -272,9 +315,9 @@ object Embeddings {
     */
   def cosineNearDupDedupAuto(df: DataFrame, id: Column, vec: Column,
       tau: Double, numTables: Int, dim: Int = 64,
-      targetBucketSize: Long = 64L): DataFrame =
+      targetBucketSize: Long = 64L, exact: Boolean = false): DataFrame =
     cosineNearDupDedup(df, id, vec, tau,
-      planesFor(df.count(), targetBucketSize), numTables, dim)
+      planesFor(df.count(), targetBucketSize), numTables, dim, exact)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * clustering first, then EXACT pairwise cosine within each cluster —
@@ -306,19 +349,21 @@ object Embeddings {
     * so the dedup contract survives the approximation.
     */
   def semDeDupAuto(df: DataFrame, id: Column, vec: Column, tau: Double,
-      targetCellSize: Long = 256L, iters: Int = 1): DataFrame = {
+      targetCellSize: Long = 256L, iters: Int = 1,
+      exact: Boolean = false): DataFrame = {
     val c = math.max(8L, (df.count() + targetCellSize - 1) / targetCellSize).toInt
     val init = ivfInitHashSample(df, id, vec, c)
-    val cents = ivfTrain(df, id, vec, init, iters)
-    semDeDup(df, id, vec, cents, tau)
+    val cents = ivfTrain(df, id, vec, init, iters, exact)
+    semDeDup(df, id, vec, cents, tau, exact)
   }
 
   def semDeDup(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])], tau: Double): DataFrame = {
+      centroids: Seq[(Int, Array[Double])], tau: Double,
+      exact: Boolean = false): DataFrame = {
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb"))
-        .withColumn("__norm", normExact(col("emb"))))
-    val cells = ivfAssign(base, col("vec_id"), col("emb"), centroids)
+        .withColumn("__norm", norm(col("emb"), exact)))
+    val cells = ivfAssign(base, col("vec_id"), col("emb"), centroids, exact)
     val withCell = graft.ops.Shape.split(base.join(cells, "vec_id"))
     val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
       col("emb").as("q_emb"), col("__norm").as("q_norm"))
@@ -326,7 +371,7 @@ object Embeddings {
       col("emb").as("r_emb"), col("__norm").as("r_norm"))
     val removed = a.join(b, Seq("cell"))
       .filter(col("q_id") > col("r_id"))
-      .filter((dotExact(col("q_emb"), col("r_emb")) /
+      .filter((dot(col("q_emb"), col("r_emb"), exact) /
         (col("q_norm") * col("r_norm"))) >= tau)
       .select(col("q_id").as("vec_id")).distinct()
     withCell.join(removed, Seq("vec_id"), "left_anti")
@@ -350,7 +395,8 @@ object Embeddings {
     * [[planesFor]].
     */
   def ivfAssign(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      centroids: Seq[(Int, Array[Double])],
+      exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     // Each dot expression appears EXACTLY ONCE, in an array; argmax is
     // array_max + array_position (first occurrence = lowest centroid index
@@ -359,8 +405,9 @@ object Embeddings {
     // expression tree that cost ~14 s of compile at C=8 and would never
     // survive C ~ sqrt(N) at real scale.
     val dots = centroids.map { case (_, cvec) =>
-      decimalArraySum(zip_with(vec, typedLit(cvec.toSeq),
-        (v, c) => coalesce(v.cast("double") * c, lit(0.0)))).cast("double")
+      arraySum(zip_with(vec, typedLit(cvec.toSeq),
+        (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
+        .cast("double")
     }
     val arr = array(dots: _*)
     val idx = array_position(arr, array_max(arr)).cast("int")
@@ -382,7 +429,8 @@ object Embeddings {
     * max wins at both levels).
     */
   def ivfAssignHierarchical(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      centroids: Seq[(Int, Array[Double])],
+      exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val dim = centroids.head._2.length
     val s = math.max(1, math.ceil(math.sqrt(centroids.size)).toInt)
@@ -409,8 +457,9 @@ object Embeddings {
       }
     }
     def dotsOf(cents: Seq[Array[Double]]): Column = array(cents.map(cv =>
-      decimalArraySum(zip_with(vec, typedLit(cv.toSeq),
-        (v, c) => coalesce(v.cast("double") * c, lit(0.0)))).cast("double")): _*)
+      arraySum(zip_with(vec, typedLit(cv.toSeq),
+        (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
+        .cast("double")): _*)
     val sArr = dotsOf(supers)
     val sIdx = array_position(sArr, array_max(sArr)).cast("int")
     // one lazily-evaluated branch per super: only the winning super's
@@ -473,13 +522,18 @@ object Embeddings {
     * (C ~ sqrt(N) — ~50 MB at N=10^10, dim=64) ever reaches the driver.
     */
   def ivfTrain(df: DataFrame, id: Column, vec: Column,
-      init: Seq[(Int, Array[Double])], iters: Int): Seq[(Int, Array[Double])] = {
+      init: Seq[(Int, Array[Double])], iters: Int,
+      exact: Boolean = false): Seq[(Int, Array[Double])] = {
     require(init.nonEmpty && iters >= 0, "need init centroids, iters >= 0")
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb")))
     var cents = init.map { case (j, v) => (j, unitize(v)) }
     for (_ <- 1 to iters) {
-      val cells = ivfAssign(base, col("vec_id"), col("emb"), cents)
+      // `exact` routes only the per-row ASSIGNMENT dots; the per-cell
+      // centroid mean below stays decimal unconditionally — it is a
+      // cross-partition SUM, where double would make the centroids (and
+      // every downstream cell assignment) partitioning-dependent.
+      val cells = ivfAssign(base, col("vec_id"), col("emb"), cents, exact)
       val sums = base.join(cells, "vec_id")
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")

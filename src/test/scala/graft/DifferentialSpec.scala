@@ -190,6 +190,86 @@ class DifferentialSpec extends SparkSpec {
     assert(rangedT == winT)
   }
 
+  test("AS-OF ranged: over the carry budget it falls back to the window " +
+      "lowering (plan shows Window), results identical either way") {
+    // a MANY-key workload whose boundary-carry collect would exceed the
+    // driver budget must route to the per-key window plan — which is the
+    // right plan for many keys anyway (no monster-key straggler to dodge)
+    val right = spark.range(5000).select(col("id").as("k"),
+      timestamp_seconds(col("id")).as("ts"), (col("id") * 3).as("v"))
+    val left = spark.range(5000).select(col("id").as("k"),
+      timestamp_seconds(col("id") + 1).as("ts"), col("id").as("lid"))
+    val guarded = graft.ops.Temporal.asofJoinRanged(left, right,
+      "k", "ts", "ts", Seq("v"), maxCarryEntries = 100L)
+    assert(guarded.queryExecution.executedPlan.toString.contains("Window"),
+      "expected fallback to the window lowering under the carry budget")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lid"), col("v")).as[(Long, Option[Long])].collect().toSet
+    assert(norm(guarded) == norm(graft.ops.Temporal.asofJoin(
+      left, right, "k", "ts", "ts", Seq("v"))))
+    // under the budget the two-pass path is kept (no Window operator)
+    val ranged = graft.ops.Temporal.asofJoinRanged(left, right,
+      "k", "ts", "ts", Seq("v"))
+    assert(!ranged.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("embedding ops: double production mode == decimal oracle mode on " +
+      "every discrete output (ids, ranks, buckets, cells, survivors)") {
+    import graft.text.Embeddings
+    val emb = Tables.embeddings(spark, sf)
+    // r11 verdict #1: the decimal fold exists for cross-engine SCORE
+    // parity; outputs are discrete, so double (the production default)
+    // must land on identical verdicts whenever scores sit further than
+    // the ~1e-11 accumulation-error band from a threshold or tie.
+    def ranks(exact: Boolean) = Embeddings.cosineTopK(
+        emb.filter(col("vec_id") < 20), emb,
+        col("vec_id"), col("vec_id"), col("embedding"), col("embedding"),
+        5, exact = exact)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ranks(exact = false) == ranks(exact = true))
+
+    def buckets(exact: Boolean) = Embeddings.rpLshBucket(emb,
+        col("vec_id"), col("embedding"), 8, exact = exact)
+      .as[(Long, Long)].collect().toSet
+    assert(buckets(exact = false) == buckets(exact = true))
+
+    def sem(exact: Boolean) = Embeddings.semDeDupAuto(emb,
+        col("vec_id"), col("embedding"), 0.35, exact = exact)
+      .as[(Long, Int)].collect().toSet
+    assert(sem(exact = false) == sem(exact = true))
+
+    def dedup(exact: Boolean) = Embeddings.cosineNearDupDedupAuto(emb,
+        col("vec_id"), col("embedding"), tau = 0.25, numTables = 2,
+        exact = exact)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(dedup(exact = false) == dedup(exact = true))
+  }
+
+  test("embedding verdict margins: no within-cell cosine sits within 1e-6 " +
+      "of the q215 tau (the condition that GUARANTEES mode equivalence)") {
+    import graft.text.Embeddings
+    val emb = Tables.embeddings(spark, sf)
+    val c = math.max(8L, (emb.count() + 255) / 256).toInt
+    val init = Embeddings.ivfInitHashSample(emb, col("vec_id"),
+      col("embedding"), c)
+    val cents = Embeddings.ivfTrain(emb, col("vec_id"), col("embedding"),
+      init, 1, exact = true)
+    val base = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("__n", Embeddings.normExact(col("embedding")))
+    val cells = Embeddings.ivfAssign(base, col("vec_id"), col("embedding"),
+      cents, exact = true)
+    val withCell = base.join(cells, "vec_id")
+    val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col("__n").as("q_n"))
+    val b = withCell.select(col("cell"), col("vec_id").as("r_id"),
+      col("embedding").as("r_emb"), col("__n").as("r_n"))
+    val minMargin = a.join(b, Seq("cell")).filter(col("q_id") > col("r_id"))
+      .select(abs(Embeddings.dotExact(col("q_emb"), col("r_emb")) /
+        (col("q_n") * col("r_n")) - 0.35).as("margin"))
+      .agg(min(col("margin"))).collect().head.getDouble(0)
+    assert(minMargin > 1e-6, f"tau margin too tight: $minMargin%g")
+  }
+
   test("range join: bucketed equi-join lowering == plain inequality join") {
     val ev = Tables.events(spark, sf)
     val win = ev.filter(col("event_type") === "error")

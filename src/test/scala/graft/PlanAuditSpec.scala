@@ -468,4 +468,43 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
     assert(!plan.contains("Union"), s"no per-bracket scan union:\n$plan")
   }
+
+  // ---- sf1 broadcast-cliff audits (r11 verdict #5) -----------------------
+  // At sf0.1 the dim-narrowed orders/semi sides of these five TPC-H shapes
+  // broadcast; at sf1 they cross the threshold and the ratio jumps 3–5×
+  // (SCALE_NOTES). The diagnosis — a one-time plan TRANSITION that must
+  // land on SortMergeJoin, never a nested-loop/cartesian degeneration —
+  // becomes a regression-proof assertion here. Runs only when the
+  // synthetic sf1 rehearsal data exists (graft.tools.ScaleUp → /tmp/sf1).
+  private val sf1Dir = "/tmp/sf1"
+  private def sf1Available: Boolean =
+    new java.io.File(s"$sf1Dir/lineitem.parquet").exists()
+
+  test("sf1 cliff: q180/q181/q191/q192/q196 transition to SMJ, never to a " +
+      "nested-loop or cartesian plan") {
+    assume(sf1Available, s"$sf1Dir not generated (run graft.tools.ScaleUp)")
+    val cliff = Seq("q180_exists_priority", "q181_late_supplier",
+      "q191_nation_volume", "q192_market_share",
+      "q196_local_supplier_volume")
+    cliff.foreach { name =>
+      val plan = executed(graft.SparkEntry.queries(name)(spark, sf1Dir))
+      assert(plan.contains("SortMergeJoin"),
+        s"$name: past the cliff the big sides must SMJ:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$name: cliff degenerated to a product plan:\n$plan")
+    }
+  }
+
+  test("sf1 cliff: q191 AQE FINAL plan (executed, runtime stats) keeps the " +
+      "SMJ choice — the transition is real, not a static-estimate artifact") {
+    assume(sf1Available, s"$sf1Dir not generated (run graft.tools.ScaleUp)")
+    val df = graft.SparkEntry.queries("q191_nation_volume")(spark, sf1Dir)
+    df.count() // execute so AQE replaces estimates with runtime stats
+    val finalPlan = executed(df)
+    assert(finalPlan.contains("SortMergeJoin"),
+      s"AQE downgraded the cliff join away from SMJ:\n$finalPlan")
+    assert(!finalPlan.contains("CartesianProduct") &&
+      !finalPlan.contains("BroadcastNestedLoop"), s"plan:\n$finalPlan")
+  }
 }

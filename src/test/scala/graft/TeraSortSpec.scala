@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.TeraSort
+import org.apache.spark.sql.functions._
+
+/** Terasort analog: the certificate must be earned, not asserted — the
+  * validator has to PASS on a real sort and FAIL on adversarial inputs
+  * (an unsorted frame, a dropped row), and the plan must be the one the
+  * benchmark exists to measure: a single RangePartitioning exchange.
+  */
+class TeraSortSpec extends SparkSpec {
+
+  test("generate → sort → validate: certificate green, 100-byte records") {
+    val out = TeraSort.run(spark, 50000L).collect().head
+    assert(out.getLong(0) == 50000L)
+    assert(out.getBoolean(1), "order certificate failed")
+    assert(out.getBoolean(2), "permutation checksum mismatch")
+    // record layout: 10-byte key + 90-byte payload
+    val r = TeraSort.generate(spark, 10L).collect().head
+    assert(r.getAs[Array[Byte]](0).length == 10)
+    assert(r.getAs[Array[Byte]](1).length == 90)
+  }
+
+  test("validator rejects an unsorted frame") {
+    val unsorted = TeraSort.generate(spark, 10000L, numPartitions = 4)
+    // range-partition WITHOUT sorting within partitions: boundaries hold
+    // but partitions are internally unordered
+    val (ok, rows, _) = TeraSort.validate(
+      unsorted.repartitionByRange(4, col("key")), "key")
+    assert(!ok, "validator passed an unsorted frame")
+    assert(rows == 10000L)
+  }
+
+  test("checksum catches a dropped row") {
+    val in = TeraSort.generate(spark, 5000L)
+    val full = TeraSort.checksum(in, col("key"))
+    val dropped = TeraSort.checksum(in.limit(4999), col("key"))
+    assert(full.compareTo(dropped) != 0)
+  }
+
+  test("plan: exactly one RangePartitioning exchange, no hash exchange") {
+    val plan = TeraSort.sortRecords(TeraSort.generate(spark, 10000L),
+      col("key")).queryExecution.executedPlan.toString
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size == 1,
+      s"expected one range exchange:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange:\n$plan")
+  }
+
+  test("sort order matches the oracle's lexicographic contract on hex keys") {
+    // q223's sampled-position gate pins this against DuckDB; here pin the
+    // binary-key variant: unsigned byte order == hex-string order of the
+    // same md5 (hex is order-isomorphic to its bytes)
+    val hex = spark.range(1000)
+      .select(md5(col("id").cast("string")).as("h"))
+      .orderBy(col("h")).collect().map(_.getString(0))
+    val bin = TeraSort.sortRecords(TeraSort.generate(spark, 1000L),
+        col("key")).collect()
+      .map(r => r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString)
+    assert(bin.toSeq == hex.map(_.take(20)).sorted.toSeq)
+  }
+}
