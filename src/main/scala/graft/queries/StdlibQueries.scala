@@ -747,6 +747,28 @@ object StdlibQueries {
         .orderBy(col("id"))
     },
 
+    // ---- sslservices enumerations (lib_sslservices.ecllib:23,27:
+    // digestAvailableAlgorithms / cipherAvailableAlgorithms return
+    // DATASET({STRING name})) — the last uncovered sliver of the
+    // sslservices surface (everything else is q75/q152/PkiSpec). The
+    // available set is this ENGINE's guarantee (JDK-backed), pinned
+    // explicitly rather than introspected so the gate is deterministic.
+    QueryDef("q225_ssl_algorithms", {
+      val rows = (graft.functions.OpenSsl.DigestAlgorithms.sorted
+          .map(n => s"('digest', '$n')") ++
+        graft.functions.OpenSsl.CipherAlgorithms.map(n => s"('cipher', '$n')"))
+        .mkString(",\n  ")
+      s"""SELECT * FROM (VALUES
+         |  $rows) AS t(kind, name)
+         |ORDER BY kind, name""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      (graft.functions.OpenSsl.DigestAlgorithms.map(("digest", _)) ++
+        graft.functions.OpenSsl.CipherAlgorithms.map(("cipher", _)))
+        .toDF("kind", "name")
+        .orderBy(col("kind"), col("name"))
+    },
+
     // ---- phonenumber plugin (lib_phonenumber.ecllib:23-66): literal-vector
     // gate over the region-metadata parse pipeline. Like q173, the oracle
     // literal table is generated by the DRIVER-side engine and replayed

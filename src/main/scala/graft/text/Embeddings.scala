@@ -363,7 +363,8 @@ object Embeddings {
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb"))
         .withColumn("__norm", norm(col("emb"), exact)))
-    val cells = ivfAssign(base, col("vec_id"), col("emb"), centroids, exact)
+    val cells = ivfAssignAuto(base, col("vec_id"), col("emb"), centroids,
+      exact)
     val withCell = graft.ops.Shape.split(base.join(cells, "vec_id"))
     val a = withCell.select(col("cell"), col("vec_id").as("q_id"),
       col("emb").as("q_emb"), col("__norm").as("q_norm"))
@@ -404,16 +405,41 @@ object Embeddings {
     // when()-fold nested the accumulator twice per centroid — a 2^C
     // expression tree that cost ~14 s of compile at C=8 and would never
     // survive C ~ sqrt(N) at real scale.
-    val dots = centroids.map { case (_, cvec) =>
-      arraySum(zip_with(vec, typedLit(cvec.toSeq),
-        (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
-        .cast("double")
-    }
-    val arr = array(dots: _*)
+    //
+    // Above MatrixThreshold centroids, the per-centroid expression list
+    // ITSELF becomes the bottleneck — not at runtime (array HOF folds are
+    // interpreted either way, never whole-stage codegen'd) but in the
+    // driver: analysis/optimization walks O(C·dim) expression nodes per
+    // rule pass. The matrix form below does the identical arithmetic with
+    // an O(1)-size plan: the centroid MATRIX is ONE array<array<double>>
+    // literal and the C dots come from one `transform` over
+    // sequence(1, C) — same fold order per dot, same argmax, same
+    // tie-break, so the two forms are result-identical in both precision
+    // modes (TextOpsSpec pins this).
+    val arr =
+      if (centroids.size <= MatrixThreshold)
+        array(centroids.map { case (_, cvec) =>
+          arraySum(zip_with(vec, typedLit(cvec.toSeq),
+            (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
+            .cast("double")
+        }: _*)
+      else {
+        val matrix = typedLit(centroids.map(_._2.toSeq))
+        transform(sequence(lit(1), lit(centroids.size)), i =>
+          arraySum(zip_with(vec, element_at(matrix, i),
+            (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
+            .cast("double"))
+      }
     val idx = array_position(arr, array_max(arr)).cast("int")
     df.select(id.as("vec_id"),
       element_at(typedLit(centroids.map(_._1)), idx).as("cell"))
   }
+
+  /** Centroid count above which [[ivfAssign]] switches from the unrolled
+    * per-centroid expression list to the single matrix-literal transform
+    * (identical results; O(1) plan size instead of O(C·dim) nodes).
+    */
+  private[graft] val MatrixThreshold = 64
 
   /** [[ivfAssign]] through a TWO-LEVEL quantizer — the >10M-vector path
     * the flat argmax's N·C dot cost demands (q98b scaladoc). Centroids
@@ -456,26 +482,49 @@ object Embeddings {
         }
       }
     }
-    def dotsOf(cents: Seq[Array[Double]]): Column = array(cents.map(cv =>
-      arraySum(zip_with(vec, typedLit(cv.toSeq),
+    // Both levels in O(1) PLAN SIZE (round 12): the supers are one
+    // array<array<double>> literal, the children one RAGGED 3-D literal
+    // indexed by the winning super — element_at picks that super's child
+    // matrix and only ITS dots are computed for the row (the lazy-branch
+    // property of the old per-super CASE chain, without its O(C·dim)
+    // expression nodes, which at C~800 made driver analysis the
+    // bottleneck). First-max ties at both levels, as before.
+    def dotOf(cv: Column): Column =
+      arraySum(zip_with(vec, cv,
         (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
-        .cast("double")): _*)
-    val sArr = dotsOf(supers)
+        .cast("double")
+    val superM = typedLit(supers.map(_.toSeq))
+    val sArr = transform(sequence(lit(1), lit(supers.size)), i =>
+      dotOf(element_at(superM, i)))
     val sIdx = array_position(sArr, array_max(sArr)).cast("int")
-    // one lazily-evaluated branch per super: only the winning super's
-    // child dots are computed for a given row
-    val branches = supers.indices.map { i =>
-      val members = groups.getOrElse(i, centroids.take(1))
-      val cArr = dotsOf(members.map(_._2))
-      val cIdx = array_position(cArr, array_max(cArr)).cast("int")
-      (i, element_at(typedLit(members.map(_._1)), cIdx))
-    }
-    val cell = branches.tail.foldLeft(
-      when(sIdx === (branches.head._1 + 1), branches.head._2)) {
-      case (acc, (i, e)) => acc.when(sIdx === (i + 1), e)
-    }
+    val childVecs: Seq[Seq[Seq[Double]]] = supers.indices.map(i =>
+      groups.getOrElse(i, centroids.take(1)).map(_._2.toSeq))
+    val childIds: Seq[Seq[Int]] = supers.indices.map(i =>
+      groups.getOrElse(i, centroids.take(1)).map(_._1))
+    val kids = element_at(typedLit(childVecs), sIdx)
+    val kArr = transform(kids, kv => dotOf(kv))
+    val kIdx = array_position(kArr, array_max(kArr)).cast("int")
+    val cell = element_at(element_at(typedLit(childIds), sIdx), kIdx)
     df.select(id.as("vec_id"), cell.as("cell"))
   }
+
+  /** Assignment router: flat argmax (exactly the quantizer the oracle
+    * unrolls) below [[HierThreshold]] centroids; the two-level quantizer
+    * above it. Flat assignment is N·C dot folds, and with the corpus-
+    * adaptive C ∝ N that term is QUADRATIC in N — measured 13.3×/10× at
+    * the sf10 rehearsal (C=782). Two-level is N·(√C + C/√C). The switch
+    * re-scopes which cell borderline vectors land in (a recall knob, same
+    * contract as LSH table count), never the exactness of a downstream
+    * comparison; verify-SF corpora sit far below the threshold, so oracle
+    * gates always take the flat path the SQL unrolls.
+    */
+  private[graft] val HierThreshold = 128
+  def ivfAssignAuto(df: DataFrame, id: Column, vec: Column,
+      centroids: Seq[(Int, Array[Double])],
+      exact: Boolean = false): DataFrame =
+    if (centroids.size > HierThreshold)
+      ivfAssignHierarchical(df, id, vec, centroids, exact)
+    else ivfAssign(df, id, vec, centroids, exact)
 
   /** Deterministic, RNG-free trainer init — the k-means‖ oversampling
     * stand-in: the `c` corpus vectors with the smallest
@@ -533,7 +582,7 @@ object Embeddings {
       // centroid mean below stays decimal unconditionally — it is a
       // cross-partition SUM, where double would make the centroids (and
       // every downstream cell assignment) partitioning-dependent.
-      val cells = ivfAssign(base, col("vec_id"), col("emb"), cents, exact)
+      val cells = ivfAssignAuto(base, col("vec_id"), col("emb"), cents, exact)
       val sums = base.join(cells, "vec_id")
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")

@@ -97,7 +97,11 @@ object PlanDump {
       "q215_semdedup" ->
         "SemDeDup: broadcast IVF assignment (zero shuffle), ONE cell-id hash shuffle for the within-cell pair join, decimal-exact refine",
       "q217_fuzzy_join" ->
-        "fuzzy join: deletion-variant explode + equi-join on the signature — no BNLJ despite the edit-distance predicate")
+        "fuzzy join: deletion-variant explode + equi-join on the signature — no BNLJ despite the edit-distance predicate",
+      "q223_terasort" ->
+        "terasort oracle gate: embarrassingly-parallel generate, ONE RangePartitioning exchange for the global sort, two-pass position scan (no single-partition window)",
+      "q224_terasort_scale" ->
+        "sf-scaled terasort certificate: the summary row is driver-built from O(#partitions) validation summaries — the plan shows only the trivial LocalTableScan; the sort itself is q223's single range exchange")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")
@@ -142,6 +146,23 @@ shuffling stage in the family — a single word-count aggregate
 (partial+final) with only the top-`maxWords` vocabulary collected, the
 same bounded-driver contract as `ivfTrain`/`dictionaryAuto`.
 """)
+    // sf1 broadcast-cliff section (r11 verdict #5): the five shapes whose
+    // dim-narrowed sides broadcast at sf0.1 but cross the threshold at
+    // sf1 — the dump shows the transition lands on SortMergeJoin, never a
+    // nested-loop/cartesian degeneration (PlanAuditSpec asserts the same).
+    if (new java.io.File("/tmp/sf1/lineitem.parquet").exists()) {
+      sb.append("\n# sf1 broadcast-cliff plans (synthetic 10×, graft.tools.ScaleUp)\n\n")
+      sb.append("At sf0.1 these sides broadcast; at sf1 they correctly shuffle —\n")
+      sb.append("a one-time plan transition (3–5× wall ratio, SCALE_NOTES), n log n\n")
+      sb.append("beyond it. At 100 TB the SMJ is the only viable plan anyway.\n")
+      Seq("q180_exists_priority", "q181_late_supplier", "q191_nation_volume",
+        "q192_market_share", "q196_local_supplier_volume").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, "/tmp/sf1")
+        sb.append(s"\n## $name @ sf1\n\n```\n")
+        sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+        sb.append("```\n")
+      }
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote /root/repo/PLANS.md")

@@ -58,12 +58,22 @@ object ScaleUp {
     // circular-rotate each copy's vectors: exact duplicates would pile
     // every copy into the same LSH buckets (quadratic candidate growth a
     // real corpus of distinct vectors doesn't have); rotation preserves
-    // the norm and component distribution while decorrelating projections
-    scaled("embeddings", Seq("vec_id"), d =>
+    // the norm and component distribution while decorrelating projections.
+    // Rotation wraps at dim (copies > 64 would slice negative lengths);
+    // past one full wrap, flip the first component's sign — also
+    // norm-preserving, and it decorrelates the wrapped generation from
+    // the first (cosine/LSH are scale-invariant but not sign-invariant).
+    scaled("embeddings", Seq("vec_id"), d => {
+      val rot = pmod(col("__copy"), size(col("embedding")))
+      val rotated = concat(
+        slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+        slice(col("embedding"), lit(1), rot))
       d.withColumn("embedding",
-        concat(slice(col("embedding"), col("__copy") + 1,
-            size(col("embedding")) - col("__copy")),
-          slice(col("embedding"), lit(1), col("__copy")))))
+        when(col("__copy") >= size(col("embedding")),
+          concat(array(-element_at(rotated, 1)),
+            slice(rotated, lit(2), size(rotated) - 1)))
+          .otherwise(rotated))
+    })
     spark.stop()
   }
 }

@@ -161,6 +161,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 0))
   }
 
+  test("ivfAssign matrix form (C > threshold) == unrolled form, both " +
+      "precision modes, incl. ties and short vectors") {
+    // 100 centroids forces the matrix-literal lowering; rebuild the same
+    // assignment with the unrolled form by splitting into two 50-centroid
+    // halves and taking the per-row argmax across halves manually — no:
+    // simpler and airtight, compare against a driver-side replay of the
+    // identical fold arithmetic.
+    val dim = 8
+    val cents = (0 until 100).map { c =>
+      c -> Array.tabulate(dim)(j => math.sin(c * 31 + j * 7).abs + 0.01)
+    }
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(dim)(j => (math.cos(i * 13 + j * 3) * 0.5).toFloat))
+    } :+ (999L, Array(0.5f, 0.5f)) // short vector: missing positions = 0
+    val df = vecs.toDF("vec_id", "embedding")
+    for (exact <- Seq(false, true)) {
+      val got = Embeddings.ivfAssign(df, col("vec_id"), col("embedding"),
+          cents, exact = exact)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expect = vecs.map { case (id, v) =>
+        val dots = cents.map { case (_, cv) =>
+          cv.indices.map(j =>
+            (if (j < v.length) v(j).toDouble else 0.0) * cv(j)).sum
+        }
+        id -> cents(dots.indexOf(dots.max))._1
+      }.toMap
+      assert(got == expect, s"exact=$exact")
+    }
+  }
+
   test("ivfAssignHierarchical: total, deterministic, and agrees with the " +
       "flat argmax on well-separated cells") {
     // 9 centroids in 3 well-separated direction families → 3 supers; a
