@@ -63,9 +63,19 @@ object Workflow {
   def loopN(df: DataFrame, n: Int, checkpointEvery: Int = 4)(
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     var cur = df
+    // superseded checkpoints must be RELEASED: eager localCheckpoint
+    // truncates the new frame's lineage at its own blocks, so once the
+    // next checkpoint is materialized nothing can reference the previous
+    // one — leaving it cached pins O(iterations) full copies of the data
+    // and thrashed the block store at the sf10 rehearsal (q190 class).
+    var prev: Option[DataFrame] = None
     for (i <- 1 to n) {
       cur = body(cur, i)
-      if (i % checkpointEvery == 0) cur = cur.localCheckpoint()
+      if (i % checkpointEvery == 0) {
+        cur = cur.localCheckpoint()
+        prev.foreach(_.unpersist())
+        prev = Some(cur)
+      }
     }
     cur
   }
@@ -82,10 +92,15 @@ object Workflow {
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     require(maxIter >= 0, "maxIter must be >= 0")
     var cur = df
+    var prev: Option[DataFrame] = None // see loopN: release superseded blocks
     var i = 1
     while (i <= maxIter && continueWhile(cur)) {
       cur = body(cur, i)
-      if (i % checkpointEvery == 0) cur = cur.localCheckpoint()
+      if (i % checkpointEvery == 0) {
+        cur = cur.localCheckpoint()
+        prev.foreach(_.unpersist())
+        prev = Some(cur)
+      }
       i += 1
     }
     cur
@@ -103,16 +118,24 @@ object Workflow {
   def loopFiltered(df: DataFrame, maxIter: Int, cond: Column)(
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     require(maxIter >= 1, "maxIter must be >= 1")
+    // Memory contract (found at the sf10 rehearsal: 444 s → block-store
+    // thrash): exits are checkpointed EAGERLY (they are disjoint slices,
+    // their total is exactly |df|) so the superseded looping checkpoint
+    // can be unpersisted the moment its successor is materialized. Pinned
+    // blocks are then ≤ |exits so far| + |current looping set| ≈ |df|,
+    // instead of the sum of every iteration's (shrinking but large)
+    // looping copy — the previous shape pinned ~3–4× |df| and evicted.
     var cur = df.localCheckpoint()
-    var out: Option[DataFrame] = None
+    var exits = List.empty[DataFrame]
     var i = 1
     while (i <= maxIter && cur.filter(cond).limit(1).count() > 0) {
-      val exit = cur.filter(!cond)
-      out = Some(out.map(_.unionAll(exit)).getOrElse(exit))
-      cur = body(cur.filter(cond), i).localCheckpoint()
+      exits = cur.filter(!cond).localCheckpoint() :: exits
+      val next = body(cur.filter(cond), i).localCheckpoint()
+      cur.unpersist() // exits + next are materialized; nothing reads cur now
+      cur = next
       i += 1
     }
-    out.map(_.unionAll(cur)).getOrElse(cur)
+    (exits.reverse :+ cur).reduce(_ unionAll _)
   }
 
   /** GRAPH(ds, n, body) (TAKgraphloop :995): body sees ALL prior iteration
