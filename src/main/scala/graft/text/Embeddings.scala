@@ -62,6 +62,22 @@ object Embeddings {
     if (exact) decimalArraySum(arr)
     else aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
+  /** Codegen'd dot kernel (round 12, [[graft.functions.VecMath]]): the
+    * double mode's HOF folds were still interpreted per element; these
+    * run the identical IEEE operation sequence as ONE generated call per
+    * row. Used on every `exact = false` path below.
+    */
+  private def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.VecDot(
+      org.apache.spark.sql.GraftBridge.expression(a),
+      org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Codegen'd vec-against-matrix-rows kernel → array<double> of dots. */
+  private def vecMatDots(vec: Column, mat: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(graft.functions.VecMatDots(
+      org.apache.spark.sql.GraftBridge.expression(vec),
+      org.apache.spark.sql.GraftBridge.expression(mat)))
+
   /** L2 norm per vector ([[norm]]; decimal-accumulated when `exact`). */
   def norms(df: DataFrame, id: Column, vec: Column,
       exact: Boolean = true): DataFrame =
@@ -72,8 +88,10 @@ object Embeddings {
     * default; decimal-exact under `exact` (see [[arraySum]]).
     */
   def dot(a: Column, b: Column, exact: Boolean = false): Column =
-    arraySum(zip_with(a, b,
-      (x, y) => x.cast("double") * y.cast("double")), exact).cast("double")
+    if (exact)
+      arraySum(zip_with(a, b,
+        (x, y) => x.cast("double") * y.cast("double")), exact).cast("double")
+    else vecDot(a, b)
 
   /** Exact cosine between two vector columns: decimal dot product over the
     * zipped per-position products (all in whole-stage codegen).
@@ -149,8 +167,10 @@ object Embeddings {
     * decimal-accumulated under `exact` (see [[arraySum]]).
     */
   def norm(vec: Column, exact: Boolean = false): Column =
-    sqrt(arraySum(transform(vec, v =>
-      v.cast("double") * v.cast("double")), exact).cast("double"))
+    if (exact)
+      sqrt(arraySum(transform(vec, v =>
+        v.cast("double") * v.cast("double")), exact).cast("double"))
+    else sqrt(vecDot(vec, vec))
 
   /** Exact L2 norm of one vector column (decimal-accumulated, scalar). */
   def normExact(vec: Column): Column = norm(vec, exact = true)
@@ -184,8 +204,11 @@ object Embeddings {
       exact: Boolean): Column =
     // coalesce: vectors shorter than `dim` zip against trailing nulls —
     // those positions contribute 0, same as the exploded formulation
-    arraySum(zip_with(vec, typedLit(signs.toSeq),
-      (v, s) => coalesce(v.cast("double") * s, lit(0.0))), exact)
+    // (VecDot's zero-fill contract is identical)
+    if (exact)
+      arraySum(zip_with(vec, typedLit(signs.toSeq),
+        (v, s) => coalesce(v.cast("double") * s, lit(0.0))), exact)
+    else vecDot(vec, typedLit(signs.toSeq))
 
   /** Plane count that keeps expected LSH bucket occupancy near
     * `targetBucketSize` at a given corpus size: buckets = 2^planes, and
@@ -417,7 +440,11 @@ object Embeddings {
     // tie-break, so the two forms are result-identical in both precision
     // modes (TextOpsSpec pins this).
     val arr =
-      if (centroids.size <= MatrixThreshold)
+      if (!exact)
+        // production path: ONE codegen'd kernel call per row, O(1) plan
+        // size at any C (the matrix is a single literal)
+        vecMatDots(vec, typedLit(centroids.map(_._2.toSeq)))
+      else if (centroids.size <= MatrixThreshold)
         array(centroids.map { case (_, cvec) =>
           arraySum(zip_with(vec, typedLit(cvec.toSeq),
             (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
@@ -489,20 +516,22 @@ object Embeddings {
     // property of the old per-super CASE chain, without its O(C·dim)
     // expression nodes, which at C~800 made driver analysis the
     // bottleneck). First-max ties at both levels, as before.
-    def dotOf(cv: Column): Column =
-      arraySum(zip_with(vec, cv,
-        (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
-        .cast("double")
+    def dotsAgainst(mat: Column): Column =
+      if (exact)
+        transform(mat, cv =>
+          arraySum(zip_with(vec, cv,
+            (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
+            .cast("double"))
+      else vecMatDots(vec, mat)
     val superM = typedLit(supers.map(_.toSeq))
-    val sArr = transform(sequence(lit(1), lit(supers.size)), i =>
-      dotOf(element_at(superM, i)))
+    val sArr = dotsAgainst(superM)
     val sIdx = array_position(sArr, array_max(sArr)).cast("int")
     val childVecs: Seq[Seq[Seq[Double]]] = supers.indices.map(i =>
       groups.getOrElse(i, centroids.take(1)).map(_._2.toSeq))
     val childIds: Seq[Seq[Int]] = supers.indices.map(i =>
       groups.getOrElse(i, centroids.take(1)).map(_._1))
     val kids = element_at(typedLit(childVecs), sIdx)
-    val kArr = transform(kids, kv => dotOf(kv))
+    val kArr = dotsAgainst(kids)
     val kIdx = array_position(kArr, array_max(kArr)).cast("int")
     val cell = element_at(element_at(typedLit(childIds), sIdx), kIdx)
     df.select(id.as("vec_id"), cell.as("cell"))

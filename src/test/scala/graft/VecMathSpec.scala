@@ -1,0 +1,88 @@
+package graft
+
+import graft.text.Embeddings
+import org.apache.spark.sql.functions._
+
+/** Codegen vector kernels: bit-identical to the HOF folds they replace
+  * (same IEEE operation sequence), zero-fill semantics, and actual
+  * participation in whole-stage codegen.
+  */
+class VecMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(0.5f, -1.25f, 3.0f, 0.125f), Array(2.0f, 0.5f, -1.0f, 4.0f)),
+    (2L, Array(1e30f, 1.0f, -1e30f, 1.0f), Array(1.0f, 1.0f, 1.0f, 1.0f)),
+    (3L, Array(0f, 0f, 0f, 0f), Array(9f, 9f, 9f, 9f))
+  ).toDF("id", "a", "b")
+
+  test("VecDot == the interpreted HOF double fold, bit for bit") {
+    // same ascending-index multiply-add sequence → identical doubles,
+    // including the catastrophic-cancellation row (1e30 + 1 - 1e30 + 1)
+    val got = vecs.select(col("id"), Embeddings.dot(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    val hof = vecs.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == hof.keySet)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(hof(k)), s"row $k: $v != ${hof(k)}")
+    }
+  }
+
+  test("zero-fill semantics: length mismatch and null elements contribute 0") {
+    val df = Seq((1L, Seq(Some(2.0f), None, Some(3.0f)), Seq(4.0f)))
+      .toDF("id", "a", "b")
+    // only position 0 overlaps and is non-null: 2*4 = 8
+    val d = df.select(Embeddings.dot(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(d == 8.0)
+    // null ARRAY (not element) still nulls the result
+    val dn = df.select(Embeddings.dot(lit(null).cast("array<float>"), col("b")))
+      .collect().head
+    assert(dn.isNullAt(0))
+  }
+
+  test("norm/planeProj routes: double mode == decimal mode on clean data") {
+    // row 2's 1e30 components overflow the decimal path's scale-12 cast
+    // by design — the exact mode is for embedding-magnitude data
+    val n = vecs.filter(col("id") =!= 2)
+      .select(Embeddings.norm(col("a")).as("n"),
+        Embeddings.norm(col("a"), exact = true).as("ne"))
+      .collect()
+    n.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("VecMatDots == per-centroid VecDot, double and float vectors") {
+    val mat = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.5, 0.5, -0.5, 0.25))
+    val got = vecs.select(col("id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.VecMatDots(
+          org.apache.spark.sql.GraftBridge.expression(col("a")),
+          org.apache.spark.sql.GraftBridge.expression(typedLit(mat)))).as("d"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val single = vecs.select(col("id"),
+        Embeddings.dot(col("a"), typedLit(mat.head)).as("d0"),
+        Embeddings.dot(col("a"), typedLit(mat(1))).as("d1"))
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> Seq(t._2, t._3)).toMap
+    assert(got == single)
+  }
+
+  test("the kernel runs inside whole-stage codegen (no interpreted HOF " +
+      "in the production dot path)") {
+    // build arrays from a range column so the projection cannot collapse
+    // to a LocalTableScan (literal-only frames constant-fold away)
+    val df = spark.range(100).select(
+      array(col("id").cast("float"), (col("id") * 2).cast("float")).as("a"),
+      array(lit(1.0f), lit(2.0f)).as("b"))
+    val plan = df.select(Embeddings.dot(col("a"), col("b")).as("d"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the whole-stage-codegen span marker
+    assert(plan.contains("*(1) Project"), s"projection not codegen'd:\n$plan")
+    assert(plan.contains("vec_dot"), s"kernel not in plan:\n$plan")
+    assert(!plan.contains("lambdafunction"),
+      s"interpreted HOF fold still present:\n$plan")
+  }
+}
