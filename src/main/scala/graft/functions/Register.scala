@@ -153,6 +153,12 @@ object Register {
     reg.createOrReplaceTempFunction("ecl_hash64",
       exprs => EclHash64(org.apache.spark.sql.catalyst.expressions.Cast(
         exprs.head, org.apache.spark.sql.types.StringType)), "scala_udf")
+    // codegen vector kernels (VecMath.scala) for spark.sql(...) callers:
+    // vec_dot(a, b) → double; vec_mat_dots(v, m) → array<double>
+    reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_mat_dots",
+      exprs => VecMatDots(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("ecl_clean_spaces",
       (s: String) => if (s == null) null
         else s.trim.replaceAll("\\s+", " "))

@@ -95,7 +95,7 @@ object PlanDump {
       "q213_heavy_hitters" ->
         "exact heavy hitters: per-partition SpaceSaving candidates (bounded state), broadcast-semi recount — the full key domain never shuffles",
       "q215_semdedup" ->
-        "SemDeDup: broadcast IVF assignment (zero shuffle), ONE cell-id hash shuffle for the within-cell pair join, decimal-exact refine",
+        "SemDeDup: broadcast IVF assignment (zero shuffle, codegen vec_mat_dots kernel), ONE cell-id hash shuffle for the within-cell pair join, codegen vec_dot refine",
       "q217_fuzzy_join" ->
         "fuzzy join: deletion-variant explode + equi-join on the signature — no BNLJ despite the edit-distance predicate",
       "q223_terasort" ->

@@ -70,6 +70,21 @@ class VecMathSpec extends SparkSpec {
     assert(got == single)
   }
 
+  test("SQL registry: vec_dot / vec_mat_dots callable from spark.sql") {
+    graft.functions.Register.all(spark)
+    vecs.createOrReplaceTempView("vm_vecs")
+    val d = spark.sql(
+      "SELECT id, vec_dot(a, b) AS d FROM vm_vecs WHERE id = 1")
+      .collect().head.getDouble(1)
+    // 0.5*2 + (-1.25)*0.5 + 3*(-1) + 0.125*4 = 1 - 0.625 - 3 + 0.5
+    assert(d == 0.5 * 2 + -1.25 * 0.5 + 3.0 * -1.0 + 0.125 * 4.0)
+    val m = spark.sql(
+      "SELECT vec_mat_dots(a, array(array(1.0d, 0d, 0d, 0d))) AS ds " +
+        "FROM vm_vecs WHERE id = 3")
+      .collect().head.getSeq[Double](0)
+    assert(m == Seq(0.0))
+  }
+
   test("the kernel runs inside whole-stage codegen (no interpreted HOF " +
       "in the production dot path)") {
     // build arrays from a range column so the projection cannot collapse
