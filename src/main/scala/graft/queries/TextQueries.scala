@@ -861,6 +861,40 @@ object TextQueries {
         .select(col("id"), col("url"),
           TextOps.canonicalUrl(col("url")).as("canon"))
         .orderBy(col("id"))
+    },
+
+    // ---- span-level duplicate-text REMOVAL (ExactSubstr, Lee et al.
+    // 2021): q73 counts cross-doc dup passages; this gate produces the
+    // CLEANED corpus — the oracle rebuilds the full cut-and-stitch
+    // (gram keeper policy, overlapping-span union, empty-doc handling)
+    // in SQL and the hash compares every reconstructed text.
+    QueryDef("q226_dedup_spans",
+      """WITH base AS (SELECT doc_id, trim(text) AS t FROM documents),
+        |tw AS (SELECT doc_id,
+        |  list_filter(string_split_regex(t, '\s+'), x -> length(x) > 0) AS w
+        |  FROM base),
+        |gp AS (SELECT doc_id, w,
+        |  UNNEST(range(greatest(len(w) - 7, 0))) AS gpos FROM tw),
+        |gr AS (SELECT doc_id, gpos,
+        |  array_to_string(w[gpos+1:gpos+8], ' ') AS gram FROM gp),
+        |dup AS (SELECT gram, min(doc_id) AS keeper FROM gr
+        |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |rem AS (SELECT DISTINCT g.doc_id, g.gpos + j.j AS pos
+        |  FROM gr g JOIN dup d USING (gram), range(8) j(j)
+        |  WHERE g.doc_id <> d.keeper),
+        |tp0 AS (SELECT doc_id, w, UNNEST(range(len(w))) AS pos FROM tw),
+        |tp AS (SELECT doc_id, pos, w[pos+1] AS word FROM tp0),
+        |kept AS (SELECT tp.doc_id, tp.pos, tp.word
+        |  FROM tp ANTI JOIN rem USING (doc_id, pos)),
+        |ck AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean,
+        |  COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(ck.text_clean, '') AS text_clean,
+        |  CAST(len(w) - COALESCE(ck.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM base b JOIN tw USING (doc_id) LEFT JOIN ck USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      TextOps.removeDupSpans(Tables.documents(s, dir),
+          col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id"))
     }
   )
 }

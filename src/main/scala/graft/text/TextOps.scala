@@ -428,6 +428,61 @@ object TextOps {
         x => x.getField("line")), "\n").as("text"))
   }
 
+  /** Span-level duplicate-text REMOVAL (Lee et al. 2021, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr operation): q73 COUNTS cross-doc duplicated k-gram
+    * passages; this op produces the CLEANED CORPUS, cutting every token
+    * covered by a k-gram that also appears in another document, except
+    * in the gram's canonical keeper doc (MIN doc_id — same
+    * smaller-id-wins policy as the document-level dedups). Overlapping
+    * removed grams union their token spans; documents shorter than k
+    * tokens pass through untouched; a fully-boilerplate doc comes back
+    * as an empty string, not a dropped row.
+    *
+    * Lowering — linear end to end, no pair products anywhere:
+    * gram generation is a per-row array transform (zero shuffle);
+    * ONE gram-keyed aggregate finds cross-doc grams (partial+final);
+    * removed token positions explode k rows per removed occurrence and
+    * anti-join back onto the token stream; reconstruction is one
+    * doc-keyed aggregate (sort-by-position inside the row, the
+    * [[dedupLines]] pattern). Gram shuffle volume = token count — the
+    * q73 class. Output: (doc_id, text_clean, n_removed).
+    */
+  def removeDupSpans(df: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, "span gram size must be >= 2")
+    val base = graft.ops.Shape.split(
+      df.select(id.as("doc_id"), words(text).as("w")))
+    // gram at 0-based token offset i covers tokens [i, i+k-1]
+    val grams = base.select(col("doc_id"),
+      posexplode(when(size(col("w")) >= k,
+        transform(sequence(lit(0), size(col("w")) - k),
+          i => array_join(slice(col("w"), i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))).as(Seq("gpos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+    val removedPos = grams.join(dup, "gram")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("gpos"), col("gpos") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "word")))
+    val kept = toks.join(removedPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        x => x.getField("word")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    base.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        (size(col("w")) - coalesce(col("n_kept"), lit(0L))).cast("long")
+          .as("n_removed"))
+  }
+
   /** URL canonicalization for crawl dedup — the standard syntax-based
     * normalizations (RFC 3986 §6): lowercase scheme+host, strip default
     * ports (http:80 / https:443), drop fragments, strip tracking params

@@ -396,6 +396,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out("the quick brown fox jumps") == ((3L, 4L, 1L, 3L)))
   }
 
+  test("removeDupSpans: keeper doc untouched, spans cut elsewhere, " +
+      "overlap unions, short docs pass, full-dup doc -> empty string") {
+    val docs = Seq(
+      (1L, "a b c d e f g h t1"),        // keeper of gram "a..h"
+      (2L, "x a b c d e f g h"),         // loses the 8-token span -> "x"
+      (3L, "only seven words here not enough grams"), // < 8 tokens
+      (4L, "a b c d e f g h i"),         // loses gram0's span, keeps "i"
+      (5L, "z b c d e f g h i")          // loses gram "b..i" -> "z"
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps
+      .removeDupSpans(docs, col("doc_id"), col("text"), k = 8)
+      .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == ("a b c d e f g h t1", 0L)) // keeper keeps all
+    assert(got(2L) == ("x", 8L))
+    assert(got(3L) == ("only seven words here not enough grams", 0L))
+    // doc4 is keeper of "b..i" so only gram0's positions 0..7 go
+    assert(got(4L) == ("i", 8L))
+    assert(got(5L) == ("z", 8L))
+    // a doc that is ENTIRELY duplicated text comes back empty, not missing
+    val dup6 = docs.unionAll(Seq((6L, "a b c d e f g h")).toDF("doc_id", "text"))
+    val g6 = graft.text.TextOps
+      .removeDupSpans(dup6, col("doc_id"), col("text"), k = 8)
+      .filter(col("doc_id") === 6).as[(Long, String, Long)].collect().head
+    assert(g6 == ((6L, "", 8L)))
+  }
+
   test("dedupLines drops cross-doc boilerplate, keeps order and within-doc dups") {
     val docs = Seq(
       (1L, "alpha one\nSubscribe now!\nalpha two\nalpha two"),
