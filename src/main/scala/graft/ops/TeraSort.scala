@@ -46,7 +46,10 @@ object TeraSort {
 
   /** Per-partition validation summary: is the partition internally
     * sorted, its first/last key, row count, and a permutation checksum
-    * (decimal sum of xxhash64(key) — order-independent, overflow-safe).
+    * (decimal sum of the key's leading 8 bytes read as an unsigned
+    * big-endian integer — order-independent, overflow-safe, and
+    * oracle-reproducible: DuckDB computes the same sum from the md5 hex
+    * prefix, so the certificate row is hash-checkable end to end).
     */
   private final case class PartSummary(pid: Int, okWithin: Boolean,
       first: Array[Byte], last: Array[Byte], rows: Long,
@@ -63,12 +66,26 @@ object TeraSort {
     a.length - b.length
   }
 
+  /** Unsigned big-endian value of the key's leading 8 bytes — the unit of
+    * the permutation checksum. JVM-side twin of [[keyChecksum]].
+    */
+  private def keyPrefixValue(k: Array[Byte]): java.math.BigDecimal =
+    new java.math.BigDecimal(
+      new java.math.BigInteger(1, java.util.Arrays.copyOf(k, 8)))
+
+  /** Column form of the checksum unit: the key's first 8 bytes as an
+    * unsigned decimal. `conv(hex, 16, 10)` reads 16 hex digits as an
+    * unsigned 64-bit value — the same number DuckDB gets from
+    * `CAST('0x' || substr(md5_hex, 1, 16) AS UBIGINT)`.
+    */
+  def keyChecksum(key: Column): Column =
+    conv(substring(hex(key), 1, 16), 16, 10).cast(DecimalType(38, 0))
+
   /** One streaming pass over each partition of `sorted` (keyed by column
     * `key`): O(#partitions) rows to the driver, never the data.
     */
   private def summarize(sorted: DataFrame, key: String): Seq[PartSummary] = {
-    val ki = sorted.schema.fieldIndex(key)
-    sorted.select(col(key), xxhash64(col(key)).as("__h"))
+    sorted.select(col(key))
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         var ok = true
         var first: Array[Byte] = null
@@ -81,7 +98,7 @@ object TeraSort {
           if (last != null && unsignedCompare(last, k) > 0) ok = false
           last = k
           rows += 1
-          sum = sum.add(java.math.BigDecimal.valueOf(r.getLong(1)))
+          sum = sum.add(keyPrefixValue(k))
         }
         Iterator(PartSummary(pid, ok, first, last, rows, sum))
       }.collect().toSeq.sortBy(_.pid)
@@ -89,7 +106,7 @@ object TeraSort {
 
   /** Order-independent permutation checksum of `key` over `df`. */
   def checksum(df: DataFrame, key: Column): java.math.BigDecimal =
-    df.agg(sum(xxhash64(key).cast(DecimalType(38, 0))).as("c"))
+    df.agg(sum(keyChecksum(key)).as("c"))
       .collect().head.getDecimal(0)
 
   /** Full validation certificate over a sorted frame: every partition
@@ -108,8 +125,15 @@ object TeraSort {
   }
 
   /** generate → sort → validate, returning a ONE-ROW certificate:
-    * (n_rows, sorted_ok, checksum_ok). The bench entry times this whole
-    * pipeline — the reference's terasort + teravalidate in one.
+    * (n_rows, sorted_ok, checksum). `sorted_ok` bundles the order
+    * certificate AND the internal permutation check (output sum equals
+    * the pre-sort sum); `checksum` is the permutation checksum VALUE,
+    * which an oracle reproduces independently from the generation
+    * contract (sum over i in [0,n) of the md5(i) 16-hex-digit prefix as
+    * an unsigned 64-bit integer) — so the certificate row itself is
+    * hash-checkable, not merely self-asserted. The bench entry times
+    * this whole pipeline — the reference's terasort + teravalidate in
+    * one.
     */
   def run(spark: SparkSession, n: Long, numPartitions: Int = 0): DataFrame = {
     val in = generate(spark, n, numPartitions)
@@ -119,9 +143,10 @@ object TeraSort {
     val schema = StructType(Seq(
       StructField("n_rows", LongType, nullable = false),
       StructField("sorted_ok", BooleanType, nullable = false),
-      StructField("checksum_ok", BooleanType, nullable = false)))
+      StructField("checksum", DecimalType(38, 0), nullable = false)))
     spark.createDataFrame(
-      java.util.Arrays.asList(Row(rows, ok, inSum.compareTo(outSum) == 0)),
+      java.util.Arrays.asList(
+        Row(rows, ok && inSum.compareTo(outSum) == 0, outSum)),
       schema)
   }
 }

@@ -218,8 +218,23 @@ object OrderedQueries {
 
     // sf-scaled terasort + teravalidate: n = 4 × |lineitem| 100-byte
     // records, one RangePartitioning exchange, certificate row out.
-    // Not SQL-expressible (binary keys + validation passes) → rows-only.
-    QueryDef.noOracle("q224_terasort_scale") { (s, dir) =>
+    // The certificate is oracle-checkable: the permutation checksum is
+    // the sum of each key's leading 8 bytes as an unsigned 64-bit
+    // integer, which DuckDB reproduces from the generation contract
+    // (md5 hex prefix) without ever seeing the sorted data — the
+    // hash-match certifies the sort preserved the multiset of keys.
+    // (range() only takes constants in DuckDB, so the oracle synthesizes
+    // ids 0..4n-1 as 4*rownum+j over lineitem × range(4).)
+    QueryDef("q224_terasort_scale",
+      """WITH nn AS (SELECT CAST(4*count(*) AS BIGINT) AS n FROM lineitem),
+        |idx AS (SELECT (ROW_NUMBER() OVER ()) - 1 AS rn FROM lineitem),
+        |r AS (SELECT md5(CAST(rn*4 + j AS VARCHAR)) AS h
+        |      FROM idx, range(4) t(j))
+        |SELECT (SELECT n FROM nn) AS n_rows,
+        |  TRUE AS sorted_ok,
+        |  SUM(CAST(CAST('0x' || substr(h,1,16) AS UBIGINT)
+        |      AS DECIMAL(38,0))) AS checksum
+        |FROM r""".stripMargin) { (s, dir) =>
       val n = 4L * Tables.lineitem(s, dir).count()
       graft.ops.TeraSort.run(s, n)
     }

@@ -13,12 +13,25 @@ class TeraSortSpec extends SparkSpec {
   test("generate → sort → validate: certificate green, 100-byte records") {
     val out = TeraSort.run(spark, 50000L).collect().head
     assert(out.getLong(0) == 50000L)
-    assert(out.getBoolean(1), "order certificate failed")
-    assert(out.getBoolean(2), "permutation checksum mismatch")
+    assert(out.getBoolean(1), "order + permutation certificate failed")
+    assert(out.getDecimal(2) != null)
     // record layout: 10-byte key + 90-byte payload
     val r = TeraSort.generate(spark, 10L).collect().head
     assert(r.getAs[Array[Byte]](0).length == 10)
     assert(r.getAs[Array[Byte]](1).length == 90)
+  }
+
+  test("permutation checksum is oracle-reproducible (golden n=1000)") {
+    // DuckDB twin: SELECT SUM(CAST(CAST('0x'||substr(md5(CAST(i AS
+    // VARCHAR)),1,16) AS UBIGINT) AS DECIMAL(38,0))) FROM range(1000)
+    val golden = new java.math.BigDecimal("9174853027808886369227")
+    val out = TeraSort.run(spark, 1000L).collect().head
+    assert(out.getDecimal(2).compareTo(golden) == 0,
+      s"checksum ${out.getDecimal(2)} != oracle golden $golden")
+    // and the expression path agrees with the JVM summarizer path
+    val exprSum = TeraSort.checksum(TeraSort.generate(spark, 1000L),
+      col("key"))
+    assert(exprSum.compareTo(golden) == 0)
   }
 
   test("validator rejects an unsorted frame") {
