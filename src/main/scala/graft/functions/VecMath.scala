@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -47,18 +48,22 @@ object VecMath {
     acc
   }
 
-  /** All dots of `vec` against the rows of `mat` (array<array<double>>),
-    * one output per row — the IVF-assignment kernel. Null matrix rows
+  /** All dots of `vec` against the rows of `mat`
+    * (array<array<float|double>>), one output per row — the
+    * IVF-assignment kernel. `fr` flags the INNER element type of the
+    * matrix rows (a float matrix read as doubles would silently
+    * reinterpret 4-byte storage as 8-byte values). Null matrix rows
     * yield 0 (they cannot occur from the literal builders).
     */
-  def matDots(vec: ArrayData, fv: Boolean, mat: ArrayData): ArrayData = {
+  def matDots(vec: ArrayData, fv: Boolean, mat: ArrayData,
+      fr: Boolean): ArrayData = {
     val c = mat.numElements()
     val out = new Array[Double](c)
     var j = 0
     while (j < c) {
       out(j) =
         if (mat.isNullAt(j)) 0.0
-        else dot(vec, fv, mat.getArray(j), fr = false)
+        else dot(vec, fv, mat.getArray(j), fr)
       j += 1
     }
     new GenericArrayData(out)
@@ -71,6 +76,25 @@ object VecMath {
       case other => throw new IllegalArgumentException(
         s"expected array<float|double>, got $other")
     }
+
+  /** Inner-element float flag of an array<array<float|double>> operand. */
+  private[functions] def isFloatMatrix(e: Expression): Boolean =
+    e.dataType match {
+      case ArrayType(ArrayType(FloatType, _), _) => true
+      case ArrayType(ArrayType(DoubleType, _), _) => false
+      case other => throw new IllegalArgumentException(
+        s"expected array<array<float|double>>, got $other")
+    }
+
+  private[functions] def vecTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  private[functions] def matTypeOk(t: DataType): Boolean = t match {
+    case ArrayType(inner, _) => vecTypeOk(inner)
+    case _ => false
+  }
 }
 
 /** `dot(left, right)` as one codegen'd call per row (see [[VecMath]]). */
@@ -81,6 +105,13 @@ case class VecDot(left: Expression, right: Expression)
 
   private lazy val fl = VecMath.isFloatArray(left)
   private lazy val fr = VecMath.isFloatArray(right)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecMath.vecTypeOk(left.dataType) && VecMath.vecTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float|double>, array<float|double>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
 
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VecMath.dot(l.asInstanceOf[ArrayData], fl, r.asInstanceOf[ArrayData], fr)
@@ -100,13 +131,23 @@ case class VecMatDots(left: Expression, right: Expression)
   override def prettyName: String = "vec_mat_dots"
 
   private lazy val fv = VecMath.isFloatArray(left)
+  private lazy val fr = VecMath.isFloatMatrix(right)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VecMath.vecTypeOk(left.dataType) && VecMath.matTypeOk(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_mat_dots expects (array<float|double>, " +
+        s"array<array<float|double>>), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
 
   override protected def nullSafeEval(v: Any, m: Any): Any =
-    VecMath.matDots(v.asInstanceOf[ArrayData], fv, m.asInstanceOf[ArrayData])
+    VecMath.matDots(v.asInstanceOf[ArrayData], fv, m.asInstanceOf[ArrayData],
+      fr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (v, m) =>
-      s"graft.functions.VecMath.matDots($v, $fv, $m)")
+      s"graft.functions.VecMath.matDots($v, $fv, $m, $fr)")
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): VecMatDots = copy(left = l, right = r)

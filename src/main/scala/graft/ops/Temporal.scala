@@ -131,6 +131,14 @@ object Temporal {
     *
     * Same semantics as [[asofJoin]] (backward, tie-inclusive, left-outer,
     * tolerance) — DifferentialSpec pins the two lowerings to each other.
+    *
+    * NOTE: the carry-budget guard runs an EAGER approx-distinct job over
+    * `right`'s key column at plan-construction time (one scan even if the
+    * returned frame is never executed) — callers building many ranged
+    * as-of plans over the same right side should cache it. The estimate
+    * is approximate (rsd 2%), so the budget is compared with a 0.9
+    * safety factor; a borderline workload falls back to the window
+    * lowering rather than risk an over-budget collect.
     */
   def asofJoinRanged(
       left: DataFrame,
@@ -158,8 +166,8 @@ object Temporal {
     // only RIGHT rows create carry entries (pass 1 records the last right
     // payload per key), so the right side's key cardinality is the bound
     val approxKeys = right.select(col(key))
-      .agg(approx_count_distinct(col(key))).collect().head.getLong(0)
-    if (approxKeys + math.max(numPartitions, 1) > maxCarryEntries)
+      .agg(approx_count_distinct(col(key), 0.02)).collect().head.getLong(0)
+    if (approxKeys + math.max(numPartitions, 1) > maxCarryEntries * 0.9)
       return asofJoin(left, right, key, leftTs, rightTs, payload,
         toleranceSec)
     val rTagged = right.select(

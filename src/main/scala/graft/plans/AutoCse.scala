@@ -23,7 +23,20 @@ object AutoCse {
     * Leaf relations are skipped (a bare scan re-read is cheaper than a
     * cache round-trip at 100 TB; the win is shared COMPUTE).
     */
-  def cacheShared(df: DataFrame, minOccurrences: Int = 2): Int = {
+  def cacheShared(df: DataFrame, minOccurrences: Int = 2): Int =
+    cacheSharedReleasable(df, minOccurrences)._1
+
+  /** Like [[cacheShared]] but also returns a release handle that uncaches
+    * every subplan this call registered. Unlike loop checkpoints
+    * (Workflow.Checkpointed), these ARE CacheManager entries, so
+    * `unpersist()` genuinely frees them — but nothing did so
+    * automatically: a long-lived session that auto-CSEs many queries
+    * would accumulate materialized subplans until memory pressure
+    * evicts them. Call `release()` once the consuming queries have run
+    * (AutoCseSpec pins that pinned storage returns to zero).
+    */
+  def cacheSharedReleasable(df: DataFrame,
+      minOccurrences: Int = 2): (Int, () => Unit) = {
     val spark = df.sparkSession
     val plan = df.queryExecution.analyzed
 
@@ -40,7 +53,7 @@ object AutoCse {
 
     // cache maximal shared subtrees: walk top-down, stop descending once a
     // node qualifies (children are covered by the parent's materialization)
-    var cached = 0
+    val registered = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val done = scala.collection.mutable.HashSet.empty[LogicalPlan]
     def walk(node: LogicalPlan): Unit = {
       val c = node.canonicalized
@@ -48,13 +61,14 @@ object AutoCse {
         counts.getOrElse(c, 0) >= minOccurrences
       if (qualifies) {
         if (done.add(c)) {
-          GraftBridge.ofRows(spark, originals(c))
+          val cachedDf = GraftBridge.ofRows(spark, originals(c))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          cached += 1
+          registered += cachedDf
         }
       } else node.children.foreach(walk)
     }
     walk(plan)
-    cached
+    val frames = registered.toList
+    (frames.size, () => frames.foreach(_.unpersist(blocking = false)))
   }
 }

@@ -86,11 +86,18 @@ object Embeddings {
   /** Dot product of two vector columns: one per-row fold over the zipped
     * per-position products (all in whole-stage codegen). Double fold by
     * default; decimal-exact under `exact` (see [[arraySum]]).
+    *
+    * Degenerate inputs follow the SAME zero-fill contract in both modes
+    * (matching [[graft.functions.VecMath.dot]]): a null element or a
+    * position past the shorter array contributes 0 — hence the coalesce
+    * in the exact fold, without which a single null would NULL the whole
+    * decimal result while the default path returned a number.
     */
   def dot(a: Column, b: Column, exact: Boolean = false): Column =
     if (exact)
       arraySum(zip_with(a, b,
-        (x, y) => x.cast("double") * y.cast("double")), exact).cast("double")
+        (x, y) => coalesce(x.cast("double") * y.cast("double"), lit(0.0))),
+        exact).cast("double")
     else vecDot(a, b)
 
   /** Exact cosine between two vector columns: decimal dot product over the
@@ -110,8 +117,11 @@ object Embeddings {
     // corpus) pair — the corpus streams once with no shuffle before the
     // per-query ranking window. Norms are computed ONCE PER SIDE before
     // the join (each corpus norm was previously re-folded per query — ~2/3
-    // of the arithmetic on a 20-query set); decimal accumulation keeps
-    // scores bit-identical to the oracle's explode+SUM(DECIMAL).
+    // of the arithmetic on a 20-query set). Under `exact = true` the
+    // decimal accumulation keeps scores bit-identical to the oracle's
+    // explode+SUM(DECIMAL); the default double path relies on the
+    // discrete-output argument (ranks, not scores, are emitted — see
+    // DifferentialSpec's double==decimal verdict certificate).
     val q = queries.select(qid.as("q_id"), qvec.as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb"), exact))
     val c = corpus.select(cid.as("c_id"), cvec.as("c_emb"))

@@ -60,19 +60,26 @@ object ScaleUp {
     // real corpus of distinct vectors doesn't have); rotation preserves
     // the norm and component distribution while decorrelating projections.
     // Rotation wraps at dim (copies > 64 would slice negative lengths);
-    // past one full wrap, flip the first component's sign — also
-    // norm-preserving, and it decorrelates the wrapped generation from
-    // the first (cosine/LSH are scale-invariant but not sign-invariant).
+    // past a full wrap, flip the signs of the components selected by the
+    // WRAP COUNT'S BITS (component i negated iff bit i of copy/dim is
+    // set) — norm-preserving, wrap 0 is the identity, and every wrap
+    // gets a distinct sign pattern, so copies stay pairwise distinct for
+    // 2^dim wraps (a single fixed flip repeated at copy c+2*dim and
+    // beyond — i.e. past ~sf12.8 from sf0.1 — would reintroduce the
+    // exact-duplicate pile-up the rotation exists to avoid).
     scaled("embeddings", Seq("vec_id"), d => {
-      val rot = pmod(col("__copy"), size(col("embedding")))
+      val dim = size(col("embedding"))
+      val rot = pmod(col("__copy"), dim)
+      val wrap = floor(col("__copy") / dim).cast("int")
       val rotated = concat(
-        slice(col("embedding"), rot + 1, size(col("embedding")) - rot),
+        slice(col("embedding"), rot + 1, dim - rot),
         slice(col("embedding"), lit(1), rot))
+      // bit i of wrap via exact power-of-two division (shiftright's Scala
+      // API wants a static shift; /2^i over doubles is exact here)
       d.withColumn("embedding",
-        when(col("__copy") >= size(col("embedding")),
-          concat(array(-element_at(rotated, 1)),
-            slice(rotated, lit(2), size(rotated) - 1)))
-          .otherwise(rotated))
+        transform(rotated, (x, i) =>
+          when(pmod(floor(wrap / pow(lit(2.0), i)), lit(2)) === 1, -x)
+            .otherwise(x)))
     })
     spark.stop()
   }

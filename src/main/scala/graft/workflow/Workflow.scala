@@ -60,6 +60,24 @@ object Workflow {
     * grow exponentially (`LFparallel` flags :2671 are Spark's scheduler's
     * concern).
     */
+  /** A localCheckpoint'd frame plus a handle that ACTUALLY releases its
+    * blocks. `Dataset.unpersist()` is a no-op here: checkpoint blocks are
+    * RDD-level persistence on the internal RDD, not a CacheManager entry,
+    * so they would otherwise only be freed by the ContextCleaner after a
+    * driver GC. We pull the checkpointed RDD out of the resulting
+    * LogicalRDD leaf and unpersist IT when the frame is superseded.
+    */
+  private[graft] final case class Checkpointed(df: DataFrame,
+      release: () => Unit)
+
+  private[graft] def checkpointEager(df: DataFrame): Checkpointed = {
+    val ck = df.localCheckpoint()
+    val rdds = ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    Checkpointed(ck, () => rdds.foreach(_.unpersist(blocking = false)))
+  }
+
   def loopN(df: DataFrame, n: Int, checkpointEvery: Int = 4)(
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     var cur = df
@@ -68,13 +86,16 @@ object Workflow {
     // next checkpoint is materialized nothing can reference the previous
     // one — leaving it cached pins O(iterations) full copies of the data
     // and thrashed the block store at the sf10 rehearsal (q190 class).
-    var prev: Option[DataFrame] = None
+    // Release goes through the checkpointed RDD handle (Checkpointed),
+    // not Dataset.unpersist, which cannot see checkpoint blocks.
+    var prev: Option[Checkpointed] = None
     for (i <- 1 to n) {
       cur = body(cur, i)
       if (i % checkpointEvery == 0) {
-        cur = cur.localCheckpoint()
-        prev.foreach(_.unpersist())
-        prev = Some(cur)
+        val ck = checkpointEager(cur)
+        cur = ck.df
+        prev.foreach(_.release())
+        prev = Some(ck)
       }
     }
     cur
@@ -92,14 +113,15 @@ object Workflow {
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     require(maxIter >= 0, "maxIter must be >= 0")
     var cur = df
-    var prev: Option[DataFrame] = None // see loopN: release superseded blocks
+    var prev: Option[Checkpointed] = None // see loopN: release superseded blocks
     var i = 1
     while (i <= maxIter && continueWhile(cur)) {
       cur = body(cur, i)
       if (i % checkpointEvery == 0) {
-        cur = cur.localCheckpoint()
-        prev.foreach(_.unpersist())
-        prev = Some(cur)
+        val ck = checkpointEager(cur)
+        cur = ck.df
+        prev.foreach(_.release())
+        prev = Some(ck)
       }
       i += 1
     }
@@ -121,25 +143,34 @@ object Workflow {
     // Memory contract (found at the sf10 rehearsal: 444 s → block-store
     // thrash): exits are checkpointed EAGERLY (they are disjoint slices,
     // their total is exactly |df|) so the superseded looping checkpoint
-    // can be unpersisted the moment its successor is materialized. Pinned
-    // blocks are then ≤ |exits so far| + |current looping set| ≈ |df|,
-    // instead of the sum of every iteration's (shrinking but large)
-    // looping copy — the previous shape pinned ~3–4× |df| and evicted.
-    var cur = df.localCheckpoint()
+    // can be released the moment its successor is materialized — via the
+    // checkpointed-RDD handle (Checkpointed), since Dataset.unpersist is
+    // a no-op on checkpoint blocks. Pinned blocks are then
+    // ≤ |exits so far| + |current looping set| ≈ |df|, instead of the sum
+    // of every iteration's (shrinking but large) looping copy — the
+    // previous shape pinned ~3–4× |df| and evicted.
+    var cur = checkpointEager(df)
     var exits = List.empty[DataFrame]
     var i = 1
-    while (i <= maxIter && cur.filter(cond).limit(1).count() > 0) {
-      exits = cur.filter(!cond).localCheckpoint() :: exits
-      val next = body(cur.filter(cond), i).localCheckpoint()
-      cur.unpersist() // exits + next are materialized; nothing reads cur now
+    while (i <= maxIter && cur.df.filter(cond).limit(1).count() > 0) {
+      exits = cur.df.filter(!cond).localCheckpoint() :: exits
+      val next = checkpointEager(body(cur.df.filter(cond), i))
+      cur.release() // exits + next are materialized; nothing reads cur now
       cur = next
       i += 1
     }
-    (exits.reverse :+ cur).reduce(_ unionAll _)
+    (exits.reverse :+ cur.df).reduce(_ unionAll _)
   }
 
   /** GRAPH(ds, n, body) (TAKgraphloop :995): body sees ALL prior iteration
     * results (TAKgraphloopresultread :996).
+    *
+    * Memory: unlike loopN, NOTHING here is superseded — every iteration's
+    * result stays addressable by contract, so all n checkpoints remain
+    * pinned while the vector is live (Σ|result_i| blocks, the same
+    * footprint the reference's graph-loop result store holds). Callers
+    * that only need the last k results should use [[graphWindowed]],
+    * which releases results as they fall out of the window.
     */
   def graphN(df: DataFrame, n: Int)(
       body: (Vector[DataFrame], Int) => DataFrame): Vector[DataFrame] = {
@@ -147,6 +178,29 @@ object Workflow {
     for (i <- 1 to n)
       results = results :+ body(results, i).localCheckpoint()
     results
+  }
+
+  /** GRAPH with a bounded result window: the body sees only the last
+    * `window` iteration results (still 1-indexed positionally from the
+    * window's start), and results that fall out of the window have their
+    * checkpoint blocks released eagerly — pinned storage stays
+    * ≤ window·max|result| instead of Σ|result_i|. This is the form to
+    * use for long graph iterations at scale when the dependency depth is
+    * known (most GRAPH bodies read only the previous 1–2 results).
+    */
+  def graphWindowed(df: DataFrame, n: Int, window: Int)(
+      body: (Vector[DataFrame], Int) => DataFrame): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    var live = Vector(checkpointEager(df))
+    for (i <- 1 to n) {
+      val res = checkpointEager(body(live.map(_.df), i))
+      live = live :+ res
+      if (live.length > window) {
+        live.head.release()
+        live = live.tail
+      }
+    }
+    live.last.df
   }
 
   /** DICTIONARY (type_dictionary=46 rtlconst.hpp:72): hash lookup built

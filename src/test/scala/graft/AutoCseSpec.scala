@@ -32,6 +32,31 @@ class AutoCseSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cacheSharedReleasable: release() uncaches exactly what was " +
+      "registered (these ARE CacheManager entries, unlike checkpoints)") {
+    spark.catalog.clearCache()
+    val agg = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+    val q = agg.filter(col("n") > 2).unionByName(agg.filter(col("n") <= 2))
+    val (cached, release) = AutoCse.cacheSharedReleasable(q)
+    assert(cached >= 1)
+    q.collect() // materialize the cache
+    val fresh = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")))
+    assert(fresh.queryExecution.withCachedData.toString
+      .contains("InMemoryRelation"))
+    release()
+    // after release the canonically-equal subplan is NOT served from cache
+    val fresh2 = Tables.customer(spark, sf)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")))
+    assert(!fresh2.queryExecution.withCachedData.toString
+      .contains("InMemoryRelation"),
+      "released subplan still served from cache")
+    spark.catalog.clearCache()
+  }
+
   test("cacheShared leaves single-consumer plans alone") {
     spark.catalog.clearCache()
     val q = Tables.orders(spark, sf).groupBy(col("o_orderstatus")).count()

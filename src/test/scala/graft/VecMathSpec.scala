@@ -85,6 +85,59 @@ class VecMathSpec extends SparkSpec {
     assert(m == Seq(0.0))
   }
 
+  test("VecMatDots reads a FLOAT matrix correctly (4-byte storage, not " +
+      "reinterpreted as doubles) and rejects non-vector operand types " +
+      "at analysis time") {
+    graft.functions.Register.all(spark)
+    vecs.createOrReplaceTempView("vm_vecs")
+    // float matrix: values chosen exactly representable → results equal
+    // the double-matrix formulation bit for bit
+    val f = spark.sql(
+      "SELECT vec_mat_dots(a, array(CAST(array(1.0, 0, 0, 0) AS " +
+        "array<float>), CAST(array(0.5, 0.5, -0.5, 0.25) AS " +
+        "array<float>))) AS ds FROM vm_vecs WHERE id = 1")
+      .collect().head.getSeq[Double](0)
+    assert(f == Seq(0.5, -1.84375), s"float matrix misread: $f")
+    // wrong operand type must fail at ANALYSIS, not produce garbage
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_mat_dots(a, array(array(1, 2, 3, 4))) " +
+        "FROM vm_vecs").collect()
+    }
+    assert(err.getMessage.contains("vec_mat_dots") ||
+      err.getMessage.toLowerCase.contains("type"),
+      s"unexpected error: ${err.getMessage}")
+    val err2 = intercept[Exception] {
+      spark.sql("SELECT vec_dot(a, array(1, 2, 3, 4)) FROM vm_vecs")
+        .collect()
+    }
+    assert(err2.getMessage.contains("vec_dot") ||
+      err2.getMessage.toLowerCase.contains("type"))
+  }
+
+  test("golden vectors: pinned IEEE ascending-fold results — any future " +
+      "reordering (SIMD, JIT, codegen change) fails loudly") {
+    // a=(0.5,-1.25,3.0,0.125)f: exact binary values, products exact
+    //   r0=(1,0,0,0)    → 0.5
+    //   r1=(.5,.5,-.5,.25) → 0.25 - 0.625 - 1.5 + 0.03125 = -1.84375
+    // cancellation row a=(1e30,1,-1e30,1)f · (1,1,1,1):
+    //   ascending fold: (1e30 + 1) absorbs to 1e30, -1e30 → 0, +1 → 1.0
+    //   (a reordered fold — e.g. pairwise (1e30-1e30)+(1+1) — gives 2.0)
+    val mat = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.5, 0.5, -0.5, 0.25))
+    val got = vecs.select(col("id"),
+        org.apache.spark.sql.GraftBridge.column(graft.functions.VecMatDots(
+          org.apache.spark.sql.GraftBridge.expression(col("a")),
+          org.apache.spark.sql.GraftBridge.expression(typedLit(mat)))).as("d"),
+        Embeddings.dot(col("a"), col("b")).as("s"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(got(1L)._1.map(bits) == Seq(0.5, -1.84375).map(bits),
+      s"golden matDots drifted: ${got(1L)._1}")
+    assert(bits(got(2L)._2) == bits(1.0),
+      s"golden cancellation dot drifted: ${got(2L)._2} (expected 1.0 — " +
+        "a value of 2.0 means the fold was reordered)")
+  }
+
   test("the kernel runs inside whole-stage codegen (no interpreted HOF " +
       "in the production dot path)") {
     // build arrays from a range column so the projection cannot collapse

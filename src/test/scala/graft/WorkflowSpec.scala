@@ -89,6 +89,49 @@ class WorkflowSpec extends SparkSpec {
     assert(results.map(_.count()).toSeq == Seq(1, 1, 2, 4))
   }
 
+  test("graphWindowed: bounded result window, out-of-window blocks released") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = Seq(1).toDF("x")
+    val out = Workflow.graphWindowed(df, 6, window = 2) { (prior, _) =>
+      // body sees AT MOST the last 2 results
+      assert(prior.length <= 2)
+      prior.reduce(_ unionAll _).withColumn("x", col("x") + 1)
+    }
+    assert(out.count() > 0)
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    // 7 checkpoints were created (input + 6 iterations); only the window
+    // (≤2) may remain pinned — superseded blocks are RELEASED, not left
+    // for the ContextCleaner
+    assert(pinned.size <= 2,
+      s"expected ≤2 pinned checkpoint RDDs, found ${pinned.size}")
+  }
+
+  test("loopN/loopWhile release superseded checkpoint blocks " +
+      "(block-store watermark: Dataset.unpersist is a no-op on " +
+      "checkpoints — the RDD handle must be unpersisted)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = Seq(1, 2, 3).toDF("x")
+    // 12 iterations / checkpointEvery=2 → 6 checkpoints created; all but
+    // the live last one must be released by the time the loop returns
+    val out = Workflow.loopN(df, 12, checkpointEvery = 2) { (d, _) =>
+      d.withColumn("x", col("x") + 1)
+    }
+    assert(out.count() == 3)
+    val pinnedN = sc.getPersistentRDDs.keySet -- before
+    assert(pinnedN.size <= 1,
+      s"loopN left ${pinnedN.size} checkpoint RDDs pinned (expected ≤1)")
+
+    val before2 = sc.getPersistentRDDs.keySet
+    Workflow.loopWhile(df, maxIter = 12, checkpointEvery = 2)(_ => true) {
+      (d, _) => d.withColumn("x", col("x") + 1)
+    }.count()
+    val pinnedW = sc.getPersistentRDDs.keySet -- before2
+    assert(pinnedW.size <= 1,
+      s"loopWhile left ${pinnedW.size} checkpoint RDDs pinned (expected ≤1)")
+  }
+
   test("dictionary lookup resolves via map-literal column") {
     val dict = Workflow.dictionary(
       Seq((0, "AFRICA"), (1, "AMERICA")).toDF("k", "v"), col("k"), col("v"))
