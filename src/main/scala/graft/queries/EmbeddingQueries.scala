@@ -330,6 +330,85 @@ object EmbeddingQueries {
         .orderBy(col("vec_id"))
     },
 
+    // ---- TWO-LEVEL IVF quantizer (C=144 > HierThreshold=128): the
+    // production assignment path at 100 TB scale, hash-verified. The
+    // oracle unrolls the WHOLE hierarchical chain in SQL: 144 md5-sampled
+    // unitized exemplars, the driver-side spherical Lloyd over them (3
+    // iterations, s=ceil(sqrt(144))=12 supers — decimal scale-12 terms so
+    // both engines compute identical values), then the per-row two-level
+    // argmax (nearest live super, then nearest child of that super).
+    // ivfAssignAuto routes C=144 through ivfAssignHierarchical — the
+    // require() makes the branch explicit; EmbeddingsSpec additionally
+    // pins the two-level plan shape. ----------------------------------
+    QueryDef("q227_ivf_two_level", {
+      // one Lloyd iteration: assign each exemplar to its first-max super
+      // (exact DECIMAL dot comparison), then per-super decimal mean →
+      // re-unitize; empty supers keep their previous vector
+      def lloyd(k: Int) = {
+        val p = k - 1
+        s"""g$k AS (SELECT c.ex_id, s.si,
+           |    SUM(CAST(c.u * s.u AS DECIMAL(30,12))) AS dot
+           |  FROM cent c JOIN sup$p s USING (pos) GROUP BY 1, 2),
+           |a$k AS (SELECT ex_id, si FROM (SELECT ex_id, si,
+           |    ROW_NUMBER() OVER (PARTITION BY ex_id
+           |      ORDER BY dot DESC, si) AS rn FROM g$k) WHERE rn = 1),
+           |m$k AS (SELECT a$k.si, c.pos,
+           |    CAST(SUM(CAST(c.u AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM cent c JOIN a$k USING (ex_id) GROUP BY 1, 2),
+           |n$k AS (SELECT si, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
+           |    AS DOUBLE)) AS nrm FROM m$k GROUP BY si),
+           |sup$k AS (SELECT m$k.si, pos, m / nrm AS u
+           |  FROM m$k JOIN n$k USING (si)
+           |  UNION ALL SELECT s.si, s.pos, s.u FROM sup$p s
+           |  WHERE s.si NOT IN (SELECT si FROM a$k))""".stripMargin
+      }
+      s"""WITH $VecCte,
+         |init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
+         |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT 144),
+         |cent AS (SELECT cx.c_id AS ex_id, cx.pos,
+         |    CAST(cx.v AS DOUBLE) / cn.c_norm AS u
+         |  FROM cx JOIN cn USING (c_id) JOIN init ON init.ex_id = cx.c_id),
+         |s0ids AS (SELECT ex_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY ex_id) AS INTEGER) - 1 AS si
+         |  FROM (SELECT DISTINCT ex_id FROM cent ORDER BY ex_id LIMIT 12)),
+         |s0n AS (SELECT si, sqrt(CAST(SUM(CAST(u * u AS DECIMAL(30,12)))
+         |    AS DOUBLE)) AS nrm
+         |  FROM cent JOIN s0ids USING (ex_id) GROUP BY si),
+         |sup0 AS (SELECT s0ids.si, cent.pos, cent.u / s0n.nrm AS u
+         |  FROM cent JOIN s0ids USING (ex_id) JOIN s0n USING (si)),
+         |${lloyd(1)},
+         |${lloyd(2)},
+         |${lloyd(3)},
+         |rd AS (SELECT e.c_id AS vec_id, s.si, CAST(SUM(CAST(
+         |    CAST(e.v AS DOUBLE) * s.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cx e JOIN sup3 s USING (pos)
+         |  WHERE s.si IN (SELECT si FROM a3) GROUP BY 1, 2),
+         |rs AS (SELECT vec_id, si FROM (SELECT vec_id, si,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY dot DESC, si) AS rn FROM rd) WHERE rn = 1),
+         |cd AS (SELECT e.c_id AS vec_id, c.ex_id, CAST(SUM(CAST(
+         |    CAST(e.v AS DOUBLE) * c.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
+         |  FROM cx e JOIN rs ON rs.vec_id = e.c_id
+         |  JOIN a3 ON a3.si = rs.si
+         |  JOIN cent c ON c.ex_id = a3.ex_id AND c.pos = e.pos
+         |  GROUP BY 1, 2)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         |  SELECT vec_id, ex_id AS cell, ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, ex_id) AS rn FROM cd)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val init = Embeddings.ivfInitHashSample(emb,
+        col("vec_id"), col("embedding"), 144)
+      val cents = Embeddings.ivfTrain(emb,
+        col("vec_id"), col("embedding"), init, iters = 0)
+      require(cents.size > Embeddings.HierThreshold,
+        s"q227 must exercise the two-level branch (C=${cents.size})")
+      Embeddings.ivfAssignAuto(emb, col("vec_id"), col("embedding"), cents,
+          exact = true)
+        .orderBy(col("vec_id"))
+    },
+
     // ---- embedding-cosine near-dup DEDUP: RP-LSH candidates, exact cosine
     // refine >= tau, greedy smaller-id-wins removal, survivors out ---------
     QueryDef("q94_cosine_dedup", {

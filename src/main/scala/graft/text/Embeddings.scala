@@ -495,30 +495,58 @@ object Embeddings {
       centroids: Seq[(Int, Array[Double])],
       exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val dim = centroids.head._2.length
     val s = math.max(1, math.ceil(math.sqrt(centroids.size)).toInt)
-    // driver-side spherical Lloyd over the C centroid points
-    def unit(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
+    // Driver-side spherical Lloyd over the C centroid points — in the
+    // SAME order-independent decimal arithmetic as [[unitize]]/[[ivfTrain]]
+    // (scale-12 HALF_UP terms, exact sums), so an oracle can reproduce
+    // the super-centroid structure in SQL verbatim (q227 gates this
+    // path end to end). Comparisons happen on the exact decimals (never
+    // on rounded doubles — two distinct decimal dots must not collapse
+    // into one double and flip a first-max tie across engines).
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def term(x: Double): JBD = new JBD(x).setScale(12, RoundingMode.HALF_UP)
+    def decDot(a: Array[Double], b: Array[Double]): JBD = {
+      var acc = JBD.ZERO
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc = acc.add(term(a(i) * b(i))); i += 1 }
+      acc
     }
-    var supers: Seq[Array[Double]] =
-      centroids.sortBy(_._1).take(s).map(c => unit(c._2))
+    val sorted = centroids.sortBy(_._1)
+    var supers: Seq[Array[Double]] = sorted.take(s).map(c => unitize(c._2))
     var groups: Map[Int, Seq[(Int, Array[Double])]] = Map.empty
     (0 until 3).foreach { _ =>
-      groups = centroids.groupBy { case (_, cv) =>
-        supers.zipWithIndex.maxBy { case (sv, i) =>
-          sv.zip(cv).map { case (a, b) => a * b }.sum - i * 1e-12 // first-max tie
-        }._2
+      groups = sorted.groupBy { case (_, cv) =>
+        // first-max argmax over supers on the exact decimal dot
+        var best = 0
+        var bestD = decDot(supers.head, cv)
+        var i = 1
+        while (i < supers.length) {
+          val d = decDot(supers(i), cv)
+          if (d.compareTo(bestD) > 0) { best = i; bestD = d }
+          i += 1
+        }
+        best
       }.map { case (k, v) => k -> v.toSeq }
       supers = supers.indices.map { i =>
         groups.get(i) match {
           case Some(members) =>
-            unit(members.map(_._2).transpose.map(_.sum / members.size).toArray)
+            // per-position decimal mean of the member vectors → unitize
+            val n = members.size
+            val mean = members.map(_._2).transpose.map { xs =>
+              xs.foldLeft(JBD.ZERO)((acc, x) => acc.add(term(x)))
+                .doubleValue / n
+            }.toArray
+            unitize(mean)
           case None => supers(i)
         }
       }
     }
+    // only supers that OWN centroids participate in assignment (an empty
+    // super has no children to descend into); ascending index order keeps
+    // the first-max tie-break = lowest surviving super index
+    val liveIdx = supers.indices.filter(groups.contains)
+    val liveSupers = liveIdx.map(supers)
     // Both levels in O(1) PLAN SIZE (round 12): the supers are one
     // array<array<double>> literal, the children one RAGGED 3-D literal
     // indexed by the winning super — element_at picks that super's child
@@ -533,13 +561,12 @@ object Embeddings {
             (v, c) => coalesce(v.cast("double") * c, lit(0.0))), exact)
             .cast("double"))
       else vecMatDots(vec, mat)
-    val superM = typedLit(supers.map(_.toSeq))
+    val superM = typedLit(liveSupers.map(_.toSeq))
     val sArr = dotsAgainst(superM)
     val sIdx = array_position(sArr, array_max(sArr)).cast("int")
-    val childVecs: Seq[Seq[Seq[Double]]] = supers.indices.map(i =>
-      groups.getOrElse(i, centroids.take(1)).map(_._2.toSeq))
-    val childIds: Seq[Seq[Int]] = supers.indices.map(i =>
-      groups.getOrElse(i, centroids.take(1)).map(_._1))
+    val childVecs: Seq[Seq[Seq[Double]]] = liveIdx.map(i =>
+      groups(i).map(_._2.toSeq))
+    val childIds: Seq[Seq[Int]] = liveIdx.map(i => groups(i).map(_._1))
     val kids = element_at(typedLit(childVecs), sIdx)
     val kArr = dotsAgainst(kids)
     val kIdx = array_position(kArr, array_max(kArr)).cast("int")

@@ -220,6 +220,29 @@ class TextOpsSpec extends SparkSpec {
     assert(hier == flat, s"diverged: ${hier.toSet.diff(flat.toSet)}")
   }
 
+  test("ivfAssignAuto routes C > HierThreshold through the TWO-LEVEL " +
+      "quantizer (the q227 oracle gate's branch), C <= through flat") {
+    // plan-shape witness: hierarchical has TWO argmax levels
+    // (array_position for the super pick, then for the child pick);
+    // flat has exactly one
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    def positions(c: Int): Int = {
+      val cents = (0 until c).map(j =>
+        j -> Array.tabulate(4)(k => ((j + k) % 5 + 1).toDouble))
+      val plan = Embeddings.ivfAssignAuto(vecs, col("vec_id"),
+        col("embedding"), cents, exact = true)
+        .queryExecution.analyzed.toString
+      "array_position".r.findAllIn(plan).size
+    }
+    // (the super-pick argmax is inlined at each of its two use sites, so
+    // the two-level plan shows 4 array_position nodes; flat shows 1)
+    assert(positions(Embeddings.HierThreshold + 16) >= 2,
+      "C=144 did not route through the two-level quantizer")
+    assert(positions(8) == 1, "C=8 should stay on the flat argmax")
+  }
+
   test("ivfTrain: deterministic, converging, dead cells keep centroids") {
     // two tight clusters around (1,0,..) and (0,1,..) plus a far-out init
     // exemplar that captures nothing after round 1
