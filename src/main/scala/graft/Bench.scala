@@ -136,7 +136,15 @@ object Bench {
     val total = main.map(_._2).sum
     val cTotal = contrast.map(_._2).sum
     val medTotal = main.map(_._3).sum
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full record: the driver's BENCH_r*.json tail
+    // truncates at 2000 chars (r12 verdict "what's wrong" #4), so the
+    // committed file — not the driver's clipped capture — is the
+    // authoritative per-query artifact. Overwritten per run; sweeps
+    // copy it to BENCH_<sf>_r<N>.json before committing.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     spark.stop()
   }
 }
