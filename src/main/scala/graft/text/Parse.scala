@@ -37,6 +37,15 @@ object Parse {
             t
           }
       }
+    /** Texts at or below this length run INLINE on the task thread: the
+      * matcher's recursion depth is bounded by nesting depth (the seed
+      * fixpoint, GRep levels, and GSeq position folds are all iterative),
+      * so a 256-char text stays comfortably inside a default 1 MiB stack
+      * even for adversarial bracket towers — and skipping the worker
+      * handoff removes a submit/park/unpark round-trip from EVERY short
+      * row (the dominant texts in the parse gates are 10–50 chars).
+      */
+    private val InlineMax = 256
     def apply[A](f: => A): A = {
       val fut = workers.get().submit(
         new java.util.concurrent.Callable[A] { def call(): A = f })
@@ -44,6 +53,37 @@ object Parse {
       catch {
         case e: java.util.concurrent.ExecutionException => throw e.getCause
       }
+    }
+    def forText[A](text: String)(f: => A): A =
+      if (text == null || text.length <= InlineMax ||
+        Thread.currentThread().getName == "graft-parse-deepstack") f
+      else apply(f)
+  }
+
+  /** Parsed-result memo across rows (and tasks — the cache is static):
+    * PARSE inputs are frequently CATEGORICAL (built from low-cardinality
+    * columns), so whole-row results repeat millions of times at scale
+    * while the matcher re-derives them from scratch. Bounded: only
+    * short texts are cached and the map is cleared when full, so
+    * high-cardinality corpora degrade to plain parsing, never to memory
+    * growth. Keys include the grammar and mode (ASTs are tiny case
+    * classes — structural hash cost is noise next to a parse).
+    */
+  private object ParseCache {
+    private val MaxEntries = 8192
+    private val MaxTextLen = 512
+    private val cache =
+      new ConcurrentHashMap[(AnyRef, AnyRef, String), AnyRef]()
+    def cached[A <: AnyRef](g: AnyRef, key: AnyRef, text: String)(
+        f: => A): A = {
+      if (text == null || text.length > MaxTextLen) return f
+      val k = (g, key, text)
+      val hit = cache.get(k)
+      if (hit != null) return hit.asInstanceOf[A]
+      val v = f
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.put(k, v)
+      v
     }
   }
 
@@ -312,9 +352,11 @@ object Parse {
       * `getMatchAction` flags in `IHThorParseArg`) and resume after the
       * longest emitted derivation.
       */
-    def scan(text: String, mode: MatchMode = MatchMax): Vector[String] = DeepStack {
-      if (text == null) Vector.empty else scanImpl(text, mode)
-    }
+    def scan(text: String, mode: MatchMode = MatchMax): Vector[String] =
+      if (text == null) Vector.empty
+      else ParseCache.cached(this, mode, text) {
+        DeepStack.forText(text) { scanImpl(text, mode) }
+      }
 
     private def scanImpl(text: String, mode: MatchMode): Vector[String] = {
       val ctx = new Ctx
@@ -442,9 +484,9 @@ object Parse {
       */
     def scanExtract(text: String, ruleNames: Seq[String],
         mode: MatchMode = MatchMax): Vector[(String, Map[String, String])] =
-      DeepStack {
-        if (text == null) Vector.empty
-        else scanExtractImpl(text, ruleNames, mode)
+      if (text == null) Vector.empty
+      else ParseCache.cached(this, (ruleNames, mode), text) {
+        DeepStack.forText(text) { scanExtractImpl(text, ruleNames, mode) }
       }
 
     private def scanExtractImpl(text: String, ruleNames: Seq[String],
