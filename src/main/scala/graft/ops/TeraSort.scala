@@ -104,10 +104,18 @@ object TeraSort {
       }.collect().toSeq.sortBy(_.pid)
   }
 
-  /** Order-independent permutation checksum of `key` over `df`. */
+  /** Order-independent permutation checksum of `key` over `df` — one
+    * streaming JVM pass (the hex→conv→decimal expression form computes
+    * the same number but pays a string round-trip per row; TeraSortSpec
+    * pins the two paths equal on the n=1000 golden value).
+    */
   def checksum(df: DataFrame, key: Column): java.math.BigDecimal =
-    df.agg(sum(keyChecksum(key)).as("c"))
-      .collect().head.getDecimal(0)
+    df.select(key)
+      .rdd.mapPartitions { it =>
+        var sum = java.math.BigDecimal.ZERO
+        it.foreach(r => sum = sum.add(keyPrefixValue(r.getAs[Array[Byte]](0))))
+        Iterator.single(sum)
+      }.reduce(_.add(_))
 
   /** Full validation certificate over a sorted frame: every partition
     * internally sorted, partition boundaries globally ordered (range

@@ -28,9 +28,12 @@ class TeraSortSpec extends SparkSpec {
     val out = TeraSort.run(spark, 1000L).collect().head
     assert(out.getDecimal(2).compareTo(golden) == 0,
       s"checksum ${out.getDecimal(2)} != oracle golden $golden")
-    // and the expression path agrees with the JVM summarizer path
-    val exprSum = TeraSort.checksum(TeraSort.generate(spark, 1000L),
-      col("key"))
+    // and all three formulations agree: the streaming JVM pass, the
+    // hex→conv→decimal expression (the oracle's shape), and the golden
+    val gen = TeraSort.generate(spark, 1000L)
+    assert(TeraSort.checksum(gen, col("key")).compareTo(golden) == 0)
+    val exprSum = gen
+      .agg(sum(TeraSort.keyChecksum(col("key")))).collect().head.getDecimal(0)
     assert(exprSum.compareTo(golden) == 0)
   }
 
