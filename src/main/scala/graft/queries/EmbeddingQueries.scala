@@ -256,7 +256,7 @@ object EmbeddingQueries {
       val emb = Tables.embeddings(s, dir)
       val cents = emb.filter(col("vec_id") < 8)
         .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0).toInt,
+        .map(r => (r.getLong(0),
           r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1).toSeq
       val cells = graft.ops.Shape.split(
@@ -284,7 +284,7 @@ object EmbeddingQueries {
     QueryDef("q98b_ivf_trained",
       s"""WITH $VecCte,
          |$IvfTrainCte
-         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
          |  SELECT vec_id, ex_id AS cell, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id ORDER BY dot DESC, ex_id) AS rn FROM d2)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
@@ -318,7 +318,7 @@ object EmbeddingQueries {
          |removed AS (SELECT DISTINCT pd.q_id FROM pd
          |  JOIN cn n1 ON n1.c_id = pd.q_id JOIN cn n2 ON n2.c_id = pd.r_id
          |  WHERE pd.dot / (n1.c_norm * n2.c_norm) >= 0.35)
-         |SELECT cells2.vec_id, CAST(cells2.cell AS INTEGER) AS cell
+         |SELECT cells2.vec_id, CAST(cells2.cell AS BIGINT) AS cell
          |FROM cells2
          |WHERE cells2.vec_id NOT IN (SELECT q_id FROM removed)
          |ORDER BY cells2.vec_id""".stripMargin) { (s, dir) =>
@@ -392,7 +392,7 @@ object EmbeddingQueries {
          |  JOIN a3 ON a3.si = rs.si
          |  JOIN cent c ON c.ex_id = a3.ex_id AND c.pos = e.pos
          |  GROUP BY 1, 2)
-         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM (
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
          |  SELECT vec_id, ex_id AS cell, ROW_NUMBER() OVER (
          |    PARTITION BY vec_id ORDER BY dot DESC, ex_id) AS rn FROM cd)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin

@@ -391,7 +391,7 @@ object Embeddings {
   }
 
   def semDeDup(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])], tau: Double,
+      centroids: Seq[(Long, Array[Double])], tau: Double,
       exact: Boolean = false): DataFrame = {
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb"))
@@ -429,7 +429,7 @@ object Embeddings {
     * [[planesFor]].
     */
   def ivfAssign(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])],
+      centroids: Seq[(Long, Array[Double])],
       exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     // Each dot expression appears EXACTLY ONCE, in an array; argmax is
@@ -492,7 +492,7 @@ object Embeddings {
     * max wins at both levels).
     */
   def ivfAssignHierarchical(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])],
+      centroids: Seq[(Long, Array[Double])],
       exact: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val s = math.max(1, math.ceil(math.sqrt(centroids.size)).toInt)
@@ -514,7 +514,7 @@ object Embeddings {
     }
     val sorted = centroids.sortBy(_._1)
     var supers: Seq[Array[Double]] = sorted.take(s).map(c => unitize(c._2))
-    var groups: Map[Int, Seq[(Int, Array[Double])]] = Map.empty
+    var groups: Map[Int, Seq[(Long, Array[Double])]] = Map.empty
     (0 until 3).foreach { _ =>
       groups = sorted.groupBy { case (_, cv) =>
         // first-max argmax over supers on the exact decimal dot
@@ -566,7 +566,7 @@ object Embeddings {
     val sIdx = array_position(sArr, array_max(sArr)).cast("int")
     val childVecs: Seq[Seq[Seq[Double]]] = liveIdx.map(i =>
       groups(i).map(_._2.toSeq))
-    val childIds: Seq[Seq[Int]] = liveIdx.map(i => groups(i).map(_._1))
+    val childIds: Seq[Seq[Long]] = liveIdx.map(i => groups(i).map(_._1))
     val kids = element_at(typedLit(childVecs), sIdx)
     val kArr = dotsAgainst(kids)
     val kIdx = array_position(kArr, array_max(kArr)).cast("int")
@@ -586,7 +586,7 @@ object Embeddings {
     */
   private[graft] val HierThreshold = 128
   def ivfAssignAuto(df: DataFrame, id: Column, vec: Column,
-      centroids: Seq[(Int, Array[Double])],
+      centroids: Seq[(Long, Array[Double])],
       exact: Boolean = false): DataFrame =
     if (centroids.size > HierThreshold)
       ivfAssignHierarchical(df, id, vec, centroids, exact)
@@ -601,12 +601,12 @@ object Embeddings {
     * engine-independent.
     */
   def ivfInitHashSample(df: DataFrame, id: Column, vec: Column,
-      c: Int): Seq[(Int, Array[Double])] = {
+      c: Int): Seq[(Long, Array[Double])] = {
     require(c >= 1, "need at least one centroid")
-    df.select(id.cast("int").as("vec_id"), vec.as("emb"))
+    df.select(id.cast("long").as("vec_id"), vec.as("emb"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(c).collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1).toSeq
   }
 
@@ -637,8 +637,8 @@ object Embeddings {
     * (C ~ sqrt(N) — ~50 MB at N=10^10, dim=64) ever reaches the driver.
     */
   def ivfTrain(df: DataFrame, id: Column, vec: Column,
-      init: Seq[(Int, Array[Double])], iters: Int,
-      exact: Boolean = false): Seq[(Int, Array[Double])] = {
+      init: Seq[(Long, Array[Double])], iters: Int,
+      exact: Boolean = false): Seq[(Long, Array[Double])] = {
     require(init.nonEmpty && iters >= 0, "need init centroids, iters >= 0")
     val base = graft.ops.Shape.split(
       df.select(id.as("vec_id"), vec.as("emb")))
@@ -655,7 +655,7 @@ object Embeddings {
         .agg(sum(col("v").cast("double").cast(DecimalType(30, 12))).as("s"),
           count(lit(1)).as("n"))
         .collect()
-      val byCell = sums.groupBy(_.getInt(0)).map { case (cell, rows) =>
+      val byCell = sums.groupBy(_.getLong(0)).map { case (cell, rows) =>
         val dim = rows.map(_.getInt(1)).max + 1
         val m = new Array[Double](dim)
         rows.foreach(r =>

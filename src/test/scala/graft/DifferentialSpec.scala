@@ -235,7 +235,7 @@ class DifferentialSpec extends SparkSpec {
 
     def sem(exact: Boolean) = Embeddings.semDeDupAuto(emb,
         col("vec_id"), col("embedding"), 0.35, exact = exact)
-      .as[(Long, Int)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     assert(sem(exact = false) == sem(exact = true))
 
     def dedup(exact: Boolean) = Embeddings.cosineNearDupDedupAuto(emb,

@@ -147,8 +147,8 @@ class TextOpsSpec extends SparkSpec {
 
   test("ivfAssign: spherical argmax cells, deterministic tie-break") {
     val cents = Seq(
-      0 -> Array(1.0, 0.0, 0.0, 0.0),
-      1 -> Array(0.0, 1.0, 0.0, 0.0))
+      0L -> Array(1.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0, 0.0))
     val vecs = Seq(
       (10L, Array(0.9f, 0.1f, 0f, 0f)),  // → cell 0
       (11L, Array(0.1f, 0.9f, 0f, 0f)),  // → cell 1
@@ -157,8 +157,8 @@ class TextOpsSpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
     val got = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"),
         cents)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(10L -> 0, 11L -> 1, 12L -> 0, 13L -> 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 0L))
   }
 
   test("ivfAssign matrix form (C > threshold) == unrolled form, both " +
@@ -170,7 +170,7 @@ class TextOpsSpec extends SparkSpec {
     // identical fold arithmetic.
     val dim = 8
     val cents = (0 until 100).map { c =>
-      c -> Array.tabulate(dim)(j => math.sin(c * 31 + j * 7).abs + 0.01)
+      c.toLong -> Array.tabulate(dim)(j => math.sin(c * 31 + j * 7).abs + 0.01)
     }
     val vecs = (0 until 300).map { i =>
       (i.toLong, Array.tabulate(dim)(j => (math.cos(i * 13 + j * 3) * 0.5).toFloat))
@@ -179,7 +179,7 @@ class TextOpsSpec extends SparkSpec {
     for (exact <- Seq(false, true)) {
       val got = Embeddings.ivfAssign(df, col("vec_id"), col("embedding"),
           cents, exact = exact)
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val expect = vecs.map { case (id, v) =>
         val dots = cents.map { case (_, cv) =>
           cv.indices.map(j =>
@@ -200,21 +200,21 @@ class TextOpsSpec extends SparkSpec {
       Array(1.0, 0.0, 0.0, 0.0), Array(0.95, 0.05, 0.0, 0.0), Array(0.9, 0.0, 0.1, 0.0),
       Array(0.0, 1.0, 0.0, 0.0), Array(0.05, 0.95, 0.0, 0.0), Array(0.0, 0.9, 0.1, 0.0),
       Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 0.05, 0.95, 0.0), Array(0.1, 0.0, 0.9, 0.0))
-    val cents = dirs.zipWithIndex.map { case (d, i) => i -> d }
+    val cents = dirs.zipWithIndex.map { case (d, i) => i.toLong -> d }
     val vecs = (0 until 90).map { i =>
       val d = dirs(i % 9)
       (i.toLong, d.map(x => (x * 0.98 + 0.005).toFloat))
     }.toDF("vec_id", "embedding")
     val flat = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"), cents)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hier = Embeddings.ivfAssignHierarchical(
         vecs, col("vec_id"), col("embedding"), cents)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // totality + determinism
     assert(hier.size == 90 && hier.values.forall(c => c >= 0 && c < 9))
     val hier2 = Embeddings.ivfAssignHierarchical(
         vecs, col("vec_id"), col("embedding"), cents)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hier == hier2)
     // far from super borders, the two-level argmax equals the flat one
     assert(hier == flat, s"diverged: ${hier.toSet.diff(flat.toSet)}")
@@ -230,7 +230,7 @@ class TextOpsSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     def positions(c: Int): Int = {
       val cents = (0 until c).map(j =>
-        j -> Array.tabulate(4)(k => ((j + k) % 5 + 1).toDouble))
+        j.toLong -> Array.tabulate(4)(k => ((j + k) % 5 + 1).toDouble))
       val plan = Embeddings.ivfAssignAuto(vecs, col("vec_id"),
         col("embedding"), cents, exact = true)
         .queryExecution.analyzed.toString
@@ -267,17 +267,17 @@ class TextOpsSpec extends SparkSpec {
       assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9) }
     // trained assignment separates the two clusters
     val cells = Embeddings.ivfAssign(vecs, col("vec_id"), col("embedding"), t1)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the clusters never share a cell (k=3 on 2 clusters may split one —
     // a legitimate local optimum — but must not merge across clusters)
     val evenCells = (0 until 30 by 2).map(i => cells(i.toLong)).toSet
     val oddCells = (1 until 30 by 2).map(i => cells(i.toLong)).toSet
     assert(evenCells.intersect(oddCells).isEmpty)
     // a dead cell keeps its previous centroid rather than vanishing
-    val farInit = init :+ (999, Array(-1.0, -1.0, -1.0, -1.0))
+    val farInit = init :+ (999L, Array(-1.0, -1.0, -1.0, -1.0))
     val t3 = Embeddings.ivfTrain(vecs, col("vec_id"), col("embedding"),
       farInit, iters = 1)
-    assert(t3.size == 4 && t3.exists(_._1 == 999))
+    assert(t3.size == 4 && t3.exists(_._1 == 999L))
   }
 
   test("planesFor scales bucket count with corpus size") {
