@@ -85,27 +85,32 @@ object Graph {
   def connectedComponents(vertices: DataFrame, vid: Column,
       edges: DataFrame, src: Column, dst: Column,
       maxRounds: Int = 30): DataFrame = {
+    import graft.workflow.Workflow.checkpointEager
     val verts = vertices.select(vid.cast("long").as("id"))
-    var e = edges
+    // superseded rounds release their checkpoint blocks through the RDD
+    // handle (Workflow.Checkpointed) — Dataset.unpersist is a no-op on
+    // checkpoints, so the previous shape silently pinned EVERY round's
+    // edge set until driver GC (O(rounds·|E|) block-store pressure at
+    // sf10 — the same leak class the r12 rehearsal found in LOOP)
+    var e = checkpointEager(edges
       .select(src.cast("long").as("u"), dst.cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
-    var eCount = e.count()
+      .distinct())
+    var eCount = e.df.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
       // checkpoint between the stars: smallStar consumes its input twice
       // (groupBy + join) and Catalyst does not CSE across the self-join —
       // without this the large-star shuffle chain runs twice per round
-      val ls = largeStar(e).localCheckpoint()
-      val next = smallStar(ls).localCheckpoint()
-      val nextCount = next.count()
-      ls.unpersist()
-      converged = sameEdges(e, next, eCount, nextCount)
-      e.unpersist()
+      val ls = checkpointEager(largeStar(e.df))
+      val next = checkpointEager(smallStar(ls.df))
+      val nextCount = next.df.count()
+      ls.release()
+      converged = sameEdges(e.df, next.df, eCount, nextCount)
+      e.release() // next is materialized and the fixpoint test is done
       eCount = nextCount
       e = next
       rounds += 1
@@ -114,9 +119,15 @@ object Graph {
       s"connectedComponents: no fixpoint after $maxRounds rounds")
     // Fixpoint is a star forest oriented child > root: child's component
     // is its (unique) out-neighbor; roots and isolated nodes label
-    // themselves.
-    val roots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("m"))
-    verts.join(roots, Seq("id"), "left")
-      .select(col("id"), coalesce(col("m"), col("id")).as("component"))
+    // themselves. The label frame is materialized EAGERLY so the final
+    // edge checkpoint can be released before returning — otherwise each
+    // call leaves |E| blocks pinned until driver GC, and back-to-back
+    // component runs degrade as dead blocks crowd the store (measured
+    // 128 s → 252 s across two sf10 runs in one session).
+    val roots = e.df.groupBy(col("u").as("id")).agg(min(col("v")).as("m"))
+    val out = checkpointEager(verts.join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("component")))
+    e.release()
+    out.df
   }
 }
