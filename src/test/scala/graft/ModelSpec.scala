@@ -156,6 +156,28 @@ class ModelSpec extends SparkSpec {
     assert(g.matchEnds("a+b*c") == Set(1, 3, 5))
   }
 
+  test("parse-result memo: mode/rule-set keyed (no cross-mode collisions), " +
+      "long texts bypass, repeated calls stay correct") {
+    import graft.text.Parse._
+    val g = Grammar(Map(
+      "E" -> GOr(GSeq(GRef("E"), GLit("+"), GRef("T")), GRef("T")),
+      "T" -> GTok("[a-z]+")), "E")
+    // same text under different modes must NOT collide in the cache
+    (1 to 3).foreach { _ =>
+      assert(g.scan("a+b+c") == Vector("a+b+c"))
+      assert(g.scan("a+b+c", MatchMin) == Vector("a"))
+      assert(g.scan("a+b+c", MatchAll) == Vector("a", "a+b", "a+b+c"))
+    }
+    // scanExtract keyed separately per rule set
+    val x1 = g.scanExtract("a+b", Seq("T"))
+    val x2 = g.scanExtract("a+b", Seq("E"))
+    assert(x1.head._2.keySet == Set("T") && x2.head._2.keySet == Set("E"))
+    // a text past the cache's length bound still parses (bypass path)
+    val long = ("a+" * 400) + "a" // 801 chars > MaxTextLen, > InlineMax
+    assert(g.scan(long, MatchMin) == Vector("a"))
+    assert(g.scan(long).head == long)
+  }
+
   test("scanExtract: MATCHTEXT(rule) spans from the winning derivation") {
     import graft.text.Parse._
     val g = Grammar(Map(
