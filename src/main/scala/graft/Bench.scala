@@ -143,8 +143,15 @@ object Bench {
     // committed file — not the driver's clipped capture — is the
     // authoritative per-query artifact. Overwritten per run; sweeps
     // copy it to BENCH_<sf>_r<N>.json before committing.
+    // best-effort: stdout above already carries the record — an
+    // unwritable CWD must not turn a finished multi-hour sweep into a
+    // nonzero exit
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not persist $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -84,7 +84,20 @@ object Graph {
     */
   def connectedComponents(vertices: DataFrame, vid: Column,
       edges: DataFrame, src: Column, dst: Column,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30): DataFrame =
+    connectedComponentsReleasable(vertices, vid, edges, src, dst,
+      maxRounds)._1
+
+  /** [[connectedComponents]] plus a release handle for the RESULT's
+    * checkpoint blocks (O(|V|) label rows — everything larger is already
+    * released before returning). The plain variant leaves the label
+    * frame pinned until the ContextCleaner collects it after a driver
+    * GC; long-lived sessions running many component jobs should call
+    * `release()` once the labels are consumed.
+    */
+  def connectedComponentsReleasable(vertices: DataFrame, vid: Column,
+      edges: DataFrame, src: Column, dst: Column,
+      maxRounds: Int = 30): (DataFrame, () => Unit) = {
     import graft.workflow.Workflow.checkpointEager
     val verts = vertices.select(vid.cast("long").as("id"))
     // superseded rounds release their checkpoint blocks through the RDD
@@ -128,6 +141,6 @@ object Graph {
     val out = checkpointEager(verts.join(roots, Seq("id"), "left")
       .select(col("id"), coalesce(col("m"), col("id")).as("component")))
     e.release()
-    out.df
+    (out.df, out.release)
   }
 }

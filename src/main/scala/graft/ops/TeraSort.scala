@@ -46,10 +46,10 @@ object TeraSort {
 
   /** Per-partition validation summary: is the partition internally
     * sorted, its first/last key, row count, and a permutation checksum
-    * (decimal sum of the key's leading 8 bytes read as an unsigned
-    * big-endian integer — order-independent, overflow-safe, and
-    * oracle-reproducible: DuckDB computes the same sum from the md5 hex
-    * prefix, so the certificate row is hash-checkable end to end).
+    * (decimal sum of the FULL key read as an unsigned big-endian
+    * integer — order-independent, overflow-safe, and
+    * oracle-reproducible: DuckDB computes the same sum from the md5
+    * hex, so the certificate row is hash-checkable end to end).
     */
   private final case class PartSummary(pid: Int, okWithin: Boolean,
       first: Array[Byte], last: Array[Byte], rows: Long,
@@ -66,20 +66,25 @@ object TeraSort {
     a.length - b.length
   }
 
-  /** Unsigned big-endian value of the key's leading 8 bytes — the unit of
-    * the permutation checksum. JVM-side twin of [[keyChecksum]].
+  /** Unsigned big-endian value of the FULL 10-byte key — the unit of the
+    * permutation checksum (all bytes count: an 8-byte prefix would be
+    * blind to corruption confined to the key tail). JVM-side twin of
+    * [[keyChecksum]]. Fits DECIMAL(38,0) sums comfortably: each value
+    * < 2^80 ≈ 1.2e24, so even 10^12 rows sum below 1.3e36.
     */
-  private def keyPrefixValue(k: Array[Byte]): java.math.BigDecimal =
-    new java.math.BigDecimal(
-      new java.math.BigInteger(1, java.util.Arrays.copyOf(k, 8)))
+  private def keyValue(k: Array[Byte]): java.math.BigDecimal =
+    new java.math.BigDecimal(new java.math.BigInteger(1, k))
 
-  /** Column form of the checksum unit: the key's first 8 bytes as an
-    * unsigned decimal. `conv(hex, 16, 10)` reads 16 hex digits as an
-    * unsigned 64-bit value — the same number DuckDB gets from
-    * `CAST('0x' || substr(md5_hex, 1, 16) AS UBIGINT)`.
+  /** Column form of the checksum unit: the whole 10-byte key as an
+    * unsigned decimal, assembled as prefix·2¹⁶ + tail (conv reads at
+    * most 64 bits per call). DuckDB computes the identical number as
+    * `CAST('0x'||substr(h,1,16) AS UBIGINT)::HUGEINT * 65536 +
+    * CAST('0x'||substr(h,17,4) AS UBIGINT)::HUGEINT` over the md5 hex.
     */
   def keyChecksum(key: Column): Column =
-    conv(substring(hex(key), 1, 16), 16, 10).cast(DecimalType(38, 0))
+    conv(substring(hex(key), 1, 16), 16, 10).cast(DecimalType(38, 0)) *
+      lit(65536) +
+      conv(substring(hex(key), 17, 4), 16, 10).cast(DecimalType(38, 0))
 
   /** One streaming pass over each partition of `sorted` (keyed by column
     * `key`): O(#partitions) rows to the driver, never the data.
@@ -98,7 +103,7 @@ object TeraSort {
           if (last != null && unsignedCompare(last, k) > 0) ok = false
           last = k
           rows += 1
-          sum = sum.add(keyPrefixValue(k))
+          sum = sum.add(keyValue(k))
         }
         Iterator(PartSummary(pid, ok, first, last, rows, sum))
       }.collect().toSeq.sortBy(_.pid)
@@ -113,7 +118,7 @@ object TeraSort {
     df.select(key)
       .rdd.mapPartitions { it =>
         var sum = java.math.BigDecimal.ZERO
-        it.foreach(r => sum = sum.add(keyPrefixValue(r.getAs[Array[Byte]](0))))
+        it.foreach(r => sum = sum.add(keyValue(r.getAs[Array[Byte]](0))))
         Iterator.single(sum)
       }.reduce(_.add(_))
 
@@ -137,9 +142,11 @@ object TeraSort {
     * certificate AND the internal permutation check (output sum equals
     * the pre-sort sum); `checksum` is the permutation checksum VALUE,
     * which an oracle reproduces independently from the generation
-    * contract (sum over i in [0,n) of the md5(i) 16-hex-digit prefix as
-    * an unsigned 64-bit integer) — so the certificate row itself is
-    * hash-checkable, not merely self-asserted. The bench entry times
+    * contract (sum over i in [0,n) of the md5(i)-derived 10-byte key as
+    * an unsigned 80-bit integer) — so the certificate row itself is
+    * hash-checkable, not merely self-asserted. The checksum covers the
+    * ENTIRE key, so corruption of any key byte (not just a prefix)
+    * breaks the multiset equality. The bench entry times
     * this whole pipeline — the reference's terasort + teravalidate in
     * one.
     */

@@ -232,8 +232,9 @@ object OrderedQueries {
         |      FROM idx, range(4) t(j))
         |SELECT (SELECT n FROM nn) AS n_rows,
         |  TRUE AS sorted_ok,
-        |  SUM(CAST(CAST('0x' || substr(h,1,16) AS UBIGINT)
-        |      AS DECIMAL(38,0))) AS checksum
+        |  CAST(SUM(CAST('0x' || substr(h,1,16) AS UBIGINT)::HUGEINT * 65536
+        |    + CAST('0x' || substr(h,17,4) AS UBIGINT)::HUGEINT)
+        |    AS DECIMAL(38,0)) AS checksum
         |FROM r""".stripMargin) { (s, dir) =>
       val n = 4L * Tables.lineitem(s, dir).count()
       graft.ops.TeraSort.run(s, n)

@@ -38,14 +38,17 @@ object Parse {
           }
       }
     /** Texts at or below this length run INLINE on the task thread: the
-      * matcher's recursion depth is bounded by nesting depth (the seed
+      * matcher's recursion depth is bounded by NESTING depth (the seed
       * fixpoint, GRep levels, and GSeq position folds are all iterative),
-      * so a 256-char text stays comfortably inside a default 1 MiB stack
-      * even for adversarial bracket towers — and skipping the worker
-      * handoff removes a submit/park/unpark round-trip from EVERY short
-      * row (the dominant texts in the parse gates are 10–50 chars).
+      * and nesting depth is at most text length (right-recursive or
+      * bracket-tower grammars descend ~10–15 frames per level), so the
+      * bound must be conservative against a default 1 MiB task stack:
+      * 64 levels × ~15 frames × ~250 B ≈ 240 KiB worst-case. Skipping
+      * the worker handoff removes a submit/park/unpark round-trip from
+      * EVERY short row (the dominant texts in the parse gates are 10–50
+      * chars, all under this bound).
       */
-    private val InlineMax = 256
+    private val InlineMax = 64
     def apply[A](f: => A): A = {
       val fut = workers.get().submit(
         new java.util.concurrent.Callable[A] { def call(): A = f })
@@ -60,29 +63,47 @@ object Parse {
       else apply(f)
   }
 
-  /** Parsed-result memo across rows (and tasks — the cache is static):
-    * PARSE inputs are frequently CATEGORICAL (built from low-cardinality
-    * columns), so whole-row results repeat millions of times at scale
-    * while the matcher re-derives them from scratch. Bounded: only
-    * short texts are cached and the map is cleared when full, so
-    * high-cardinality corpora degrade to plain parsing, never to memory
-    * growth. Keys include the grammar and mode (ASTs are tiny case
-    * classes — structural hash cost is noise next to a parse).
+  /** Parsed-result memo across rows: PARSE inputs are frequently
+    * CATEGORICAL (built from low-cardinality columns), so whole-row
+    * results repeat millions of times at scale while the matcher
+    * re-derives them from scratch. One map PER GRAMMAR INSTANCE (a
+    * member, not a static keyed on the grammar — structurally hashing
+    * the rule AST on every probe would tax exactly the hot path the
+    * memo serves; per-task instances after closure deserialization
+    * still see every row of their partitions). Bounded three ways:
+    * short keys only (≤ [[MaxTextLen]]), small VALUES only (a MatchAll
+    * result on an ambiguous grammar can be O(len²) chars — oversized
+    * results are returned uncached), and at capacity new keys are
+    * simply not admitted — first-come retention keeps the hot
+    * categorical entries instead of clear()-thrashing them. High-
+    * cardinality corpora therefore degrade to plain parsing, never to
+    * memory growth or hit-rate collapse.
     */
-  private object ParseCache {
+  private final class ParseCache {
     private val MaxEntries = 8192
     private val MaxTextLen = 512
-    private val cache =
-      new ConcurrentHashMap[(AnyRef, AnyRef, String), AnyRef]()
-    def cached[A <: AnyRef](g: AnyRef, key: AnyRef, text: String)(
-        f: => A): A = {
+    private val MaxValueChars = 1 << 16
+    private val cache = new ConcurrentHashMap[(AnyRef, String), AnyRef]()
+    private def sizeOk(v: AnyRef): Boolean = v match {
+      case xs: Vector[_] =>
+        var n = 0
+        xs.foreach {
+          case s: String => n += s.length
+          case (s: String, m: Map[_, _]) =>
+            n += s.length
+            m.foreach { case (_, t: String) => n += t.length; case _ => }
+          case _ => n += 64
+        }
+        n <= MaxValueChars
+      case _ => true
+    }
+    def cached[A <: AnyRef](key: AnyRef, text: String)(f: => A): A = {
       if (text == null || text.length > MaxTextLen) return f
-      val k = (g, key, text)
+      val k = (key, text)
       val hit = cache.get(k)
       if (hit != null) return hit.asInstanceOf[A]
       val v = f
-      if (cache.size >= MaxEntries) cache.clear()
-      cache.put(k, v)
+      if (cache.size < MaxEntries && sizeOk(v)) cache.put(k, v)
       v
     }
   }
@@ -158,6 +179,8 @@ object Parse {
 
     // GTok regexes compile once per grammar instance, not once per matched
     // position (the matcher probes every position of every row)
+    @transient private lazy val parseMemo = new ParseCache
+
     @transient private lazy val tokRes =
       new ConcurrentHashMap[String, java.util.regex.Pattern]()
     private def tokRe(re: String): java.util.regex.Pattern =
@@ -354,7 +377,7 @@ object Parse {
       */
     def scan(text: String, mode: MatchMode = MatchMax): Vector[String] =
       if (text == null) Vector.empty
-      else ParseCache.cached(this, mode, text) {
+      else parseMemo.cached(mode, text) {
         DeepStack.forText(text) { scanImpl(text, mode) }
       }
 
@@ -485,7 +508,7 @@ object Parse {
     def scanExtract(text: String, ruleNames: Seq[String],
         mode: MatchMode = MatchMax): Vector[(String, Map[String, String])] =
       if (text == null) Vector.empty
-      else ParseCache.cached(this, (ruleNames, mode), text) {
+      else parseMemo.cached((ruleNames, mode), text) {
         DeepStack.forText(text) { scanExtractImpl(text, ruleNames, mode) }
       }
 

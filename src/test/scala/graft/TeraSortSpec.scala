@@ -22,9 +22,12 @@ class TeraSortSpec extends SparkSpec {
   }
 
   test("permutation checksum is oracle-reproducible (golden n=1000)") {
-    // DuckDB twin: SELECT SUM(CAST(CAST('0x'||substr(md5(CAST(i AS
-    // VARCHAR)),1,16) AS UBIGINT) AS DECIMAL(38,0))) FROM range(1000)
-    val golden = new java.math.BigDecimal("9174853027808886369227")
+    // DuckDB twin (FULL 10-byte key = prefix·2^16 + tail):
+    //   SELECT CAST(SUM(CAST('0x'||substr(h,1,16) AS UBIGINT)::HUGEINT
+    //     * 65536 + CAST('0x'||substr(h,17,4) AS UBIGINT)::HUGEINT)
+    //     AS DECIMAL(38,0))
+    //   FROM (SELECT md5(CAST(i AS VARCHAR)) h FROM range(1000) t(i))
+    val golden = new java.math.BigDecimal("601283168030483177126788388")
     val out = TeraSort.run(spark, 1000L).collect().head
     assert(out.getDecimal(2).compareTo(golden) == 0,
       s"checksum ${out.getDecimal(2)} != oracle golden $golden")
