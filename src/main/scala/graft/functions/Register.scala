@@ -159,6 +159,10 @@ object Register {
       exprs => VecDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("vec_mat_dots",
       exprs => VecMatDots(exprs(0), exprs(1)), "scala_udf")
+    // sorted-set intersection count (IntersectCount.scala) — inputs must
+    // be array_sort-ed, distinct-element string arrays
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     spark.udf.register("ecl_clean_spaces",
       (s: String) => if (s == null) null
         else s.trim.replaceAll("\\s+", " "))

@@ -32,7 +32,7 @@ object Graph {
     * minimum known neighbor (or itself). Input/output edges oriented
     * u > v; output is distinct. One groupBy shuffle + one join.
     */
-  private[ops] def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val mins = sym.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("m"))
@@ -47,7 +47,7 @@ object Graph {
     * whole out-neighborhood under the u > v orientation) plus itself to
     * its minimum neighbor. Output oriented u > v, distinct.
     */
-  private[ops] def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
     edges.join(mins, "u")
       .select(col("v").as("u"), col("m").as("v"))

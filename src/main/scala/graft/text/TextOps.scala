@@ -100,12 +100,16 @@ object TextOps {
 
   /** MinHash signature array: sig[i] = lexicographic min over the shingle
     * set of md5("<i>|" + shingle) — one scalar fold, no explode/groupBy.
+    * Computed by the [[graft.functions.Minhash]] codegen kernel (one JVM
+    * loop per doc, reused digest, raw-byte minima): identical values to
+    * the HOF `transform`/`array_min` formulation the oracles reproduce,
+    * ~10× the throughput (the HOF path was 341 s of q99's sf10 cold run).
     */
   def minhashSig(sets: DataFrame, numHashes: Int): DataFrame =
-    sets.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)), i =>
-        array_min(transform(col("sset"), s =>
-          md5(concat(i.cast("string"), lit("|"), s))))))
+    sets.withColumn("sig", org.apache.spark.sql.GraftBridge.column(
+      graft.functions.MinhashSigExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("sset")),
+        numHashes)))
 
   /** Band keys from the signature array: band b spans seeds
     * [b·r, b·r+r), key = md5 of the in-seed-order concat — same key the
@@ -124,15 +128,26 @@ object TextOps {
 
   /** Exact Jaccard for candidate pairs against packed shingle sets
     * (doc_id, sset) — [[jaccard]] minus the packing groupBy.
+    *
+    * The intersection size runs through [[graft.functions.IntersectCount]]:
+    * each side is `array_sort`-ed ONCE PER DOC (below the join, so the
+    * per-pair work is a zero-allocation merge walk), not hash-intersected
+    * per pair — at sf10 the refine evaluates 27 M pairs and
+    * `array_intersect`'s per-call hash map + result array was the
+    * dominant cost of the whole near-dup family. Counts are identical:
+    * the inputs are distinct-element arrays, so sorted merge-count ==
+    * |array_intersect|.
     */
   def jaccardSets(pairs: DataFrame, sets: DataFrame): DataFrame =
     pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
-        "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .join(sets.select(col("doc_id").as("doc_a"),
+        array_sort(col("sset")).as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        array_sort(col("sset")).as("set_b")), "doc_b")
+      .withColumn("inter", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SortedIntersectCount(
+          org.apache.spark.sql.GraftBridge.expression(col("set_a")),
+          org.apache.spark.sql.GraftBridge.expression(col("set_b")))))
       .withColumn("jac", col("inter").cast("double") /
         (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
       .drop("set_a", "set_b")
@@ -160,18 +175,8 @@ object TextOps {
     // O(candidates × shingles/doc) shuffles into a per-row array op; the
     // per-doc array is bounded by document length, so executor memory is
     // safe at any corpus size.
-    val sets = shingles.groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("sset"))
-    pairs
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("set_a")),
-        "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("set_b")),
-        "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-      .withColumn("jac", col("inter").cast("double") /
-        (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
-      .drop("set_a", "set_b")
+    jaccardSets(pairs, shingles.groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("sset")))
   }
 
   /** Portable 16-bit word hash: first 4 hex chars of md5. */
