@@ -496,6 +496,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("jaccardSets: array_sort is evaluated per DOC below the pair joins " +
+      "(a per-pair sort would re-sort each set once per candidate — " +
+      "27 M times at sf10 instead of 500 k)") {
+    import spark.implicits._
+    // parquet-backed docs: a literal fixture constant-folds the sort into
+    // a LocalTableScan and there is no Project left to audit
+    val docs = graft.Tables.documents(spark, sf)
+    val sets = graft.text.TextOps.shingleSet(docs, col("doc_id"),
+      col("text"), 3)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    // AdaptiveSparkPlanExec hides its inner plan from collect(), so audit
+    // the printed tree: in this fixed two-join shape, a per-doc sort
+    // prints strictly BELOW (after) both join lines; a per-pair sort
+    // would print in the post-join Project above them
+    val lines = graft.text.TextOps.jaccardSets(pairs, sets)
+      .queryExecution.executedPlan.toString.linesIterator.toIndexedSeq
+    val sortLines = lines.zipWithIndex
+      .filter(_._1.contains("array_sort(")).map(_._2)
+    val joinLines = lines.zipWithIndex
+      .filter(_._1.contains("Join")).map(_._2)
+    assert(sortLines.nonEmpty, s"no array_sort in plan:\n${lines.mkString("\n")}")
+    assert(joinLines.nonEmpty, s"no join in plan:\n${lines.mkString("\n")}")
+    assert(sortLines.min > joinLines.max,
+      s"array_sort prints above a join (per-pair evaluation):\n" +
+        lines.mkString("\n"))
+  }
+
   test("sf1 cliff: q191 AQE FINAL plan (executed, runtime stats) keeps the " +
       "SMJ choice — the transition is real, not a static-estimate artifact") {
     assume(sf1Available, s"$sf1Dir not generated (run graft.tools.ScaleUp)")
