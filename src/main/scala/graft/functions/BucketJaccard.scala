@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Bucket-local jaccard pair generator — the IO-shape fix for LSH refine
+  * at scale.
+  *
+  * The join-based refine (`lshCandidates` → `jaccardSets`) shuffles ONE
+  * ROW PER CANDIDATE PAIR carrying a full shingle-set payload: at the
+  * sf10 rehearsal that is 33.6 M rows × ~2 KB arrays through the doc_b
+  * exchange (~10² GB — measured as the dominant cost of the whole
+  * near-dup family, 554–660 s cold). But every candidate pair coexists
+  * in some LSH bucket, so the pairwise work can run BUCKET-LOCALLY: ship
+  * each doc's set once per band (4 × |sets| ≈ 8 GB at sf10), group by
+  * (band, bk), and emit only the slim (doc_a, doc_b, inter, jac) rows.
+  * This generator is that per-bucket step: given the bucket's members
+  * as array<struct<doc_id, ss>> (ss sorted + distinct — the
+  * [[IntersectCount]] layout), it enumerates ordered pairs, merge-counts
+  * the intersection, and emits pairs with jac >= minJac.
+  *
+  * Values are IDENTICAL to the join lowering: same sorted-merge
+  * intersection ([[IntersectCount.sortedCount]]), same
+  * `inter / (|a| + |b| - inter)` double division of exact longs, pairs
+  * oriented doc_a < doc_b (members are sorted by doc_id internally, so
+  * bucket order does not matter), and a pair appearing in several bands
+  * emits byte-identical rows that a downstream
+  * `dropDuplicates(doc_a, doc_b)` collapses — the same distinct the
+  * join lowering applied to its candidate pairs.
+  *
+  * Skew note: a bucket of s members does s²/2 merge walks in one task —
+  * the SAME s² the bucket self-join produced as join output rows, minus
+  * the payload materialization. A pathological hot bucket (≫10⁵
+  * members) bounds a task at O(s²) compute either way; salt the band
+  * key upstream if a corpus produces one.
+  */
+case class BucketJaccardPairs(child: Expression, minJac: Double)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("inter", LongType, nullable = false),
+    StructField("jac", DoubleType, nullable = false)))
+
+  override def prettyName: String = "bucket_jaccard_pairs"
+
+  private val memberType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ss", ArrayType(StringType))))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s(0).dataType == LongType &&
+          s(1).dataType.isInstanceOf[ArrayType] &&
+          s(1).dataType.asInstanceOf[ArrayType].elementType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bucket_jaccard_pairs expects array<struct<doc_id: bigint, " +
+        s"ss: array<string>>>, got ${other.sql}")
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input)
+    if (arr == null) return Iterator.empty
+    val members = arr.asInstanceOf[ArrayData]
+    val n = members.numElements()
+    if (n < 2) return Iterator.empty
+    val ids = new Array[Long](n)
+    val sets = new Array[ArrayData](n)
+    var k = 0
+    var m = 0
+    while (k < n) {
+      if (!members.isNullAt(k)) {
+        val row = members.getStruct(k, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          ids(m) = row.getLong(0)
+          sets(m) = row.getArray(1)
+          m += 1
+        }
+      }
+      k += 1
+    }
+    // sort members by doc_id so pairs come out doc_a < doc_b regardless
+    // of collect_list order (which is partition-nondeterministic)
+    val order = Array.range(0, m).sortBy(ids(_))
+    val out = Vector.newBuilder[InternalRow]
+    var i = 0
+    while (i < m) {
+      val a = order(i)
+      var j = i + 1
+      while (j < m) {
+        val b = order(j)
+        val inter = IntersectCount.sortedCount(sets(a), sets(b))
+        val union = sets(a).numElements().toLong +
+          sets(b).numElements().toLong - inter
+        val jac = inter.toDouble / union.toDouble
+        if (jac >= minJac) {
+          val r = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(4)
+          r.setLong(0, ids(a))
+          r.setLong(1, ids(b))
+          r.setLong(2, inter)
+          r.update(3, jac)
+          out += r
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  override protected def withNewChildInternal(c: Expression): BucketJaccardPairs =
+    copy(child = c)
+}

@@ -282,8 +282,7 @@ object TextQueries {
         base, col("doc_id"), col("text"), 3))
       val bands = graft.ops.Shape.split(
         TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
-      val edges = TextOps.jaccardSets(TextOps.lshCandidates(bands), sets)
-        .filter(col("jac") >= 0.5)
+      val edges = TextOps.lshJaccardPairs(bands, sets, 0.5)
       val comp = graft.ops.Graph.connectedComponents(
         base, col("doc_id"), edges, col("doc_a"), col("doc_b"))
       val nd = base.join(comp.filter(col("id") === col("component"))
@@ -464,8 +463,9 @@ object TextQueries {
         Tables.documents(s, dir), col("doc_id"), col("text"), 3))
       val bands = graft.ops.Shape.split(
         TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
-      val cand = TextOps.lshCandidates(bands)
-      TextOps.jaccardSets(cand, sets)
+      // bucket-local fused refine at minJac 0: every candidate pair with
+      // its exact jaccard, no per-pair payload shuffle
+      TextOps.lshJaccardPairs(bands, sets, 0.0)
         .select(col("doc_a"), col("doc_b"), col("jac"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -658,8 +658,9 @@ object TextQueries {
         Tables.documents(s, dir), col("doc_id"), col("text"), 3))
       val bands = graft.ops.Shape.split(
         TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
-      val edges = TextOps.jaccardSets(TextOps.lshCandidates(bands), sets)
-        .filter(col("jac") >= 0.5)
+      // bucket-local fused refine: ships each set once per band, not once
+      // per candidate pair (TextOps.lshJaccardPairs scaladoc)
+      val edges = TextOps.lshJaccardPairs(bands, sets, 0.5)
       graft.ops.Graph.connectedComponents(
           Tables.documents(s, dir), col("doc_id"),
           edges, col("doc_a"), col("doc_b"))

@@ -152,6 +152,34 @@ object TextOps {
         (size(col("set_a")) + size(col("set_b")) - col("inter")).cast("double"))
       .drop("set_a", "set_b")
 
+  /** Fused LSH refine: candidate pairs AND their exact jaccard in one
+    * bucket-local pass — (doc_a, doc_b, inter, jac), doc_a < doc_b,
+    * jac >= minJac, one row per distinct pair.
+    *
+    * Equivalent to `jaccardSets(lshCandidates(bands), sets)
+    * .filter(jac >= minJac)` but with the SCALE-CRITICAL difference in
+    * data motion: the join lowering ships one ~2 KB shingle-set payload
+    * PER CANDIDATE PAIR through the doc_b exchange (~10² GB at sf10,
+    * measured as the near-dup family's dominant cold cost), while this
+    * lowering ships each doc's set once per band (4 × |sets|), groups by
+    * bucket, and emits only slim pair rows from
+    * [[graft.functions.BucketJaccardPairs]]. Values are identical — same
+    * merge-count, same double division — pinned by TextOpsSpec.
+    */
+  def lshJaccardPairs(bands: DataFrame, sets: DataFrame,
+      minJac: Double): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val withSets = bands.join(
+      sets.select(col("doc_id"), array_sort(col("sset")).as("ss")), "doc_id")
+    val buckets = withSets.groupBy("band", "bk")
+      .agg(collect_list(struct(col("doc_id"), col("ss"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(GraftBridge.column(graft.functions.BucketJaccardPairs(
+        GraftBridge.expression(col("ms")), minJac))
+        .as(Seq("doc_a", "doc_b", "inter", "jac")))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The
     * self-join is on (band, bk) — bucket-local, never all-pairs.
     */

@@ -48,10 +48,10 @@ object CcProbe {
     val cands = timed("stage 3: LSH bucket self-join (distinct pairs)")(
       checkpointEager(TextOps.lshCandidates(bands)))
     println(s"[cc]   candidate pairs: ${cands.df.count()}")
-    val edgesDf = TextOps.jaccardSets(cands.df, sets)
-      .filter(col("jac") >= 0.5)
+    val edgesDf = TextOps.lshJaccardPairs(bands, sets, 0.5)
 
-    val e0 = timed("stage 4: jaccard refine")(checkpointEager(edgesDf
+    val e0 = timed("stage 4: jaccard refine (bucket-local fused)")(
+      checkpointEager(edgesDf
       .select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))

@@ -522,4 +522,25 @@ class TextOpsSpec extends SparkSpec {
       assert(first == off / 4 && last == (off + n - 1) / 4)
     }
   }
+
+  test("lshJaccardPairs (bucket-local fused refine) == the join lowering " +
+      "on the full sf0.001 corpus, at minJac 0 and 0.5") {
+    val corpus = graft.Tables.documents(spark, sf)
+    val sets = TextOps.shingleSet(corpus, col("doc_id"), col("text"), 3)
+    val bands = TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2)
+    val joinRows = TextOps.jaccardSets(TextOps.lshCandidates(bands), sets)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val fusedAll = TextOps.lshJaccardPairs(bands, sets, 0.0)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fusedAll == joinRows,
+      s"fused != join lowering: only-fused=${(fusedAll -- joinRows).take(3)} " +
+        s"only-join=${(joinRows -- fusedAll).take(3)}")
+    val fusedHalf = TextOps.lshJaccardPairs(bands, sets, 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fusedHalf == joinRows.filter(_._4 >= 0.5))
+    // orientation + distinctness invariants
+    assert(fusedAll.forall(p => p._1 < p._2))
+    assert(fusedAll.map(p => (p._1, p._2)).size == fusedAll.size)
+  }
 }
