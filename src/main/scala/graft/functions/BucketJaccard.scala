@@ -34,9 +34,12 @@ import org.apache.spark.sql.types._
   *
   * Skew note: a bucket of s members does s²/2 merge walks in one task —
   * the SAME s² the bucket self-join produced as join output rows, minus
-  * the payload materialization. A pathological hot bucket (≫10⁵
-  * members) bounds a task at O(s²) compute either way; salt the band
-  * key upstream if a corpus produces one.
+  * the payload materialization. Pairs are emitted LAZILY (the generator
+  * returns an iterator, never an O(s²) buffer), so per-task memory is
+  * O(s) member arrays; `TextOps.lshJaccardPairs` additionally routes
+  * buckets above its `maxBucket` threshold through the distributed join
+  * lowering, so a pathological hot bucket (all-identical docs at corpus
+  * scale) never concentrates its s² work or its s payloads in one task.
   */
 case class BucketJaccardPairs(child: Expression, minJac: Double)
     extends UnaryExpression with Generator with CodegenFallback {
@@ -88,31 +91,42 @@ case class BucketJaccardPairs(child: Expression, minJac: Double)
     // sort members by doc_id so pairs come out doc_a < doc_b regardless
     // of collect_list order (which is partition-nondeterministic)
     val order = Array.range(0, m).sortBy(ids(_))
-    val out = Vector.newBuilder[InternalRow]
-    var i = 0
-    while (i < m) {
-      val a = order(i)
-      var j = i + 1
-      while (j < m) {
-        val b = order(j)
-        val inter = IntersectCount.sortedCount(sets(a), sets(b))
-        val union = sets(a).numElements().toLong +
-          sets(b).numElements().toLong - inter
-        val jac = inter.toDouble / union.toDouble
-        if (jac >= minJac) {
-          val r = new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(4)
-          r.setLong(0, ids(a))
-          r.setLong(1, ids(b))
-          r.setLong(2, inter)
-          r.update(3, jac)
-          out += r
+    // lazy pair stream: GenerateExec drains each row's iterator before
+    // advancing the input row, so holding the member ArrayData refs is
+    // safe, and the task never buffers the O(m²) pair set
+    val mm = m
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var nextRow: InternalRow = _
+      private def advance(): Unit = {
+        nextRow = null
+        while (nextRow == null && i < mm - 1) {
+          val a = order(i)
+          val b = order(j)
+          val inter = IntersectCount.sortedCount(sets(a), sets(b))
+          val union = sets(a).numElements().toLong +
+            sets(b).numElements().toLong - inter
+          val jac = inter.toDouble / union.toDouble
+          if (jac >= minJac) {
+            val r = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(4)
+            r.setLong(0, ids(a))
+            r.setLong(1, ids(b))
+            r.setLong(2, inter)
+            r.update(3, jac)
+            nextRow = r
+          }
+          j += 1
+          if (j >= mm) { i += 1; j = i + 1 }
         }
-        j += 1
       }
-      i += 1
+      advance()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; advance(); r
+      }
     }
-    out.result()
   }
 
   override protected def withNewChildInternal(c: Expression): BucketJaccardPairs =

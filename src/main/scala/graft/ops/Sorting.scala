@@ -143,13 +143,20 @@ object Sorting {
     */
   def quantile(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
     // total count is a cheap partial-agg job on the unsorted input; the
-    // boundary-row selection then filters on broadcast positions — no
-    // whole-dataset count window, no single-partition sort
+    // n-1 boundary positions are then KNOWN before the scan, so the
+    // selection is a broadcast join against an (n-1)-row position table —
+    // no per-row explode (the former shape amplified every row n-1×
+    // before filtering), no whole-dataset count window, no
+    // single-partition sort. (q·total + n − 1) div n is exact-integer
+    // ceil(q·total/n), so positions match the oracle's double CEIL for
+    // any total below 2^53.
     val total = df.count()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = (1 until n)
+      .map(q => (q, (q.toLong * total + n - 1) / n)).toDF("quantile", "__rn")
     Positions.withGlobalPosition(df, keys, "__rn")
-      .withColumn("quantile",
-        explode(sequence(lit(1), lit(n - 1))))
-      .filter(col("__rn") === ceil(col("quantile") * total / n))
+      .join(broadcast(bounds), "__rn")
       .drop("__rn")
   }
 
@@ -167,21 +174,27 @@ object Sorting {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupKeys: _*).orderBy(order: _*)
     val wc = Window.partitionBy(groupKeys: _*)
-    val lo = if (first) 0 else 1
-    val hi = if (last) n else n - 1
-    // Degenerate n=1 without FIRST/LAST has no interior boundaries:
-    // sequence(1, 0) would yield the DESCENDING array [1, 0] in Spark,
-    // emitting spurious rows — explode an empty array instead.
-    val qs = if (lo > hi) typedLit(Seq.empty[Int])
-             else sequence(lit(lo), lit(hi))
+    // Inverse mapping, no amplification: row p of a group of c rows is the
+    // boundary for EXACTLY the integer quantiles q with ceil(q·c/n) = p,
+    // i.e. q ∈ (n(p−1)/c, np/c] — an interval computable per row with
+    // exact integer div (no double CEIL at 100 TB row counts). Each row
+    // explodes only its own (usually empty) quantile list, so the scan
+    // stays O(N + output) instead of the former explode-all O(n·N).
+    // n=1 without FIRST/LAST: the interior clamp n−1 = 0 < qlo makes every
+    // interval empty (the old sequence(1,0) descending-array trap).
+    val empty = typedLit(Seq.empty[Int])
+    val qlo = expr(s"(${n}L * (__rn - 1)) div __c") + 1L
+    val qhi = least(lit((n - 1).toLong), expr(s"(${n}L * __rn) div __c"))
+    val interior = when(qhi >= qlo,
+      sequence(qlo.cast("int"), qhi.cast("int"))).otherwise(empty)
+    val firstArr = if (first)
+      when(col("__rn") === 1, array(lit(0))).otherwise(empty) else empty
+    val lastArr = if (last)
+      when(col("__rn") === col("__c"), array(lit(n))).otherwise(empty)
+    else empty
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__c", count(lit(1)).over(wc))
-      .withColumn("quantile", explode(qs))
-      .filter(
-        (col("quantile") === 0 && col("__rn") === 1) ||
-        (col("quantile") === n && col("__rn") === col("__c")) ||
-        (col("quantile") > 0 && col("quantile") < n &&
-          col("__rn") === ceil(col("quantile") * col("__c") / n)))
+      .withColumn("quantile", explode(concat(firstArr, interior, lastArr)))
       .drop("__rn", "__c")
   }
 

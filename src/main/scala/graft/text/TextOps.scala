@@ -165,19 +165,42 @@ object TextOps {
     * bucket, and emits only slim pair rows from
     * [[graft.functions.BucketJaccardPairs]]. Values are identical — same
     * merge-count, same double division — pinned by TextOpsSpec.
+    *
+    * Skew guard: the bucket-local step concentrates a bucket's s member
+    * payloads (one `collect_list` buffer) and s²/2 merge walks in ONE
+    * task. Real corpora produce degenerate band keys (boilerplate pages,
+    * empty docs, template spam) whose buckets grow with the corpus, so at
+    * 100 TB an unguarded collect would OOM an executor. Buckets larger
+    * than `maxBucket` are therefore routed through the distributed join
+    * lowering instead — quadratic either way (that is LSH's contract on a
+    * hot key), but spread across tasks and spillable. Bucket sizes come
+    * from a slim pre-count on (band, bk) whose exchange Spark reuses for
+    * the bucket groupBy itself. Both paths emit byte-identical rows, so
+    * a pair sharing a small bucket in one band and a hot bucket in
+    * another collapses under the same `dropDuplicates`.
     */
   def lshJaccardPairs(bands: DataFrame, sets: DataFrame,
-      minJac: Double): DataFrame = {
+      minJac: Double, maxBucket: Int = 1024): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val withSets = bands.join(
-      sets.select(col("doc_id"), array_sort(col("sset")).as("ss")), "doc_id")
+    val sized = bands.join(
+      bands.groupBy("band", "bk").agg(count(lit(1)).as("__bsz")),
+      Seq("band", "bk"))
+    val withSets = sized
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket).drop("__bsz")
+      .join(sets.select(col("doc_id"), array_sort(col("sset")).as("ss")),
+        "doc_id")
     val buckets = withSets.groupBy("band", "bk")
       .agg(collect_list(struct(col("doc_id"), col("ss"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    buckets.select(GraftBridge.column(graft.functions.BucketJaccardPairs(
+    val smallPairs = buckets.select(
+      GraftBridge.column(graft.functions.BucketJaccardPairs(
         GraftBridge.expression(col("ms")), minJac))
         .as(Seq("doc_a", "doc_b", "inter", "jac")))
-      .dropDuplicates("doc_a", "doc_b")
+    val hotPairs = jaccardSets(
+        lshCandidates(sized.filter(col("__bsz") > maxBucket).drop("__bsz")),
+        sets)
+      .filter(col("jac") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+    smallPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b")
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The

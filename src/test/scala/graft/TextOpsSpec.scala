@@ -542,5 +542,14 @@ class TextOpsSpec extends SparkSpec {
     // orientation + distinctness invariants
     assert(fusedAll.forall(p => p._1 < p._2))
     assert(fusedAll.map(p => (p._1, p._2)).size == fusedAll.size)
+    // skew guard: maxBucket=2 forces (almost) every bucket through the
+    // distributed join path, maxBucket=3 mixes both paths in one run —
+    // values must be identical to the unguarded bucket-local result
+    assert(TextOps.lshJaccardPairs(bands, sets, 0.0, maxBucket = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet == joinRows,
+      "hot-bucket join path diverges from the bucket-local values")
+    assert(TextOps.lshJaccardPairs(bands, sets, 0.0, maxBucket = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet == joinRows,
+      "mixed small/hot routing diverges from the bucket-local values")
   }
 }
