@@ -165,15 +165,19 @@ object Sorting {
     * FIRST/LAST variants): for each group, the row at position
     * ceil(q·count/n) for q = 1..n-1, plus the group's first row as
     * quantile 0 under FIRST and its last row as quantile n under LAST.
-    * One hash shuffle on the group keys; the per-group window never
-    * funnels to a single partition (groups partition the work).
+    *
+    * Lowering: a group-partitioned window would funnel each group into
+    * ONE task — with few groups (order status, language, country) that is
+    * a parallelism collapse at scale (3 tasks sorting 10⁹ rows each at
+    * 100 TB). Instead: one RANGE sort on (groupKeys ++ order) — parallel
+    * across all partitions regardless of group count
+    * ([[Positions.withGlobalPosition]]) — then per-group rank = global
+    * position − the group's start offset, joined from a slim per-group
+    * (start, count) aggregate that Spark broadcasts when groups are few.
     */
   def quantileGrouped(df: DataFrame, n: Int, groupKeys: Seq[Column],
       order: Seq[Column], first: Boolean = false,
       last: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupKeys: _*).orderBy(order: _*)
-    val wc = Window.partitionBy(groupKeys: _*)
     // Inverse mapping, no amplification: row p of a group of c rows is the
     // boundary for EXACTLY the integer quantiles q with ceil(q·c/n) = p,
     // i.e. q ∈ (n(p−1)/c, np/c] — an interval computable per row with
@@ -192,10 +196,23 @@ object Sorting {
     val lastArr = if (last)
       when(col("__rn") === col("__c"), array(lit(n))).otherwise(empty)
     else empty
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__c", count(lit(1)).over(wc))
+    val (proj, keyCols) = Positions.withKeyCols(df, groupKeys, "__qk")
+    val pos = Positions.withGlobalPosition(proj,
+      keyCols.map(col) ++ order, "__gp")
+    // null-safe key equality: a null group key is a group of its own,
+    // exactly as groupBy (and the window lowering) treats it
+    val statKeys = keyCols.map(k => s"__s$k")
+    val stats = pos.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__gp")).as("__gs"), count(lit(1)).as("__c"))
+      .select(keyCols.zip(statKeys).map { case (k, s) => col(k).as(s) } ++
+        Seq(col("__gs"), col("__c")): _*)
+    val joinCond = keyCols.zip(statKeys)
+      .map { case (k, s) => col(k) <=> col(s) }.reduce(_ && _)
+    pos.join(stats, joinCond)
+      .withColumn("__rn", col("__gp") - col("__gs") + 1L)
       .withColumn("quantile", explode(concat(firstArr, interior, lastArr)))
-      .drop("__rn", "__c")
+      .drop("__gp" :: "__gs" :: "__rn" :: "__c" ::
+        keyCols.toList ::: statKeys.toList: _*)
   }
 
   /** ds[n] — select the nth row (1-based) of the given order
