@@ -296,16 +296,19 @@ object TextOps {
   def simhashWide(df: DataFrame, id: Column, text: Column,
       nBits: Int): DataFrame = {
     require(nBits % 4 == 0 && nBits <= 60, "nBits: multiple of 4, <= 60")
-    val tok = df.select(id.as("doc_id"), explode(words(text)).as("word"))
-      .withColumn("h", hashHex(col("word"), nBits / 4))
-    val bitSums = (0 until nBits).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val fp = (0 until nBits).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    // [[graft.functions.Simhash]] codegen kernel: the fingerprint folds in
+    // one JVM loop inside the scan projection — no per-token explode, no
+    // nBits-column aggregate shuffle (the former shape's ~10⁸ token rows
+    // at sf10 were the simhash family's dominant cost). Values identical
+    // (same md5-prefix hash, same sign rule) — pinned by TextOpsSpec.
+    // size > 0 matches the former explode semantics: a doc with no tokens
+    // emitted no rows, hence no group.
+    df.select(id.as("doc_id"), words(text).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"), org.apache.spark.sql.GraftBridge.column(
+        graft.functions.SimhashExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("__w")), nBits))
+        .as("simhash"))
   }
 
   /** Scale-safe SimHash near-dup pairs: band the fingerprint into `bands`

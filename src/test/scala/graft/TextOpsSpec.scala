@@ -552,4 +552,37 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet == joinRows,
       "mixed small/hot routing diverges from the bucket-local values")
   }
+
+  test("Simhash kernel == the explode/agg formulation (the oracle's SQL) " +
+      "on the full sf0.001 corpus, at 60 and 16 bits") {
+    val docs = graft.Tables.documents(spark, sf)
+    def aggForm(nBits: Int): Map[Long, Long] = {
+      val tok = docs.select(col("doc_id"),
+          explode(TextOps.words(col("text"))).as("word"))
+        .withColumn("h", TextOps.hashHex(col("word"), nBits / 4))
+      val bitSums = (0 until nBits).map { j =>
+        sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1))
+          .as(s"s$j")
+      }
+      val fp = (0 until nBits).map { j =>
+        when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _)
+      tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fp.as("simhash"))
+        .as[(Long, Long)].collect().toMap
+    }
+    for (nBits <- Seq(60, 16)) {
+      val kernel = TextOps.simhashWide(docs, col("doc_id"), col("text"), nBits)
+        .as[(Long, Long)].collect().toMap
+      assert(kernel == aggForm(nBits),
+        s"kernel != agg formulation at $nBits bits")
+    }
+    // degenerate docs: empty / whitespace-only / single-token — empty token
+    // arrays emit NO row (the explode-of-empty contract)
+    val edge = Seq((1L, ""), (2L, "   "), (3L, "one"), (4L, "a b a"))
+      .toDF("doc_id", "text")
+    val k = TextOps.simhashWide(edge, col("doc_id"), col("text"), 16)
+      .as[(Long, Long)].collect().toMap
+    assert(k.keySet == Set(3L, 4L), s"empty-doc contract broken: $k")
+  }
 }
