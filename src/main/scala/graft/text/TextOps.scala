@@ -173,34 +173,48 @@ object TextOps {
     * 100 TB an unguarded collect would OOM an executor. Buckets larger
     * than `maxBucket` are therefore routed through the distributed join
     * lowering instead — quadratic either way (that is LSH's contract on a
-    * hot key), but spread across tasks and spillable. Bucket sizes come
-    * from a slim pre-count on (band, bk) whose exchange Spark reuses for
-    * the bucket groupBy itself. Both paths emit byte-identical rows, so
-    * a pair sharing a small bucket in one band and a hot bucket in
-    * another collapses under the same `dropDuplicates`.
+    * hot key), but spread across tasks and spillable. The hot-key table
+    * is computed EAGERLY (one slim aggregate job over `bands` at
+    * plan-construction time — callers already persist bands, see
+    * Shape.split at the call sites): it is empty on healthy corpora, and
+    * the empty case returns the pure bucket-local plan with ZERO guard
+    * overhead. When hot keys exist they are localCheckpoint-ed (bounded:
+    * ≤ |bands|/maxBucket rows by construction) and routed via anti/semi
+    * joins. Both paths emit byte-identical rows, so a pair sharing a
+    * small bucket in one band and a hot bucket in another collapses
+    * under the same `dropDuplicates`.
     */
   def lshJaccardPairs(bands: DataFrame, sets: DataFrame,
       minJac: Double, maxBucket: Int = 1024): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val sized = bands.join(
-      bands.groupBy("band", "bk").agg(count(lit(1)).as("__bsz")),
-      Seq("band", "bk"))
-    val withSets = sized
-      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket).drop("__bsz")
+    val hotKeys = bands.groupBy("band", "bk")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucket)
+      .select(col("band"), col("bk"))
+      .localCheckpoint()
+    val anyHot = !hotKeys.isEmpty
+    val smallBands =
+      if (anyHot) bands.join(hotKeys, Seq("band", "bk"), "left_anti")
+      else bands
+    val buckets = smallBands
       .join(sets.select(col("doc_id"), array_sort(col("sset")).as("ss")),
         "doc_id")
-    val buckets = withSets.groupBy("band", "bk")
+      .groupBy("band", "bk")
       .agg(collect_list(struct(col("doc_id"), col("ss"))).as("ms"))
+      .filter(size(col("ms")) > 1)
     val smallPairs = buckets.select(
       GraftBridge.column(graft.functions.BucketJaccardPairs(
         GraftBridge.expression(col("ms")), minJac))
         .as(Seq("doc_a", "doc_b", "inter", "jac")))
-    val hotPairs = jaccardSets(
-        lshCandidates(sized.filter(col("__bsz") > maxBucket).drop("__bsz")),
-        sets)
-      .filter(col("jac") >= minJac)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
-    smallPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b")
+    if (!anyHot) smallPairs.dropDuplicates("doc_a", "doc_b")
+    else {
+      val hotPairs = jaccardSets(
+          lshCandidates(bands.join(hotKeys, Seq("band", "bk"), "left_semi")),
+          sets)
+        .filter(col("jac") >= minJac)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+      smallPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b")
+    }
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The

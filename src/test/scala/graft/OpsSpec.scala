@@ -80,6 +80,33 @@ class OpsSpec extends SparkSpec {
     assert(fl == Set(("a", 0, 1), ("a", 1, 2), ("b", 0, 3), ("b", 1, 3)))
   }
 
+  test("quantileGrouped == brute-force reference across n in 1..7, group " +
+      "sizes 1..9 (incl. n > group size: several quantiles on one row)") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 8).flatMap { g =>
+      (0 until (1 + rnd.nextInt(9))).map(i => (s"g$g", g * 1000 + i))
+    }
+    val df = rnd.shuffle(rows).toDF("g", "x")
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (n <- 1 to 7; first <- Seq(false, true); last <- Seq(false, true)) {
+      val expected = byGroup.flatMap { case (g, xs) =>
+        val c = xs.size
+        val interior = (1 until n).map(q =>
+          (g, q, xs((q.toLong * c + n - 1).toInt / n - 1)))
+        val f = if (first) Seq((g, 0, xs.head)) else Nil
+        val l = if (last) Seq((g, n, xs.last)) else Nil
+        f ++ interior ++ l
+      }.toSet
+      val got = Sorting.quantileGrouped(df, n, Seq(col("g")), Seq(col("x")),
+          first, last)
+        .select(col("g"), col("quantile"), col("x"))
+        .as[(String, Int, Int)].collect().toSet
+      assert(got == expected,
+        s"n=$n first=$first last=$last: only-got=${(got -- expected).take(3)} " +
+          s"only-exp=${(expected -- got).take(3)}")
+    }
+  }
+
   test("dedupAdjacent removes only adjacent duplicates (order matters)") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("pos", "k")
     val out = DedupRollup.dedupAdjacent(df, Seq(col("k")), Seq(col("pos")))
