@@ -107,6 +107,14 @@ case class BucketJaccardPairs(child: Expression, minJac: Double)
           val inter = IntersectCount.sortedCount(sets(a), sets(b))
           val union = sets(a).numElements().toLong +
             sets(b).numElements().toLong - inter
+          // two empty sets: fail LOUDLY like the join lowering — under
+          // ANSI mode (this engine's default) jaccardSets' 0/0 division
+          // throws DIVIDE_BY_ZERO; silently dropping the pair here would
+          // make the emitted set depend on maxBucket routing
+          if (union == 0L) throw new ArithmeticException(
+            s"bucket_jaccard_pairs: jaccard undefined for two empty sets " +
+              s"(doc_a=${ids(a)}, doc_b=${ids(b)}); filter empty shingle " +
+              "sets upstream (shingleSet does)")
           val jac = inter.toDouble / union.toDouble
           if (jac >= minJac) {
             val r = new org.apache.spark.sql.catalyst.expressions

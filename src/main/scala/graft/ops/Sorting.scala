@@ -155,7 +155,10 @@ object Sorting {
     import spark.implicits._
     val bounds = (1 until n)
       .map(q => (q, (q.toLong * total + n - 1) / n)).toDF("quantile", "__rn")
+    // drop a pre-existing "quantile" column AFTER positions are assigned
+    // (sort keys may reference it) — the former withColumn overwrote it
     Positions.withGlobalPosition(df, keys, "__rn")
+      .drop("quantile")
       .join(broadcast(bounds), "__rn")
       .drop("__rn")
   }
@@ -200,15 +203,18 @@ object Sorting {
     val pos = Positions.withGlobalPosition(proj,
       keyCols.map(col) ++ order, "__gp")
     // null-safe key equality: a null group key is a group of its own,
-    // exactly as groupBy (and the window lowering) treats it
+    // exactly as groupBy (and the window lowering) treats it. Empty
+    // groupKeys = one global group (the degenerate single-window call):
+    // broadcast the one (start, count) row with a literal-true join.
     val statKeys = keyCols.map(k => s"__s$k")
     val stats = pos.groupBy(keyCols.map(col): _*)
       .agg(min(col("__gp")).as("__gs"), count(lit(1)).as("__c"))
       .select(keyCols.zip(statKeys).map { case (k, s) => col(k).as(s) } ++
         Seq(col("__gs"), col("__c")): _*)
     val joinCond = keyCols.zip(statKeys)
-      .map { case (k, s) => col(k) <=> col(s) }.reduce(_ && _)
-    pos.join(stats, joinCond)
+      .map { case (k, s) => col(k) <=> col(s) }
+      .foldLeft(lit(true))(_ && _)
+    pos.join(if (keyCols.isEmpty) broadcast(stats) else stats, joinCond)
       .withColumn("__rn", col("__gp") - col("__gs") + 1L)
       .withColumn("quantile", explode(concat(firstArr, interior, lastArr)))
       .drop("__gp" :: "__gs" :: "__rn" :: "__c" ::

@@ -26,7 +26,10 @@ object IoQueries {
     * full sorted copy of the fact table on every invocation times BUILD
     * instead (26 of q115's 27 s at sf10). BUILD itself stays a timed
     * operation via the q178/q210 build gates — the same fixture-vs-
-    * operation split as q211's parts.
+    * operation split as q211's parts. The cache key is existence only
+    * (like q211's): fixtures live under target/ and are invalidated by
+    * `sbt clean`; regenerate after changing the source sf dir in place
+    * or the index layout.
     */
   private def buildOnce(paths: String*)(build: => Unit): Unit =
     if (!paths.forall(p => new java.io.File(s"$p/_SUCCESS").exists())) build

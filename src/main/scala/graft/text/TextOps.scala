@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Default LSH bucket-size threshold above which [[lshJaccardPairs]]
+    * routes a bucket through the distributed join lowering instead of the
+    * bucket-local generator (also the threshold `tools.BucketStats`
+    * reports against).
+    */
+  val DefaultMaxBucket = 1024
+
   /** Whitespace tokenization (the portable baseline). */
   def words(text: Column): Column =
     filter(split(trim(text), "\\s+"), w => length(w) > 0)
@@ -174,24 +181,26 @@ object TextOps {
     * than `maxBucket` are therefore routed through the distributed join
     * lowering instead — quadratic either way (that is LSH's contract on a
     * hot key), but spread across tasks and spillable. The hot-key table
-    * is computed EAGERLY (one slim aggregate job over `bands` at
+    * is probed EAGERLY (one slim aggregate job over `bands` at
     * plan-construction time — callers already persist bands, see
     * Shape.split at the call sites): it is empty on healthy corpora, and
     * the empty case returns the pure bucket-local plan with ZERO guard
-    * overhead. When hot keys exist they are localCheckpoint-ed (bounded:
-    * ≤ |bands|/maxBucket rows by construction) and routed via anti/semi
-    * joins. Both paths emit byte-identical rows, so a pair sharing a
-    * small bucket in one band and a hot bucket in another collapses
-    * under the same `dropDuplicates`.
+    * overhead. When hot keys exist (bounded: ≤ |bands|/maxBucket rows by
+    * construction) they route via anti/semi joins; the aggregate is
+    * recomputed per consumer rather than checkpointed — it is one cheap
+    * scan of the persisted bands, and a checkpoint here would pin blocks
+    * for the session's lifetime (no release point after the returned
+    * plan is consumed). Both paths emit byte-identical rows, so a pair
+    * sharing a small bucket in one band and a hot bucket in another
+    * collapses under the same `dropDuplicates`.
     */
   def lshJaccardPairs(bands: DataFrame, sets: DataFrame,
-      minJac: Double, maxBucket: Int = 1024): DataFrame = {
+      minJac: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val hotKeys = bands.groupBy("band", "bk")
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucket)
       .select(col("band"), col("bk"))
-      .localCheckpoint()
     val anyHot = !hotKeys.isEmpty
     val smallBands =
       if (anyHot) bands.join(hotKeys, Seq("band", "bk"), "left_anti")

@@ -23,9 +23,11 @@ object BucketStats {
     val sets = TextOps.shingleSet(Tables.documents(spark, dir),
       col("doc_id"), col("text"), 3)
     val bands = TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2)
+    val threshold = TextOps.DefaultMaxBucket
     val sizes = bands.groupBy("band", "bk").agg(count(lit(1)).as("n"))
     sizes.agg(max("n").as("max_bucket"), count(lit(1)).as("n_buckets"),
-        sum(when(col("n") > 1024, 1).otherwise(0)).as("over_1024"),
+        sum(when(col("n") > threshold, 1).otherwise(0))
+          .as(s"over_$threshold"),
         sum(when(col("n") > 1, col("n") * (col("n") - 1) / 2))
           .as("total_pairs"))
       .show(false)

@@ -48,10 +48,11 @@ object CcProbe {
     val cands = timed("stage 3: LSH bucket self-join (distinct pairs)")(
       checkpointEager(TextOps.lshCandidates(bands)))
     println(s"[cc]   candidate pairs: ${cands.df.count()}")
-    val edgesDf = TextOps.lshJaccardPairs(bands, sets, 0.5)
 
+    // lshJaccardPairs runs its eager hot-key probe at plan-construction
+    // time — construct INSIDE the timed block so stage 4 includes it
     val e0 = timed("stage 4: jaccard refine (bucket-local fused)")(
-      checkpointEager(edgesDf
+      checkpointEager(TextOps.lshJaccardPairs(bands, sets, 0.5)
       .select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))

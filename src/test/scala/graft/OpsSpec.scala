@@ -107,6 +107,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileGrouped with EMPTY groupKeys degenerates to one global " +
+      "group (broadcast single-stats row, no window)") {
+    val df = (1 to 100).toDF("x")
+    val q = Sorting.quantileGrouped(df, 4, Seq.empty, Seq(col("x")),
+        first = true, last = true)
+      .select(col("quantile"), col("x")).as[(Int, Int)].collect().toSet
+    assert(q == Set((0, 1), (1, 25), (2, 50), (3, 75), (4, 100)))
+  }
+
   test("dedupAdjacent removes only adjacent duplicates (order matters)") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("pos", "k")
     val out = DedupRollup.dedupAdjacent(df, Seq(col("k")), Seq(col("pos")))

@@ -553,6 +553,25 @@ class TextOpsSpec extends SparkSpec {
       "mixed small/hot routing diverges from the bucket-local values")
   }
 
+  test("lshJaccardPairs on two empty sets: BOTH paths fail loudly (ANSI " +
+      "0/0 — a silent drop would make the output depend on maxBucket " +
+      "routing)") {
+    // two docs with empty shingle sets sharing a band bucket (caller
+    // bypassing shingleSet's size>0 filter)
+    val sets = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]))
+      .toDF("doc_id", "sset")
+    val bands = Seq((1L, 0L, "k"), (2L, 0L, "k")).toDF("doc_id", "band", "bk")
+    def run(maxBucket: Int): Unit =
+      TextOps.lshJaccardPairs(bands, sets, 0.5, maxBucket).collect()
+    val eBucket = intercept[Exception](run(1024)) // bucket-local path
+    val eJoin = intercept[Exception](run(1)) // forced join path
+    def msg(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" | ")
+    assert(msg(eBucket).contains("jaccard undefined"), msg(eBucket))
+    assert(msg(eJoin).contains("DIVIDE_BY_ZERO"), msg(eJoin))
+  }
+
   test("Simhash kernel == the explode/agg formulation (the oracle's SQL) " +
       "on the full sf0.001 corpus, at 60 and 16 bits") {
     val docs = graft.Tables.documents(spark, sf)
