@@ -79,11 +79,34 @@ class PlanAuditSpec extends SparkSpec {
       "runIds" -> graft.ops.DedupRollup.runIds(c,
         Seq(col("c_name")), Seq(col("c_name"), col("c_custkey")), "run"),
       "runningSum" -> graft.model.GraftFrame(c)
-        .runningSum(col("c_custkey"), Seq(col("c_custkey")), "rs").df)
+        .runningSum(col("c_custkey"), Seq(col("c_custkey")), "rs").df,
+      // grouped QUANTILE joined this family in r13: a group-partitioned
+      // window funnels each group into one task (3-value keys at 100 TB)
+      "quantileGrouped" -> graft.ops.Sorting.quantileGrouped(
+        Tables.orders(spark, sf)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+        4, Seq(col("o_orderstatus")),
+        Seq(col("o_totalprice"), col("o_orderkey")), first = true, last = true))
     plans.foreach { case (name, df) =>
       val plan = executed(df)
       assert(!plan.contains("Window"), s"$name plans a window:\n$plan")
     }
+  }
+
+  test("lshJaccardPairs with no hot buckets plans the PURE bucket-local " +
+      "shape: one generator, no anti/semi join, no jaccardSets join chain") {
+    val docs = Tables.documents(spark, sf)
+    val sets = graft.text.TextOps.shingleSet(docs, col("doc_id"),
+      col("text"), 3)
+    val bands = graft.text.TextOps.lshBandKeys(
+      graft.text.TextOps.minhashSig(sets, 8), 8, 2)
+    val plan = executed(
+      graft.text.TextOps.lshJaccardPairs(bands, sets, 0.5))
+    assert(plan.contains("bucket_jaccard_pairs"),
+      s"no bucket-local generator in plan:\n$plan")
+    assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
+      s"guard joins present despite no hot buckets (zero-overhead " +
+        s"contract broken):\n$plan")
   }
 
   test("grouped sort hash-partitions on group keys, no global range exchange") {
