@@ -41,7 +41,9 @@ import org.apache.spark.sql.types._
   * lowering, so a pathological hot bucket (all-identical docs at corpus
   * scale) never concentrates its s² work or its s payloads in one task.
   */
-case class BucketJaccardPairs(child: Expression, minJac: Double)
+case class BucketJaccardPairs(child: Expression, minJac: Double,
+    failOnError: Boolean =
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType = StructType(Seq(
@@ -107,11 +109,15 @@ case class BucketJaccardPairs(child: Expression, minJac: Double)
           val inter = IntersectCount.sortedCount(sets(a), sets(b))
           val union = sets(a).numElements().toLong +
             sets(b).numElements().toLong - inter
-          // two empty sets: fail LOUDLY like the join lowering — under
-          // ANSI mode (this engine's default) jaccardSets' 0/0 division
-          // throws DIVIDE_BY_ZERO; silently dropping the pair here would
-          // make the emitted set depend on maxBucket routing
-          if (union == 0L) throw new ArithmeticException(
+          // two empty sets: mirror the join lowering in BOTH SQL modes so
+          // the emitted set never depends on maxBucket routing. ANSI (the
+          // engine default, captured at construction like Spark's own
+          // failOnError arithmetic): jaccardSets' 0/0 throws
+          // DIVIDE_BY_ZERO — fail loudly here too. Non-ANSI: the join
+          // lowering's 0/0 fails its `jac >= minJac` filter (verified by
+          // TextOpsSpec), so the pair is silently dropped — Java's
+          // NaN >= x is false, giving the same skip for free.
+          if (union == 0L && failOnError) throw new ArithmeticException(
             s"bucket_jaccard_pairs: jaccard undefined for two empty sets " +
               s"(doc_a=${ids(a)}, doc_b=${ids(b)}); filter empty shingle " +
               "sets upstream (shingleSet does)")

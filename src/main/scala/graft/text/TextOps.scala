@@ -184,33 +184,39 @@ object TextOps {
     * is probed EAGERLY (one slim aggregate job over `bands` at
     * plan-construction time — callers already persist bands, see
     * Shape.split at the call sites): it is empty on healthy corpora, and
-    * the empty case returns the pure bucket-local plan with ZERO guard
-    * overhead. When hot keys exist (bounded: ≤ |bands|/maxBucket rows by
-    * construction) they route via anti/semi joins; the aggregate is
-    * recomputed per consumer rather than checkpointed — it is one cheap
-    * scan of the persisted bands, and a checkpoint here would pin blocks
-    * for the session's lifetime (no release point after the returned
-    * plan is consumed). Both paths emit byte-identical rows, so a pair
-    * sharing a small bucket in one band and a hot bucket in another
-    * collapses under the same `dropDuplicates`.
+    * the empty case returns a plan with no hot-routing joins. When hot
+    * keys exist (bounded: ≤ |bands|/maxBucket rows by construction) they
+    * route via anti/semi joins; the aggregate is recomputed per consumer
+    * rather than checkpointed — it is one cheap scan of the persisted
+    * bands, and a checkpoint here would pin blocks for the session's
+    * lifetime (no release point after the returned plan is consumed).
+    * Like Spark's own plan-time statistics (file listings, broadcast
+    * sizing), the probe reflects the data AT CONSTRUCTION — rebuild the
+    * plan after regenerating the corpus in place. Both paths emit
+    * byte-identical rows, so a pair sharing a small bucket in one band
+    * and a hot bucket in another collapses under the same
+    * `dropDuplicates`.
+    *
+    * Singleton buckets — the overwhelming majority of band rows on a
+    * LOW-duplication corpus — are excluded by a slim (band, bk)
+    * semi-join BEFORE the shingle-set payloads attach, so the payload
+    * join + bucket groupBy move O(collision rows), not O(|bands|).
     */
   def lshJaccardPairs(bands: DataFrame, sets: DataFrame,
       minJac: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    val hotKeys = bands.groupBy("band", "bk")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucket)
+    val sized = bands.groupBy("band", "bk").agg(count(lit(1)).as("__bsz"))
+    val hotKeys = sized.filter(col("__bsz") > maxBucket)
       .select(col("band"), col("bk"))
     val anyHot = !hotKeys.isEmpty
-    val smallBands =
-      if (anyHot) bands.join(hotKeys, Seq("band", "bk"), "left_anti")
-      else bands
-    val buckets = smallBands
+    val smallKeys = sized
+      .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .select(col("band"), col("bk"))
+    val buckets = bands.join(smallKeys, Seq("band", "bk"), "left_semi")
       .join(sets.select(col("doc_id"), array_sort(col("sset")).as("ss")),
         "doc_id")
       .groupBy("band", "bk")
       .agg(collect_list(struct(col("doc_id"), col("ss"))).as("ms"))
-      .filter(size(col("ms")) > 1)
     val smallPairs = buckets.select(
       GraftBridge.column(graft.functions.BucketJaccardPairs(
         GraftBridge.expression(col("ms")), minJac))

@@ -93,8 +93,9 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("lshJaccardPairs with no hot buckets plans the PURE bucket-local " +
-      "shape: one generator, no anti/semi join, no jaccardSets join chain") {
+  test("lshJaccardPairs with no hot buckets plans the bucket-local shape: " +
+      "generator present, no hot-route jaccardSets chain, and the " +
+      "singleton filter is a SLIM semi-join BELOW the payload join") {
     val docs = Tables.documents(spark, sf)
     val sets = graft.text.TextOps.shingleSet(docs, col("doc_id"),
       col("text"), 3)
@@ -104,9 +105,18 @@ class PlanAuditSpec extends SparkSpec {
       graft.text.TextOps.lshJaccardPairs(bands, sets, 0.5))
     assert(plan.contains("bucket_jaccard_pairs"),
       s"no bucket-local generator in plan:\n$plan")
-    assert(!plan.contains("LeftAnti") && !plan.contains("LeftSemi"),
-      s"guard joins present despite no hot buckets (zero-overhead " +
-        s"contract broken):\n$plan")
+    // the hot route's refine kernel is the distinctive marker of the
+    // jaccardSets join chain — absent when no bucket exceeds maxBucket
+    assert(!plan.contains("sorted_intersect_count"),
+      s"hot-route jaccardSets chain present despite no hot buckets:\n$plan")
+    // the singleton collision filter is a semi-join over slim (band, bk)
+    // rows; payloads (array_sort) attach in the sets branch only — one
+    // array_sort projection in the whole plan
+    assert(plan.contains("LeftSemi"),
+      s"no singleton semi-join in plan:\n$plan")
+    assert(plan.sliding("array_sort(".length).count(_ == "array_sort(") <= 2,
+      s"array_sort leaked beyond the sets-side projection (payloads " +
+        s"attaching in more than one place):\n$plan")
   }
 
   test("grouped sort hash-partitions on group keys, no global range exchange") {

@@ -570,6 +570,20 @@ class TextOpsSpec extends SparkSpec {
         .map(_.toString).mkString(" | ")
     assert(msg(eBucket).contains("jaccard undefined"), msg(eBucket))
     assert(msg(eJoin).contains("DIVIDE_BY_ZERO"), msg(eJoin))
+    // non-ANSI parity: the join lowering's 0/0 fails its >= filter and
+    // the pair is silently dropped — BOTH paths must drop it (failOnError
+    // captured at construction, Spark's own arithmetic pattern)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      def pairs(maxBucket: Int) =
+        TextOps.lshJaccardPairs(bands, sets, 0.5, maxBucket)
+          .select(col("doc_a"), col("doc_b"), col("inter"))
+          .as[(Long, Long, Long)].collect().toSet
+      assert(pairs(1) == Set.empty,
+        "non-ANSI join path unexpectedly kept the 0/0 pair")
+      assert(pairs(1024) == Set.empty,
+        "non-ANSI bucket-local path diverges from the join lowering")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
 
   test("Simhash kernel == the explode/agg formulation (the oracle's SQL) " +
