@@ -137,31 +137,48 @@ object TeraSort {
       parts.map(_.checksum).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)))
   }
 
+  /** Split a (non-negative) permutation checksum into two signed-64
+    * halves: (hi, lo) with value = hi·2⁶³ + lo, 0 ≤ lo < 2⁶³. Sums stay
+    * below 1.3e36 < 2¹²⁶, so hi < 2⁶³ and both halves fit a BIGINT on
+    * any engine — no wide-decimal canonicalization seam between hashers.
+    */
+  def splitChecksum(sum: java.math.BigDecimal): (Long, Long) = {
+    val Array(hi, lo) = sum.toBigIntegerExact
+      .divideAndRemainder(java.math.BigInteger.ONE.shiftLeft(63))
+    (hi.longValueExact, lo.longValueExact)
+  }
+
   /** generate → sort → validate, returning a ONE-ROW certificate:
-    * (n_rows, sorted_ok, checksum). `sorted_ok` bundles the order
-    * certificate AND the internal permutation check (output sum equals
-    * the pre-sort sum); `checksum` is the permutation checksum VALUE,
-    * which an oracle reproduces independently from the generation
-    * contract (sum over i in [0,n) of the md5(i)-derived 10-byte key as
-    * an unsigned 80-bit integer) — so the certificate row itself is
-    * hash-checkable, not merely self-asserted. The checksum covers the
-    * ENTIRE key, so corruption of any key byte (not just a prefix)
-    * breaks the multiset equality. The bench entry times
-    * this whole pipeline — the reference's terasort + teravalidate in
-    * one.
+    * (n_rows, sorted_ok, checksum_hi, checksum_lo). `sorted_ok` bundles
+    * the order certificate AND the internal permutation check (output
+    * sum equals the pre-sort sum); the checksum halves carry the
+    * permutation checksum VALUE (hi·2⁶³ + lo), which an oracle
+    * reproduces independently from the generation contract (sum over i
+    * in [0,n) of the md5(i)-derived 10-byte key as an unsigned 80-bit
+    * integer) — so the certificate row itself is hash-checkable, not
+    * merely self-asserted. The checksum covers the ENTIRE key, so
+    * corruption of any key byte (not just a prefix) breaks the multiset
+    * equality. The value is emitted as two BIGINT halves rather than one
+    * DECIMAL(38,0): every comparer canonicalizes a 64-bit integer the
+    * same way, while full-width decimals proved to be a representation
+    * seam between independent hashers of otherwise-equal outputs. The
+    * bench entry times this whole pipeline — the reference's terasort +
+    * teravalidate in one.
     */
   def run(spark: SparkSession, n: Long, numPartitions: Int = 0): DataFrame = {
     val in = generate(spark, n, numPartitions)
     val inSum = checksum(in, col("key"))
     val sorted = sortRecords(in, col("key"))
     val (ok, rows, outSum) = validate(sorted, "key")
+    val (hi, lo) = splitChecksum(outSum)
     val schema = StructType(Seq(
       StructField("n_rows", LongType, nullable = false),
       StructField("sorted_ok", BooleanType, nullable = false),
-      StructField("checksum", DecimalType(38, 0), nullable = false)))
+      StructField("checksum_hi", LongType, nullable = false),
+      StructField("checksum_lo", LongType, nullable = false)))
     spark.createDataFrame(
       java.util.Arrays.asList(
-        Row(rows, ok && inSum.compareTo(outSum) == 0, outSum)),
+        Row(rows, ok && inSum.compareTo(outSum) == 0, hi, lo)),
       schema)
   }
 }

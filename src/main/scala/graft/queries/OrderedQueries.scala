@@ -219,23 +219,30 @@ object OrderedQueries {
     // sf-scaled terasort + teravalidate: n = 4 × |lineitem| 100-byte
     // records, one RangePartitioning exchange, certificate row out.
     // The certificate is oracle-checkable: the permutation checksum is
-    // the sum of each key's leading 8 bytes as an unsigned 64-bit
-    // integer, which DuckDB reproduces from the generation contract
-    // (md5 hex prefix) without ever seeing the sorted data — the
-    // hash-match certifies the sort preserved the multiset of keys.
+    // the sum of each FULL 10-byte key as an unsigned 80-bit integer,
+    // which DuckDB reproduces from the generation contract (md5 hex)
+    // without ever seeing the sorted data — the hash-match certifies
+    // the sort preserved the multiset of keys. The ~2^90-bounded sum is
+    // carried as TWO BIGINT halves (value = hi·2^63 + lo): 64-bit
+    // integers have one canonical representation under every hasher,
+    // where a DECIMAL(38,0) column proved to be a canonicalization seam
+    // between independent hashers of otherwise-equal outputs.
     // (range() only takes constants in DuckDB, so the oracle synthesizes
     // ids 0..4n-1 as 4*rownum+j over lineitem × range(4).)
     QueryDef("q224_terasort_scale",
       """WITH nn AS (SELECT CAST(4*count(*) AS BIGINT) AS n FROM lineitem),
         |idx AS (SELECT (ROW_NUMBER() OVER ()) - 1 AS rn FROM lineitem),
         |r AS (SELECT md5(CAST(rn*4 + j AS VARCHAR)) AS h
-        |      FROM idx, range(4) t(j))
+        |      FROM idx, range(4) t(j)),
+        |s AS (SELECT SUM(CAST('0x' || substr(h,1,16) AS UBIGINT)::HUGEINT
+        |        * 65536
+        |      + CAST('0x' || substr(h,17,4) AS UBIGINT)::HUGEINT) AS total
+        |  FROM r)
         |SELECT (SELECT n FROM nn) AS n_rows,
         |  TRUE AS sorted_ok,
-        |  CAST(SUM(CAST('0x' || substr(h,1,16) AS UBIGINT)::HUGEINT * 65536
-        |    + CAST('0x' || substr(h,17,4) AS UBIGINT)::HUGEINT)
-        |    AS DECIMAL(38,0)) AS checksum
-        |FROM r""".stripMargin) { (s, dir) =>
+        |  CAST(total // 9223372036854775808 AS BIGINT) AS checksum_hi,
+        |  CAST(total % 9223372036854775808 AS BIGINT) AS checksum_lo
+        |FROM s""".stripMargin) { (s, dir) =>
       val n = 4L * Tables.lineitem(s, dir).count()
       graft.ops.TeraSort.run(s, n)
     }

@@ -25,7 +25,7 @@ object TeraProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[teraprobe] n=$n run $i: $sec%.1f s  " +
         f"${n / sec / 1e6}%.2f M rows/s  sorted_ok=${row.getBoolean(1)}  " +
-        s"checksum=${row.getDecimal(2)}")
+        s"checksum=(${row.getLong(2)},${row.getLong(3)})")
     }
     spark.stop()
   }

@@ -14,7 +14,8 @@ class TeraSortSpec extends SparkSpec {
     val out = TeraSort.run(spark, 50000L).collect().head
     assert(out.getLong(0) == 50000L)
     assert(out.getBoolean(1), "order + permutation certificate failed")
-    assert(out.getDecimal(2) != null)
+    // the halves reassemble to a positive value with lo in [0, 2^63)
+    assert(out.getLong(2) > 0L && out.getLong(3) >= 0L)
     // record layout: 10-byte key + 90-byte payload
     val r = TeraSort.generate(spark, 10L).collect().head
     assert(r.getAs[Array[Byte]](0).length == 10)
@@ -28,9 +29,15 @@ class TeraSortSpec extends SparkSpec {
     //     AS DECIMAL(38,0))
     //   FROM (SELECT md5(CAST(i AS VARCHAR)) h FROM range(1000) t(i))
     val golden = new java.math.BigDecimal("601283168030483177126788388")
+    val (goldenHi, goldenLo) = TeraSort.splitChecksum(golden)
+    // the split round-trips: hi·2^63 + lo == golden
+    assert(java.math.BigInteger.valueOf(goldenHi).shiftLeft(63)
+      .add(java.math.BigInteger.valueOf(goldenLo))
+      .equals(golden.toBigIntegerExact))
     val out = TeraSort.run(spark, 1000L).collect().head
-    assert(out.getDecimal(2).compareTo(golden) == 0,
-      s"checksum ${out.getDecimal(2)} != oracle golden $golden")
+    assert(out.getLong(2) == goldenHi && out.getLong(3) == goldenLo,
+      s"checksum halves (${out.getLong(2)},${out.getLong(3)}) != " +
+        s"oracle golden ($goldenHi,$goldenLo)")
     // and all three formulations agree: the streaming JVM pass, the
     // hex→conv→decimal expression (the oracle's shape), and the golden
     val gen = TeraSort.generate(spark, 1000L)
