@@ -180,19 +180,24 @@ object TextOps {
     * 100 TB an unguarded collect would OOM an executor. Buckets larger
     * than `maxBucket` are therefore routed through the distributed join
     * lowering instead — quadratic either way (that is LSH's contract on a
-    * hot key), but spread across tasks and spillable. The hot-key table
-    * is probed EAGERLY (one slim aggregate job over `bands` at
-    * plan-construction time — callers already persist bands, see
-    * Shape.split at the call sites): it is empty on healthy corpora, and
-    * the empty case returns a plan with no hot-routing joins. When hot
-    * keys exist (bounded: ≤ |bands|/maxBucket rows by construction) they
-    * route via anti/semi joins; the aggregate is recomputed per consumer
-    * rather than checkpointed — it is one cheap scan of the persisted
-    * bands, and a checkpoint here would pin blocks for the session's
-    * lifetime (no release point after the returned plan is consumed).
-    * Like Spark's own plan-time statistics (file listings, broadcast
-    * sizing), the probe reflects the data AT CONSTRUCTION — rebuild the
-    * plan after regenerating the corpus in place. Both paths emit
+    * hot key), but spread across tasks and spillable.
+    *
+    * Routing is decided AT EXECUTION, not at plan construction: both
+    * routes are always in the plan, split by a `__bsz` filter over one
+    * shared bucket-size aggregate. The former design probed the hot-key
+    * table eagerly and omitted the hot route when it came back empty —
+    * one extra job per plan, and a correctness hazard if bucket sizes
+    * grew between construction and execution (regenerated-in-place
+    * corpus, reused plan): oversize buckets fell out of the small path
+    * with no hot route to catch them. With execution-time routing every
+    * band row is claimed by exactly one route no matter when the data
+    * changes, and the size aggregate is computed ONCE — its shuffle
+    * exchange is canonically identical under all three consumers
+    * (small-key semi-join, hot-key semi-join, hot-key candidate join),
+    * so Catalyst's ReuseExchange rule shares one physical exchange
+    * (pinned by PlanAuditSpec). On healthy corpora the hot route costs
+    * one semi-join probe that finds nothing, and AQE's empty-relation
+    * propagation collapses the downstream joins. Both routes emit
     * byte-identical rows, so a pair sharing a small bucket in one band
     * and a hot bucket in another collapses under the same
     * `dropDuplicates`.
@@ -206,11 +211,10 @@ object TextOps {
       minJac: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val sized = bands.groupBy("band", "bk").agg(count(lit(1)).as("__bsz"))
-    val hotKeys = sized.filter(col("__bsz") > maxBucket)
-      .select(col("band"), col("bk"))
-    val anyHot = !hotKeys.isEmpty
     val smallKeys = sized
       .filter(col("__bsz") > 1 && col("__bsz") <= maxBucket)
+      .select(col("band"), col("bk"))
+    val hotKeys = sized.filter(col("__bsz") > maxBucket)
       .select(col("band"), col("bk"))
     val buckets = bands.join(smallKeys, Seq("band", "bk"), "left_semi")
       .join(sets.select(col("doc_id"), array_sort(col("sset")).as("ss")),
@@ -221,15 +225,12 @@ object TextOps {
       GraftBridge.column(graft.functions.BucketJaccardPairs(
         GraftBridge.expression(col("ms")), minJac))
         .as(Seq("doc_a", "doc_b", "inter", "jac")))
-    if (!anyHot) smallPairs.dropDuplicates("doc_a", "doc_b")
-    else {
-      val hotPairs = jaccardSets(
-          lshCandidates(bands.join(hotKeys, Seq("band", "bk"), "left_semi")),
-          sets)
-        .filter(col("jac") >= minJac)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
-      smallPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b")
-    }
+    val hotPairs = jaccardSets(
+        lshCandidates(bands.join(hotKeys, Seq("band", "bk"), "left_semi")),
+        sets)
+      .filter(col("jac") >= minJac)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jac"))
+    smallPairs.union(hotPairs).dropDuplicates("doc_a", "doc_b")
   }
 
   /** Candidate near-dup pairs: docs sharing any band bucket (a < b). The

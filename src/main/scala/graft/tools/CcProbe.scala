@@ -49,8 +49,8 @@ object CcProbe {
       checkpointEager(TextOps.lshCandidates(bands)))
     println(s"[cc]   candidate pairs: ${cands.df.count()}")
 
-    // lshJaccardPairs runs its eager hot-key probe at plan-construction
-    // time — construct INSIDE the timed block so stage 4 includes it
+    // lshJaccardPairs routes hot buckets at execution time (no eager
+    // probe since r14); construction is cheap but keep it in the block
     val e0 = timed("stage 4: jaccard refine (bucket-local fused)")(
       checkpointEager(TextOps.lshJaccardPairs(bands, sets, 0.5)
       .select(col("doc_a").cast("long").as("u"),

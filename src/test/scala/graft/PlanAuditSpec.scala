@@ -93,30 +93,46 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("lshJaccardPairs with no hot buckets plans the bucket-local shape: " +
-      "generator present, no hot-route jaccardSets chain, and the " +
-      "singleton filter is a SLIM semi-join BELOW the payload join") {
+  test("lshJaccardPairs plans BOTH routes split by EXECUTION-TIME bucket " +
+      "size, and AQE erases the empty hot route from the final plan") {
     val docs = Tables.documents(spark, sf)
     val sets = graft.text.TextOps.shingleSet(docs, col("doc_id"),
       col("text"), 3)
     val bands = graft.text.TextOps.lshBandKeys(
       graft.text.TextOps.minhashSig(sets, 8), 8, 2)
-    val plan = executed(
-      graft.text.TextOps.lshJaccardPairs(bands, sets, 0.5))
+    val df = graft.text.TextOps.lshJaccardPairs(bands, sets, 0.5)
+    val plan = executed(df)
     assert(plan.contains("bucket_jaccard_pairs"),
       s"no bucket-local generator in plan:\n$plan")
-    // the hot route's refine kernel is the distinctive marker of the
-    // jaccardSets join chain — absent when no bucket exceeds maxBucket
-    assert(!plan.contains("sorted_intersect_count"),
-      s"hot-route jaccardSets chain present despite no hot buckets:\n$plan")
+    // r14: routing is decided at execution, not by an eager probe — the
+    // hot route (its distinctive refine kernel) and the Union are ALWAYS
+    // in the plan, split by complementary __bsz filters over one shared
+    // size aggregate; bucket growth between plan construction and
+    // execution can never silently drop pairs
+    assert(plan.contains("sorted_intersect_count") && plan.contains("Union"),
+      s"hot route not in the plan (routing regressed to plan-time):\n$plan")
+    assert(plan.contains("__bsz") &&
+      "__bsz#\\d+L <= \\d+".r.findFirstIn(plan).isDefined &&
+      "__bsz#\\d+L > \\d+\\)".r.findAllIn(plan).exists(!_.endsWith("> 1)")),
+      s"complementary __bsz routing filters missing:\n$plan")
     // the singleton collision filter is a semi-join over slim (band, bk)
-    // rows; payloads (array_sort) attach in the sets branch only — one
-    // array_sort projection in the whole plan
+    // rows; payloads (array_sort) attach in per-doc sets branches only —
+    // one projection in the small route, two in the hot route's refine
     assert(plan.contains("LeftSemi"),
       s"no singleton semi-join in plan:\n$plan")
-    assert(plan.sliding("array_sort(".length).count(_ == "array_sort(") <= 2,
-      s"array_sort leaked beyond the sets-side projection (payloads " +
+    assert(plan.sliding("array_sort(".length).count(_ == "array_sort(") <= 3,
+      s"array_sort leaked beyond the sets-side projections (payloads " +
         s"attaching in more than one place):\n$plan")
+    // and the hot route is FREE on a healthy corpus: no bucket exceeds
+    // maxBucket here, so AQE's empty-relation propagation removes the
+    // hot branch AND the Union from the final adaptive plan
+    df.collect()
+    val finalPlan = executed(df)
+    assert(finalPlan.contains("isFinalPlan=true"), s"plan:\n$finalPlan")
+    val finalSection = finalPlan.split("== Initial Plan ==").head
+    assert(!finalSection.contains("Union") &&
+      !finalSection.contains("sorted_intersect_count"),
+      s"empty hot route survived into the final plan:\n$finalSection")
   }
 
   test("grouped sort hash-partitions on group keys, no global range exchange") {
