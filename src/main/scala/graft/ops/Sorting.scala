@@ -153,14 +153,16 @@ object Sorting {
     val total = df.count()
     val spark = df.sparkSession
     import spark.implicits._
+    // helper columns carry the same collision-resistant __q prefix
+    // convention as __qk: a caller's own __rn/__c must survive untouched
     val bounds = (1 until n)
-      .map(q => (q, (q.toLong * total + n - 1) / n)).toDF("quantile", "__rn")
+      .map(q => (q, (q.toLong * total + n - 1) / n)).toDF("quantile", "__q_rn")
     // drop a pre-existing "quantile" column AFTER positions are assigned
     // (sort keys may reference it) — the former withColumn overwrote it
-    Positions.withGlobalPosition(df, keys, "__rn")
+    Positions.withGlobalPosition(df, keys, "__q_rn")
       .drop("quantile")
-      .join(broadcast(bounds), "__rn")
-      .drop("__rn")
+      .join(broadcast(bounds), "__q_rn")
+      .drop("__q_rn")
   }
 
   /** Grouped QUANTILE (TAKquantile on a GROUPED dataset — per-group
@@ -189,35 +191,38 @@ object Sorting {
     // stays O(N + output) instead of the former explode-all O(n·N).
     // n=1 without FIRST/LAST: the interior clamp n−1 = 0 < qlo makes every
     // interval empty (the old sequence(1,0) descending-array trap).
+    // helper columns use the same collision-resistant __qg prefix
+    // convention as __qk — a caller DataFrame with its own __c/__rn/__gp
+    // columns must neither break analysis nor be silently overwritten
     val empty = typedLit(Seq.empty[Int])
-    val qlo = expr(s"(${n}L * (__rn - 1)) div __c") + 1L
-    val qhi = least(lit((n - 1).toLong), expr(s"(${n}L * __rn) div __c"))
+    val qlo = expr(s"(${n}L * (__qg_rn - 1)) div __qg_c") + 1L
+    val qhi = least(lit((n - 1).toLong), expr(s"(${n}L * __qg_rn) div __qg_c"))
     val interior = when(qhi >= qlo,
       sequence(qlo.cast("int"), qhi.cast("int"))).otherwise(empty)
     val firstArr = if (first)
-      when(col("__rn") === 1, array(lit(0))).otherwise(empty) else empty
+      when(col("__qg_rn") === 1, array(lit(0))).otherwise(empty) else empty
     val lastArr = if (last)
-      when(col("__rn") === col("__c"), array(lit(n))).otherwise(empty)
+      when(col("__qg_rn") === col("__qg_c"), array(lit(n))).otherwise(empty)
     else empty
     val (proj, keyCols) = Positions.withKeyCols(df, groupKeys, "__qk")
     val pos = Positions.withGlobalPosition(proj,
-      keyCols.map(col) ++ order, "__gp")
+      keyCols.map(col) ++ order, "__qg_p")
     // null-safe key equality: a null group key is a group of its own,
     // exactly as groupBy (and the window lowering) treats it. Empty
     // groupKeys = one global group (the degenerate single-window call):
     // broadcast the one (start, count) row with a literal-true join.
-    val statKeys = keyCols.map(k => s"__s$k")
+    val statKeys = keyCols.map(k => s"__qg_s$k")
     val stats = pos.groupBy(keyCols.map(col): _*)
-      .agg(min(col("__gp")).as("__gs"), count(lit(1)).as("__c"))
+      .agg(min(col("__qg_p")).as("__qg_gs"), count(lit(1)).as("__qg_c"))
       .select(keyCols.zip(statKeys).map { case (k, s) => col(k).as(s) } ++
-        Seq(col("__gs"), col("__c")): _*)
+        Seq(col("__qg_gs"), col("__qg_c")): _*)
     val joinCond = keyCols.zip(statKeys)
       .map { case (k, s) => col(k) <=> col(s) }
       .foldLeft(lit(true))(_ && _)
     pos.join(if (keyCols.isEmpty) broadcast(stats) else stats, joinCond)
-      .withColumn("__rn", col("__gp") - col("__gs") + 1L)
+      .withColumn("__qg_rn", col("__qg_p") - col("__qg_gs") + 1L)
       .withColumn("quantile", explode(concat(firstArr, interior, lastArr)))
-      .drop("__gp" :: "__gs" :: "__rn" :: "__c" ::
+      .drop("__qg_p" :: "__qg_gs" :: "__qg_rn" :: "__qg_c" ::
         keyCols.toList ::: statKeys.toList: _*)
   }
 

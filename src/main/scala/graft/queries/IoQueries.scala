@@ -16,9 +16,22 @@ import graft.queries.CoreQueries.{sumD, sumDSql}
   */
 object IoQueries {
 
+  /** Bump when a fixture-relevant on-disk layout changes (IndexedTable,
+    * ZOrder, bucketed builds): stale fixtures then self-invalidate via a
+    * fresh fixture root instead of failing a format-incompatible read.
+    */
+  private val FixtureLayoutVersion = 2
+
   private def ioDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"/root/repo/target/graft_io/$tag"
+    // content key: the source dir's max top-level mtime. Regenerating the
+    // sf dir in place lands fixtures in a fresh root, so the oracle can
+    // never read indexes built from superseded data. Listing ~10 entries
+    // per call is free next to any query it guards.
+    val stamp = Option(new java.io.File(sfDir).listFiles())
+      .map(_.foldLeft(0L)((m, f) => math.max(m, f.lastModified())))
+      .getOrElse(0L)
+    s"/root/repo/target/graft_io/${tag}_v${FixtureLayoutVersion}_$stamp"
   }
 
   /** Index/base fixtures build once per sf dir: the measured operation of
@@ -26,10 +39,10 @@ object IoQueries {
     * full sorted copy of the fact table on every invocation times BUILD
     * instead (26 of q115's 27 s at sf10). BUILD itself stays a timed
     * operation via the q178/q210 build gates — the same fixture-vs-
-    * operation split as q211's parts. The cache key is existence only
-    * (like q211's): fixtures live under target/ and are invalidated by
-    * `sbt clean`; regenerate after changing the source sf dir in place
-    * or the index layout.
+    * operation split as q211's parts. The cache key is existence under
+    * the content-keyed fixture root (source mtime + layout version baked
+    * into [[ioDir]]): fixtures live under target/ and are additionally
+    * invalidated by `sbt clean`.
     */
   private def buildOnce(paths: String*)(build: => Unit): Unit =
     if (!paths.forall(p => new java.io.File(s"$p/_SUCCESS").exists())) build

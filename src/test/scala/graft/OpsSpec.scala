@@ -116,6 +116,22 @@ class OpsSpec extends SparkSpec {
     assert(q == Set((0, 1), (1, 25), (2, 50), (3, 75), (4, 100)))
   }
 
+  test("quantile/quantileGrouped survive caller columns named __c/__rn/" +
+      "__gp/__gs (helper names are __q-prefixed, never the caller's)") {
+    // before r14 a caller __c made the stats-join div expression ambiguous
+    // (analysis failure) and __rn/__gp were silently overwritten+dropped
+    val df = (1 to 100).map(i => (i, i, i, i, i)).toDF(
+      "x", "__c", "__rn", "__gp", "__gs")
+    val q = Sorting.quantile(df, 4, Seq(col("x")))
+      .select(col("quantile"), col("x"), col("__rn")).as[(Int, Int, Int)]
+      .collect().toSet
+    assert(q == Set((1, 25, 25), (2, 50, 50), (3, 75, 75)))
+    val g = Sorting.quantileGrouped(df, 2, Seq.empty, Seq(col("x")))
+      .select(col("quantile"), col("x"), col("__c"), col("__gs"))
+      .as[(Int, Int, Int, Int)].collect().toSet
+    assert(g == Set((1, 50, 50, 50)))
+  }
+
   test("dedupAdjacent removes only adjacent duplicates (order matters)") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (4, "a")).toDF("pos", "k")
     val out = DedupRollup.dedupAdjacent(df, Seq(col("k")), Seq(col("pos")))
