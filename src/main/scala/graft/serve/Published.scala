@@ -156,6 +156,34 @@ final class Published(spark: SparkSession) {
     serve(port, maxRows)
   }
 
+  // ---- admission control (Roxie's listener runs a FIXED worker pool over
+  // a bounded pending queue and sheds what it cannot absorb —
+  // roxie/ccd/ccdlistener.cpp — because under overload an unbounded queue
+  // turns every response late, while shedding keeps ACCEPTED requests
+  // inside a computable latency bound: queued/workers × service time).
+  // Two-level semaphores: `admit` bounds workers + queue (excess gets an
+  // immediate 503 + Retry-After, never a blocked socket), `execute`
+  // bounds in-flight query evaluation to the worker count.
+  private var admission: Option[(java.util.concurrent.Semaphore,
+    java.util.concurrent.Semaphore)] = None
+  private val shedCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Requests shed with 503 since construction. */
+  def shedStats: Long = shedCount.get()
+
+  /** Serve with a bounded worker pool: at most `workers` requests evaluate
+    * concurrently, at most `maxQueue` more wait; beyond that the listener
+    * responds 503 immediately (clean rejection, not unbounded queueing).
+    */
+  def serveBounded(port: Int, maxRows: Int, cacheTtlMs: Long,
+      workers: Int, maxQueue: Int): Int = {
+    require(workers > 0 && maxQueue >= 0, "workers > 0, maxQueue >= 0")
+    admission = Some((
+      new java.util.concurrent.Semaphore(workers + maxQueue),
+      new java.util.concurrent.Semaphore(workers)))
+    serve(port, maxRows, cacheTtlMs)
+  }
+
   def serve(port: Int = 0, maxRows: Int = 10000): Int = synchronized {
     require(server.isEmpty, "already serving")
     // TCP_NODELAY on accepted sockets: headers and body go out as separate
@@ -220,6 +248,7 @@ final class Published(spark: SparkSession) {
         respond(ex, 200, list.map(jsonStr).mkString("[", ",", "]")))
     srv.createContext("/query/",
       (ex: com.sun.net.httpserver.HttpExchange) => {
+        def handle(): Unit = {
         val name = ex.getRequestURI.getPath.stripPrefix("/query/")
         val qsParams = Option(ex.getRequestURI.getRawQuery).getOrElse("")
           .split('&').filter(_.contains('=')).map { kv =>
@@ -304,6 +333,23 @@ final class Published(spark: SparkSession) {
             else respond(ex, 500,
               s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""")
         }
+        }
+        }
+        admission match {
+          case None => handle()
+          case Some((admit, execute)) =>
+            if (!admit.tryAcquire()) {
+              // shed: the pool and its bounded queue are full — reject NOW
+              // (the client can retry) rather than stretch every accepted
+              // request's latency with an unbounded backlog
+              shedCount.incrementAndGet()
+              ex.getResponseHeaders.set("Retry-After", "1")
+              respond(ex, 503,
+                """{"error":"server busy: worker pool and queue full"}""")
+            } else try {
+              execute.acquire()
+              try handle() finally execute.release()
+            } finally admit.release()
         }
       })
     srv.start()

@@ -484,6 +484,83 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("admission control under overload: 64 clients vs a 16-worker pool " +
+      "with a 16-deep queue — bounded p99 for ACCEPTED requests, clean " +
+      "immediate 503s beyond the bound (never unbounded queueing)") {
+    // Roxie's listener bounds its worker pool and pending queue and sheds
+    // what it cannot absorb (roxie/ccd/ccdlistener.cpp) — under overload
+    // an unbounded queue makes EVERY response late, while shedding keeps
+    // accepted latency ≤ (1 + queue/workers) waves of service time.
+    val serviceMs = 80L
+    val (workers, maxQueue, clients) = (16, 16, 64)
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("slow_q") { (s, _) =>
+      Thread.sleep(serviceMs) // a deliberately slow served evaluation
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    val port = pub.serveBounded(0, 10, cacheTtlMs = 0,
+      workers = workers, maxQueue = maxQueue)
+    def doCall(): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/slow_q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try { scala.io.Source.fromInputStream(is, "UTF-8").mkString; () }
+      finally is.close()
+      (code, (System.nanoTime() - t0) / 1e6)
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
+    }
+    try {
+      // warm the serving path first (JIT + HTTP stack): the gate measures
+      // steady-state admission behavior, not first-request compilation
+      (1 to 8).foreach(_ => doCall())
+      // all 64 clients fire simultaneously (barrier-aligned)
+      val barrier = new java.util.concurrent.CyclicBarrier(clients)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+      val results = try {
+        (0 until clients).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+            def call(): (Int, Double) = { barrier.await(); doCall() }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+      val accepted = results.filter(_._1 == 200).map(_._2)
+      val shed = results.filter(_._1 == 503).map(_._2)
+      assert(results.forall(r => r._1 == 200 || r._1 == 503),
+        s"unexpected status codes: ${results.map(_._1).distinct}")
+      // capacity wave accepted; overload genuinely shed
+      assert(accepted.size >= workers && shed.nonEmpty,
+        s"accepted=${accepted.size} shed=${shed.size} — admission " +
+          "control did not engage")
+      assert(pub.shedStats == shed.size.toLong,
+        s"server shed counter ${pub.shedStats} != observed ${shed.size}")
+      // accepted requests: at most (1 + maxQueue/workers) service waves
+      // plus scheduling overhead — pin 10× that ideal bound as the budget
+      // (VM noise), still an order under what a 64-deep unbounded queue
+      // would produce for the tail on a slow service
+      val boundMs = serviceMs * (1 + maxQueue / workers) * 10.0
+      val ap99 = pct(accepted, 0.99)
+      val sp99 = if (shed.nonEmpty) pct(shed, 0.99) else 0.0
+      info(f"accepted=${accepted.size} p99=$ap99%.0f ms (budget $boundMs%.0f); " +
+        f"shed=${shed.size} p99=$sp99%.0f ms")
+      assert(ap99 <= boundMs,
+        f"accepted p99 $ap99%.0f ms breaches the bounded-queue budget " +
+          f"$boundMs%.0f ms (accepted=${accepted.size}, shed=${shed.size})")
+      // rejections are immediate (no queue wait before the 503)
+      assert(sp99 < serviceMs * 10.0,
+        f"503s were queued, not shed: p99 $sp99%.0f ms")
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
