@@ -219,6 +219,20 @@ final class Workunits(spark: SparkSession) {
       .toDF("wuid", "activity", "statistic", "value")
   }
 
+  /** Append an engine/operator statistic to a recorded workunit — the
+    * channel for counters the executed plan's SQL metrics cannot carry
+    * (e.g. the PARSE whole-row memo's accumulator-merged hits/misses).
+    * Read back through [[workunitStatistics]] like any plan metric.
+    */
+  def addStatistic(wuid: String, activity: String, statistic: String,
+      value: Long): Boolean =
+    runs.get(wuid) match {
+      case Some(r) =>
+        runs(wuid) = r.copy(stats = r.stats :+ ((activity, statistic, value)))
+        true
+      case None => false
+    }
+
   /** `SetWorkunitAppValue` (Workunit.ecl:179) + its read-back. */
   def setWorkunitAppValue(wuid: String, app: String, key: String,
       value: String, overwrite: Boolean = true): Boolean =

@@ -79,7 +79,9 @@ object Parse {
     * cardinality corpora therefore degrade to plain parsing, never to
     * memory growth or hit-rate collapse.
     */
-  private final class ParseCache {
+  private final class ParseCache(
+      hitAcc: Option[org.apache.spark.util.LongAccumulator],
+      missAcc: Option[org.apache.spark.util.LongAccumulator]) {
     private val MaxEntries = 8192
     private val MaxTextLen = 512
     private val MaxValueChars = 1 << 16
@@ -98,10 +100,15 @@ object Parse {
       case _ => true
     }
     def cached[A <: AnyRef](key: AnyRef, text: String)(f: => A): A = {
-      if (text == null || text.length > MaxTextLen) return f
+      // memo-ineligible texts count as misses: the hit RATE is
+      // hits/(hits+misses) over every parse the memo could have served
+      if (text == null || text.length > MaxTextLen) {
+        missAcc.foreach(_.add(1)); return f
+      }
       val k = (key, text)
       val hit = cache.get(k)
-      if (hit != null) return hit.asInstanceOf[A]
+      if (hit != null) { hitAcc.foreach(_.add(1)); return hit.asInstanceOf[A] }
+      missAcc.foreach(_.add(1))
       val v = f
       if (cache.size < MaxEntries && sizeOk(v)) cache.put(k, v)
       v
@@ -177,9 +184,37 @@ object Parse {
   final case class Grammar(rules: Map[String, GPat], start: String) {
     require(rules.contains(start), s"start rule '$start' undefined")
 
+    // ---- memo observability (r14): the whole-row memo is per-Grammar-
+    // instance and per-task after closure deserialization, so plain
+    // counters would be invisible to the driver on a cluster. Spark
+    // accumulators are the engine's mechanism for exactly this: they ride
+    // into task closures and merge driver-side on task completion. Opt-in
+    // (withMemoMetrics) — an un-instrumented grammar pays nothing.
+    private var memoHitAcc: Option[org.apache.spark.util.LongAccumulator] = None
+    private var memoMissAcc: Option[org.apache.spark.util.LongAccumulator] = None
+
+    /** Register hit/miss accumulators so the memo's effectiveness on a
+      * production corpus is MEASURED, not assumed. Driver-side read via
+      * [[memoStats]]; surfaced as workunit statistics through
+      * `Workunits.addStatistic` (the reference publishes engine counters
+      * the same way — Workunit.ecl:167 WorkunitStatistics).
+      */
+    def withMemoMetrics(spark: org.apache.spark.sql.SparkSession,
+        label: String = "parse_memo"): this.type = {
+      memoHitAcc = Some(spark.sparkContext.longAccumulator(s"$label.hits"))
+      memoMissAcc = Some(spark.sparkContext.longAccumulator(s"$label.misses"))
+      this
+    }
+
+    /** (hits, misses) merged across all tasks since instrumentation. */
+    def memoStats: (Long, Long) = (
+      memoHitAcc.map(_.value.longValue).getOrElse(0L),
+      memoMissAcc.map(_.value.longValue).getOrElse(0L))
+
     // GTok regexes compile once per grammar instance, not once per matched
     // position (the matcher probes every position of every row)
-    @transient private lazy val parseMemo = new ParseCache
+    @transient private lazy val parseMemo =
+      new ParseCache(memoHitAcc, memoMissAcc)
 
     @transient private lazy val tokRes =
       new ConcurrentHashMap[String, java.util.regex.Pattern]()

@@ -178,6 +178,37 @@ class ModelSpec extends SparkSpec {
     assert(g.scan(long).head == long)
   }
 
+  test("memo observability: accumulator-merged hit/miss counters over a " +
+      "repeated-value corpus, surfaced through workunit statistics") {
+    import graft.text.Parse._
+    import org.apache.spark.sql.functions.{col, expr}
+    val g = Grammar(Map(
+      "E" -> GOr(GSeq(GRef("E"), GLit("+"), GRef("T")), GRef("T")),
+      "T" -> GTok("[a-z]+")), "E").withMemoMetrics(spark, "memo_spec")
+    // categorical corpus: 400 rows, 4 distinct texts, 8 partitions — each
+    // task's memo pays ≤4 misses, so hits dominate and the rate is
+    // MEASURED from task-side accumulators, not assumed
+    val df = spark.range(0, 400, 1, 8).select(expr(
+      "element_at(array('a+b','c+d','e+f','g+h'), " +
+        "cast(id % 4 + 1 as int))").as("t"))
+    val wu = new graft.serve.Workunits(spark)
+    val wuid = wu.record("parse_memo_job") {
+      parseGrammar(df, col("t"), g, "m")
+    }
+    val (hits, misses) = g.memoStats
+    assert(hits + misses == 400,
+      s"every row probes the memo once: hits=$hits misses=$misses")
+    assert(misses <= 8 * 4 && hits >= 400 - 8 * 4,
+      s"per-task misses bounded by distinct texts: hits=$hits misses=$misses")
+    // production surface: the counters publish as workunit statistics
+    assert(wu.addStatistic(wuid, "parse", "memo_hits", hits))
+    assert(wu.addStatistic(wuid, "parse", "memo_misses", misses))
+    val stats = wu.workunitStatistics(wuid, "memo_*")
+      .select(col("statistic"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("memo_hits" -> hits, "memo_misses" -> misses))
+  }
+
   test("scanExtract: MATCHTEXT(rule) spans from the winning derivation") {
     import graft.text.Parse._
     val g = Grammar(Map(
