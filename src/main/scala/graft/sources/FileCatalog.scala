@@ -96,6 +96,17 @@ final class FileCatalog(spark: SparkSession, root: String) {
     commit(s => s.copy(files = s.files + (name -> path)))
   }
 
+  /** Bulk-catalog many logical names in ONE manifest commit. Snapshot
+    * manifests cost O(catalog) to render per commit, so cataloging a
+    * large ingest one `register` at a time is O(n²) in total — a
+    * 100 k-file build is ~10⁴ s of rendering that this does in one
+    * O(n log n) commit (CatalogProbe / SCALE_NOTES has the measurements).
+    */
+  def registerAll(entries: Seq[(String, String)]): Unit = {
+    entries.foreach { case (n, _) => checkName(n) }
+    commit(s => s.copy(files = s.files ++ entries))
+  }
+
   /** Physical directory for a catalog-managed logical file: ECL scope
     * separators (`::`) and other URI-hostile characters sanitize away; an
     * 8-hex content hash of the full name keeps sanitized collisions apart.
@@ -350,6 +361,17 @@ final class FileCatalog(spark: SparkSession, root: String) {
     private[FileCatalog] var ops =
       Vector.empty[State => State]
     private def push(f: State => State): Unit = ops = ops :+ f
+
+    /** Create inside the transaction — lets a generation layout (its
+      * superfiles AND their memberships) publish as one catalog version.
+      */
+    def createSuperFile(name: String, allowExist: Boolean = false): Unit =
+      push { s =>
+        require(allowExist || !s.supers.contains(name),
+          s"superfile exists: $name")
+        if (s.supers.contains(name)) s
+        else s.copy(supers = s.supers + (name -> Vector.empty))
+      }
 
     def addSuperFile(superName: String, subName: String): Unit =
       push { s =>
