@@ -896,6 +896,81 @@ object TextQueries {
       TextOps.removeDupSpans(Tables.documents(s, dir),
           col("doc_id"), col("text"), k = 8)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- the REAL LLM-curation shape, end to end in ONE gate (q86/q99/
+    // q226 gate the stages separately): MinHash-LSH near-dup pairs
+    // (jaccard >= 0.5, bucket-local fused refine) → connected components
+    // → keep min-id per near-dup cluster → ExactSubstr span removal over
+    // the SURVIVING corpus (span dedup runs on what you keep — a gram
+    // shared only with a dropped near-dup must NOT trigger a cut). The
+    // oracle rebuilds all three stages in SQL: transitive closure for the
+    // clusters (the SPEC, not the plan) feeding q226's cut-and-stitch
+    // restricted to keepers; the hash compares every cleaned text.
+    QueryDef("q228_curation_dedup_pipeline",
+      s"""WITH RECURSIVE $MinhashCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |i AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |e AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM i
+         |  JOIN sz sa ON sa.doc_id = i.doc_a
+         |  JOIN sz sb ON sb.doc_id = i.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE)
+         |    / CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM e
+         |        UNION ALL SELECT doc_b, doc_a FROM e),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT s.b, r.r FROM reach r JOIN sym s ON s.a = r.id),
+         |keep AS (SELECT id AS doc_id FROM reach
+         |  GROUP BY id HAVING id = MIN(r)),
+         |kbase AS (SELECT base.* FROM base JOIN keep USING (doc_id)),
+         |tw AS (SELECT doc_id,
+         |  list_filter(string_split_regex(t, '\\s+'), x -> length(x) > 0) AS w
+         |  FROM kbase),
+         |gp AS (SELECT doc_id, w,
+         |  UNNEST(range(greatest(len(w) - 7, 0))) AS gpos FROM tw),
+         |gr AS (SELECT doc_id, gpos,
+         |  array_to_string(w[gpos+1:gpos+8], ' ') AS gram FROM gp),
+         |dup AS (SELECT gram, min(doc_id) AS keeper FROM gr
+         |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+         |rem AS (SELECT DISTINCT g.doc_id, g.gpos + j.j AS pos
+         |  FROM gr g JOIN dup d USING (gram), range(8) j(j)
+         |  WHERE g.doc_id <> d.keeper),
+         |tp0 AS (SELECT doc_id, w, UNNEST(range(len(w))) AS pos FROM tw),
+         |tp AS (SELECT doc_id, pos, w[pos+1] AS word FROM tp0),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.word
+         |  FROM tp ANTI JOIN rem USING (doc_id, pos)),
+         |ck AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean,
+         |  COUNT(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, COALESCE(ck.text_clean, '') AS text_clean,
+         |  CAST(len(w) - COALESCE(ck.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM kbase b JOIN tw USING (doc_id) LEFT JOIN ck USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      // stage 1 (near-dup pairs): shared shingle sets feed signature AND
+      // refine; bands persist across the two LSH uses (TAKsplit analogs)
+      val sets = graft.ops.Shape.split(TextOps.shingleSet(
+        docs, col("doc_id"), col("text"), 3))
+      val bands = graft.ops.Shape.split(
+        TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
+      val edges = TextOps.lshJaccardPairs(bands, sets, 0.5)
+      // stage 2 (cluster resolution): min-id per component is the keeper
+      val keepers = graft.ops.Graph.connectedComponents(
+          docs, col("doc_id"), edges, col("doc_a"), col("doc_b"))
+        .filter(col("id") === col("component"))
+        .select(col("id").as("doc_id"))
+      // stage 3 (span-level dedup) over the SURVIVING corpus only
+      val surviving = docs.join(keepers, Seq("doc_id"), "left_semi")
+      TextOps.removeDupSpans(surviving, col("doc_id"), col("text"), k = 8)
+        .orderBy(col("doc_id"))
     }
   )
 }
