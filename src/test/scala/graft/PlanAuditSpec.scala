@@ -135,6 +135,42 @@ class PlanAuditSpec extends SparkSpec {
       s"empty hot route survived into the final plan:\n$finalSection")
   }
 
+  test("AQE skew splitting engages on the LSH hot route's distributed " +
+      "join under a degenerate bucket (the guard's 100 TB posture relies " +
+      "on it spreading the hot key's quadratic work)") {
+    // isolated session: thresholds shrink so a test-sized hot bucket
+    // crosses them; an SMJ is forced the way a 100 TB sets table would be
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+    // 2000 docs share ONE bucket (≫ maxBucket=1024 → hot route) amid 200
+    // background docs in ~100 two-doc buckets — the mixed keyspace keeps
+    // the (band, bk) self-join a genuine shuffled equi-join (an all-hot
+    // corpus constant-folds the key and plans a cartesian instead)
+    val hot = 2000
+    val docs = hot + 200
+    val sets = s2.range(docs).select(col("id").as("doc_id"),
+      expr("transform(sequence(1, 8), x -> concat('shingle_', id, '_', x))")
+        .as("sset"))
+    val bands = s2.range(docs).select(col("id").as("doc_id"),
+      lit(0L).as("band"),
+      expr(s"CASE WHEN id < $hot THEN 'hot' " +
+        s"ELSE concat('b', id % 100) END").as("bk"))
+    val df = graft.text.TextOps.lshJaccardPairs(bands, sets, 0.0)
+    // execute THE RECORDED PLAN (count() would re-plan) to finalize AQE
+    val pairs = df.queryExecution.executedPlan.execute().count()
+    // hot-bucket pairs + 100 background pairs (distinct sets → jac 0)
+    assert(pairs == hot.toLong * (hot - 1) / 2 + 100, s"pairs=$pairs")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan:\n${plan.take(4000)}")
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.contains("skew=true"),
+      "AQE did not mark any hot-route join skewed — the degenerate " +
+        s"bucket's work is NOT being spread:\n${finalSection.take(6000)}")
+  }
+
   test("grouped sort hash-partitions on group keys, no global range exchange") {
     val gf = graft.model.GraftFrame(
       Tables.orders(spark, sf).select(col("o_orderstatus"), col("o_totalprice")))
