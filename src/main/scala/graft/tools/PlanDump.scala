@@ -101,9 +101,11 @@ object PlanDump {
       "q223_terasort" ->
         "terasort oracle gate: embarrassingly-parallel generate, ONE RangePartitioning exchange for the global sort, two-pass position scan (no single-partition window)",
       "q224_terasort_scale" ->
-        "sf-scaled terasort certificate (oracle-checkable since r13: the md5-prefix checksum value is in the row): the summary row is driver-built from O(#partitions) validation summaries — the plan shows only the trivial LocalTableScan; the sort itself is q223's single range exchange",
+        "sf-scaled terasort certificate (oracle-checkable; r14: the permutation checksum rides as two BIGINT halves — no wide-decimal canonicalization seam): the summary row is driver-built from O(#partitions) validation summaries — the plan shows only the trivial LocalTableScan; the sort itself is q223's single range exchange",
       "q227_ivf_two_level" ->
-        "two-level IVF quantizer gate (C=144 > HierThreshold): broadcast-free per-row assignment — the supers and the ragged child matrices are plan literals, the two argmax levels run inside one Project, ONE shuffle only for the final orderBy")
+        "two-level IVF quantizer gate (C=144 > HierThreshold): broadcast-free per-row assignment — the supers and the ragged child matrices are plan literals, the two argmax levels run inside one Project, ONE shuffle only for the final orderBy",
+      "q228_curation_dedup_pipeline" ->
+        "end-to-end curation dedup (LSH refine → components → keeper semi-join → span removal): both refine routes in-plan split by EXECUTION-TIME bucket size over one shared size aggregate (r14 — no plan-time probe), keeper filter a semi-join, span removal one linear gram shuffle")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale contract\n\n")
