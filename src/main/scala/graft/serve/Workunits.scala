@@ -125,6 +125,26 @@ final class Workunits(spark: SparkSession) {
   /** wsWorkunitExists. */
   def workunitExists(wuid: String): Boolean = runs.contains(wuid)
 
+  /** Atomic read-copy-update on a run record: TrieMap `replace` CAS
+    * loop. The mutators below are called from a serving layer's request
+    * threads (messages, statistics, written files land concurrently); a
+    * bare get→copy→put would silently lose racing appends. `f` returning
+    * None means "no change" (reported as false, e.g. a losing
+    * no-overwrite app value); a lost CAS retries against the fresh record.
+    */
+  @annotation.tailrec
+  private def updateRun(wuid: String)(
+      f: WuRecord => Option[WuRecord]): Boolean =
+    runs.get(wuid) match {
+      case None => false
+      case Some(r) => f(r) match {
+        case None => false
+        case Some(next) =>
+          if (runs.replace(wuid, r, next)) true
+          else updateRun(wuid)(f)
+      }
+    }
+
   /** Append a message to a recorded workunit — the write path behind
     * Std.System.Log's addWorkunitInformation/Warning/Error
     * ([[SystemInfo.Log.addWorkunitMessage]]). False when the wuid is
@@ -133,12 +153,8 @@ final class Workunits(spark: SparkSession) {
     */
   def addMessage(wuid: String, severity: String, text: String,
       code: Int = 0): Boolean =
-    runs.get(wuid) match {
-      case Some(r) =>
-        runs(wuid) = r.copy(messages = r.messages :+ s"$severity ($code): $text")
-        true
-      case None => false
-    }
+    updateRun(wuid)(r => Some(
+      r.copy(messages = r.messages :+ s"$severity ($code): $text")))
 
   /** wsWorkunitList with wildcard filters on name/owner/state
     * (lowerwuid/upperwuid analog: the id range).
@@ -186,11 +202,8 @@ final class Workunits(spark: SparkSession) {
     * is the hook OUTPUT-style helpers call.
     */
   def addFileWritten(wuid: String, path: String): Boolean =
-    runs.get(wuid) match {
-      case Some(r) =>
-        runs(wuid) = r.copy(filesWritten = r.filesWritten :+ path); true
-      case None => false
-    }
+    updateRun(wuid)(r => Some(
+      r.copy(filesWritten = r.filesWritten :+ path)))
 
   def workunitFilesWritten(wuid: String): DataFrame = {
     import spark.implicits._
@@ -226,23 +239,18 @@ final class Workunits(spark: SparkSession) {
     */
   def addStatistic(wuid: String, activity: String, statistic: String,
       value: Long): Boolean =
-    runs.get(wuid) match {
-      case Some(r) =>
-        runs(wuid) = r.copy(stats = r.stats :+ ((activity, statistic, value)))
-        true
-      case None => false
-    }
+    updateRun(wuid)(r => Some(
+      r.copy(stats = r.stats :+ ((activity, statistic, value)))))
 
   /** `SetWorkunitAppValue` (Workunit.ecl:179) + its read-back. */
   def setWorkunitAppValue(wuid: String, app: String, key: String,
-      value: String, overwrite: Boolean = true): Boolean =
-    runs.get(wuid) match {
-      case Some(r) =>
-        val k = s"$app/$key"
-        if (!overwrite && r.appValues.contains(k)) false
-        else { runs(wuid) = r.copy(appValues = r.appValues + (k -> value)); true }
-      case None => false
+      value: String, overwrite: Boolean = true): Boolean = {
+    val k = s"$app/$key"
+    updateRun(wuid) { r =>
+      if (!overwrite && r.appValues.contains(k)) None
+      else Some(r.copy(appValues = r.appValues + (k -> value)))
     }
+  }
 
   def workunitAppValue(wuid: String, app: String, key: String): Option[String] =
     runs.get(wuid).flatMap(_.appValues.get(s"$app/$key"))

@@ -193,6 +193,38 @@ class ServeSpec extends SparkSpec {
     assert(wu.wuidOnDate(2020, 1, 1) < w)
   }
 
+  test("workunit mutators are lost-update-safe under concurrency (CAS " +
+      "read-copy-update, not get->put)") {
+    // a serving layer's request threads append messages/statistics to the
+    // same run concurrently; before r14 a racing get->copy->put dropped
+    // whichever append lost the race silently
+    val wu = new graft.serve.Workunits(spark)
+    val w = wu.record("race_run") { Seq(1).toDF("x") }
+    val threads = 8
+    val perThread = 50
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    try {
+      (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            barrier.await()
+            (0 until perThread).foreach { i =>
+              assert(wu.addStatistic(w, "op", s"stat_${t}_$i", i.toLong))
+              assert(wu.addMessage(w, "info", s"msg_${t}_$i"))
+              assert(wu.addFileWritten(w, s"f_${t}_$i"))
+            }
+          }
+        })
+      }.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wu.workunitStatistics(w, "stat_*").count() ==
+      threads.toLong * perThread)
+    assert(wu.workunitMessages(w).filter(col("message").contains("msg_"))
+      .count() == threads.toLong * perThread)
+    assert(wu.workunitFilesWritten(w).count() == threads.toLong * perThread)
+  }
+
   test("WeightedAvgMicros matches the closed-form ratio exactly") {
     val df = Seq((10L, 2L), (30L, 4L), (20L, 4L)).toDF("pq", "q")
     val wavg = udaf(Aggregators.WeightedAvgMicros)
