@@ -120,12 +120,24 @@ final class Published(spark: SparkSession) {
   // cached-thread-pool concurrency
   private val cacheHitCount = new java.util.concurrent.atomic.AtomicLong(0)
   private val cacheMissCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val collapsedCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // in-flight request collapsing (cache-stampede guard): one future per
+  // cacheKey being computed; concurrent identical requests join it
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[(Int, String, String)]]()
 
   /** (hits, misses) since construction — only counted while caching is
-    * enabled (`cacheTtlMs > 0`), so hits+misses == requests served with
-    * the cache on.
+    * enabled (`cacheTtlMs > 0`), so hits + misses + [[collapsedStats]]
+    * == requests served with the cache on. A miss means ONE evaluation
+    * ran; collapsed requests reused a concurrent miss's evaluation.
     */
   def cacheStats: (Long, Long) = (cacheHitCount.get(), cacheMissCount.get())
+
+  /** Requests that joined an identical in-flight evaluation instead of
+    * running their own (Roxie evaluates identical concurrent queries once).
+    */
+  def collapsedStats: Long = collapsedCount.get()
 
   private def cacheGet(key: String): Option[(Int, String, String)] =
     cache.synchronized {
@@ -282,57 +294,89 @@ final class Published(spark: SparkSession) {
         // cannot occur in a query name path segment)
         val cacheKey = s"$name ${if (wantXml) "x" else "j"}:$soapIn " +
           params.toSeq.sorted.mkString("&")
+        // full evaluation + rendering as a (code, body, contentType)
+        // triple — never throws (errors render as 404/500 envelopes), so
+        // an in-flight future built on it always completes
+        def render(): (Int, String, String) =
+          try {
+            val df = run(name, params - "format")
+            if (wantXml) {
+              // to_xml keeps row rendering distributed (same machinery as
+              // OUTPUT,XML); only capped answer-sized strings hit the driver
+              import org.apache.spark.sql.functions.{col, regexp_replace, struct, to_xml}
+              val rows = df.select(regexp_replace(
+                  to_xml(struct(df.columns.map(col): _*),
+                    java.util.Map.of("rowTag", "Row")),
+                  "\\n\\s*", "").as("xml"))
+                .take(maxRows).map(_.getString(0)).toSeq
+              val core = s"""<${name}Response xmlns="urn:hpccsystems:ecl:$name">""" +
+                s"""<Results><Dataset name="Result 1">${rows.mkString}""" +
+                s"""</Dataset></Results></${name}Response>"""
+              val xml = if (soapIn)
+                """<?xml version="1.0" encoding="UTF-8"?>""" +
+                  """<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">""" +
+                  s"<soap:Body>$core</soap:Body></soap:Envelope>"
+              else s"""<?xml version="1.0" encoding="UTF-8"?>$core"""
+              (200, xml, "text/xml; charset=utf-8")
+            } else {
+              val rows = df.take(maxRows).map(jsonRow)
+              val body =
+                s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}"""
+              (200, body, "application/json")
+            }
+          } catch {
+            case _: NoSuchElementException if !registry.contains(name) =>
+              if (wantXml) (404,
+                s"""<Exception><Message>${xmlEsc(s"query not published: $name")}</Message></Exception>""",
+                "text/xml; charset=utf-8")
+              else (404,
+                s"""{"error":${jsonStr(s"query not published: $name")}}""",
+                "application/json")
+            case t: Throwable =>
+              if (wantXml) (500,
+                s"""<Exception><Message>${xmlEsc(String.valueOf(t.getMessage))}</Message></Exception>""",
+                "text/xml; charset=utf-8")
+              else (500,
+                s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""",
+                "application/json")
+          }
         val cached = if (cacheTtlMs > 0) cacheGet(cacheKey) else None
         cached match {
           case Some((code, body, ct)) =>
             cacheHitCount.incrementAndGet()
             respond(ex, code, body, ct)
+          case None if cacheTtlMs > 0 =>
+            // in-flight request collapsing (the Roxie posture: identical
+            // concurrent queries evaluate ONCE — a cache miss hammered by
+            // N clients must not run N Spark jobs, the cache-stampede
+            // trap). First requester computes and completes the future;
+            // the rest block on it and reuse the rendered response.
+            val fresh =
+              new java.util.concurrent.CompletableFuture[(Int, String, String)]()
+            val prior = inFlight.putIfAbsent(cacheKey, fresh)
+            if (prior != null) {
+              collapsedCount.incrementAndGet()
+              val (code, body, ct) = prior.join()
+              respond(ex, code, body, ct)
+            } else {
+              cacheMissCount.incrementAndGet()
+              try {
+                val r = render()
+                if (r._1 == 200) cachePut(cacheKey, r._1, r._2, r._3)
+                fresh.complete(r)
+                respond(ex, r._1, r._2, r._3)
+              } finally {
+                inFlight.remove(cacheKey)
+                // defensive: render() never throws, but a waiter must
+                // never hang if that invariant is ever broken
+                fresh.complete((500,
+                  """{"error":"internal: render aborted"}""",
+                  "application/json"))
+              }
+            }
           case None =>
-        if (cacheTtlMs > 0) cacheMissCount.incrementAndGet()
-        try {
-          val df = run(name, params - "format")
-          if (wantXml) {
-            // to_xml keeps row rendering distributed (same machinery as
-            // OUTPUT,XML); only capped answer-sized strings hit the driver
-            import org.apache.spark.sql.functions.{col, regexp_replace, struct, to_xml}
-            val rows = df.select(regexp_replace(
-                to_xml(struct(df.columns.map(col): _*),
-                  java.util.Map.of("rowTag", "Row")),
-                "\\n\\s*", "").as("xml"))
-              .take(maxRows).map(_.getString(0)).toSeq
-            val core = s"""<${name}Response xmlns="urn:hpccsystems:ecl:$name">""" +
-              s"""<Results><Dataset name="Result 1">${rows.mkString}""" +
-              s"""</Dataset></Results></${name}Response>"""
-            val xml = if (soapIn)
-              """<?xml version="1.0" encoding="UTF-8"?>""" +
-                """<soap:Envelope xmlns:soap="http://schemas.xmlsoap.org/soap/envelope/">""" +
-                s"<soap:Body>$core</soap:Body></soap:Envelope>"
-            else s"""<?xml version="1.0" encoding="UTF-8"?>$core"""
-            if (cacheTtlMs > 0)
-              cachePut(cacheKey, 200, xml, "text/xml; charset=utf-8")
-            respond(ex, 200, xml, "text/xml; charset=utf-8")
-          } else {
-            val rows = df.take(maxRows).map(jsonRow)
-            val body =
-              s"""{${jsonStr(name + "Response")}:{"Results":{"rowCount":${rows.length},"rows":[${rows.mkString(",")}]}}}"""
-            if (cacheTtlMs > 0)
-              cachePut(cacheKey, 200, body, "application/json")
-            respond(ex, 200, body)
-          }
-        } catch {
-          case _: NoSuchElementException if !registry.contains(name) =>
-            if (wantXml) respond(ex, 404,
-              s"""<Exception><Message>${xmlEsc(s"query not published: $name")}</Message></Exception>""",
-              "text/xml; charset=utf-8")
-            else respond(ex, 404,
-              s"""{"error":${jsonStr(s"query not published: $name")}}""")
-          case t: Throwable =>
-            if (wantXml) respond(ex, 500,
-              s"""<Exception><Message>${xmlEsc(String.valueOf(t.getMessage))}</Message></Exception>""",
-              "text/xml; charset=utf-8")
-            else respond(ex, 500,
-              s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""")
-        }
+            val (code, body, ct) = render()
+            respond(ex, code, body, ct)
         }
         }
         admission match {

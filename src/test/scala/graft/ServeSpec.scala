@@ -193,6 +193,54 @@ class ServeSpec extends SparkSpec {
     assert(wu.wuidOnDate(2020, 1, 1) < w)
   }
 
+  test("cache stampede: 16 identical concurrent misses evaluate ONCE " +
+      "(in-flight request collapsing, the Roxie identical-query posture)") {
+    val pub = new Published(spark)
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("stampede_q") { (s, _) =>
+      evals.incrementAndGet()
+      Thread.sleep(150) // wide window so all 16 arrive while in flight
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("v1")), oneRow)
+    }
+    val port = pub.serve(0, 10, cacheTtlMs = 600000)
+    def get(): String = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/stampede_q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    try {
+      val clients = 16
+      val barrier = new java.util.concurrent.CyclicBarrier(clients)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+      val bodies = try {
+        (0 until clients).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[String] {
+            def call(): String = { barrier.await(); get() }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+      assert(bodies.toSet.size == 1 && bodies.head.contains("\"n\":\"v1\""),
+        s"divergent collapsed responses: ${bodies.toSet}")
+      // the defining assertion: one evaluation, not sixteen
+      assert(evals.get() == 1,
+        s"stampede ran ${evals.get()} evaluations for one key")
+      assert(pub.collapsedStats == clients - 1,
+        s"collapsed=${pub.collapsedStats}, want ${clients - 1}")
+      assert(pub.cacheStats._2 == 1, s"misses=${pub.cacheStats._2}")
+      // and afterwards the rendered response serves from the cache
+      val hitsBefore = pub.cacheStats._1
+      get()
+      assert(pub.cacheStats._1 == hitsBefore + 1)
+    } finally pub.stopServing()
+  }
+
   test("workunit mutators are lost-update-safe under concurrency (CAS " +
       "read-copy-update, not get->put)") {
     // a serving layer's request threads append messages/statistics to the
