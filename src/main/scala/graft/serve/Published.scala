@@ -139,6 +139,31 @@ final class Published(spark: SparkSession) {
     */
   def collapsedStats: Long = collapsedCount.get()
 
+  // ---- per-request query timeout (Roxie aborts slow queries — one
+  // runaway request must not occupy a worker forever). Each request's
+  // Spark work runs under its own job group with interruptOnCancel; a
+  // shared watchdog cancels the group at the deadline and the client
+  // gets a 503 timeout envelope. Driver-side compute inside a published
+  // fn is not interruptible — the bound covers Spark jobs, which is
+  // where data-proportional work lives.
+  private var requestTimeoutMs = 0L
+  private val timeoutCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-publish-watchdog")
+      t.setDaemon(true)
+      t
+    }
+
+  /** Requests aborted at the deadline since construction. */
+  def timeoutStats: Long = timeoutCount.get()
+
+  /** Bound each request's Spark work to `ms` milliseconds (0 disables). */
+  def withRequestTimeout(ms: Long): this.type = {
+    requestTimeoutMs = ms
+    this
+  }
+
   private def cacheGet(key: String): Option[(Int, String, String)] =
     cache.synchronized {
       Option(cache.get(key)).collect {
@@ -295,9 +320,21 @@ final class Published(spark: SparkSession) {
         val cacheKey = s"$name ${if (wantXml) "x" else "j"}:$soapIn " +
           params.toSeq.sorted.mkString("&")
         // full evaluation + rendering as a (code, body, contentType)
-        // triple — never throws (errors render as 404/500 envelopes), so
-        // an in-flight future built on it always completes
-        def render(): (Int, String, String) =
+        // triple — never throws (errors render as 404/500/timeout
+        // envelopes), so an in-flight future built on it always completes
+        def render(): (Int, String, String) = {
+          val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val guard = if (requestTimeoutMs <= 0) None else {
+            val g = s"graft-pub-${java.lang.Long.toHexString(System.nanoTime())}"
+            spark.sparkContext.setJobGroup(g, s"published:$name",
+              interruptOnCancel = true)
+            Some((g, watchdog.schedule(new Runnable {
+              def run(): Unit = {
+                timedOut.set(true)
+                spark.sparkContext.cancelJobGroup(g)
+              }
+            }, requestTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)))
+          }
           try {
             val df = run(name, params - "format")
             if (wantXml) {
@@ -325,6 +362,15 @@ final class Published(spark: SparkSession) {
               (200, body, "application/json")
             }
           } catch {
+            // deadline abort FIRST: the cancelled Spark job surfaces as a
+            // generic SparkException that must not read as a server error
+            case _: Throwable if timedOut.get() =>
+              timeoutCount.incrementAndGet()
+              val msg = s"query timeout after ${requestTimeoutMs} ms"
+              if (wantXml) (503,
+                s"""<Exception><Message>${xmlEsc(msg)}</Message></Exception>""",
+                "text/xml; charset=utf-8")
+              else (503, s"""{"error":${jsonStr(msg)}}""", "application/json")
             case _: NoSuchElementException if !registry.contains(name) =>
               if (wantXml) (404,
                 s"""<Exception><Message>${xmlEsc(s"query not published: $name")}</Message></Exception>""",
@@ -339,7 +385,13 @@ final class Published(spark: SparkSession) {
               else (500,
                 s"""{"error":${jsonStr(String.valueOf(t.getMessage))}}""",
                 "application/json")
+          } finally guard.foreach { case (_, scheduled) =>
+            scheduled.cancel(false)
+            // per-thread local property — clear so a pooled handler
+            // thread's NEXT request doesn't inherit this group
+            spark.sparkContext.clearJobGroup()
           }
+        }
         val cached = if (cacheTtlMs > 0) cacheGet(cacheKey) else None
         cached match {
           case Some((code, body, ct)) =>

@@ -193,6 +193,47 @@ class ServeSpec extends SparkSpec {
     assert(wu.wuidOnDate(2020, 1, 1) < w)
   }
 
+  test("query timeout: a runaway Spark job is job-group-cancelled at the " +
+      "deadline and the client gets a 503 timeout envelope, not a hung " +
+      "worker") {
+    val pub = new Published(spark).withRequestTimeout(500)
+    pub.publish("hang_q") { (s, _) =>
+      import s.implicits._
+      // the sleep lives INSIDE a Spark task so interruptOnCancel can bite
+      // (driver-side compute is documented as not interruptible)
+      s.range(2).map { i => Thread.sleep(60000); i }.toDF("v")
+    }
+    pub.publish("fast_q") { (s, _) =>
+      import s.implicits._
+      Seq("ok").toDF("v")
+    }
+    val port = pub.serve(0, 10)
+    def get(name: String): (Int, String, Double) = {
+      val t0 = System.nanoTime()
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/$name").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+        finally is.close()
+      (code, body, (System.nanoTime() - t0) / 1e6)
+    }
+    try {
+      val (code, body, ms) = get("hang_q")
+      assert(code == 503 && body.contains("query timeout"),
+        s"code=$code body=$body")
+      // the 60 s task was aborted near the 500 ms deadline (wide budget
+      // for VM noise, still 10x under the runaway duration)
+      assert(ms < 6000.0, f"timeout response took $ms%.0f ms")
+      assert(pub.timeoutStats == 1)
+      // the worker is free and the session healthy: a fast query still runs
+      val (c2, b2, _) = get("fast_q")
+      assert(c2 == 200 && b2.contains("\"v\":\"ok\""), s"$c2 $b2")
+      assert(pub.timeoutStats == 1)
+    } finally pub.stopServing()
+  }
+
   test("cache stampede: 16 identical concurrent misses evaluate ONCE " +
       "(in-flight request collapsing, the Roxie identical-query posture)") {
     val pub = new Published(spark)
