@@ -105,6 +105,15 @@ final class Published(spark: SparkSession) {
     * (name, params, format) — the per-request cost here is Catalyst
     * re-planning, ~5 ms, which a cache hit skips entirely. Bounded LRU +
     * TTL; publish/unpublish invalidate the name's entries.
+    *
+    * Production posture (all Roxie analogs, each ServeSpec-gated):
+    *  - admission control ([[serveBounded]]): bounded workers + queue,
+    *    immediate 503 shedding beyond the bound;
+    *  - in-flight request collapsing (with caching on): identical
+    *    concurrent misses evaluate ONCE ([[collapsedStats]]);
+    *  - per-request timeout ([[withRequestTimeout]]): runaway Spark work
+    *    is job-group-cancelled at the deadline → 503, never cached, and
+    *    collapsed waiters inherit the winner's verdict.
     */
   private val cacheCap = 256
   private val cache =

@@ -234,6 +234,46 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("timeout x collapsing compose: concurrent identical requests on a " +
+      "runaway query all get the winner's 503 — one evaluation, one abort") {
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pub = new Published(spark).withRequestTimeout(500)
+    pub.publish("hang2_q") { (s, _) =>
+      import s.implicits._
+      evals.incrementAndGet()
+      s.range(2).map { i => Thread.sleep(60000); i }.toDF("v")
+    }
+    val port = pub.serve(0, 10, cacheTtlMs = 600000) // collapsing on
+    def get(): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/hang2_q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try { scala.io.Source.fromInputStream(is, "UTF-8").mkString; () }
+      finally is.close()
+      code
+    }
+    try {
+      val clients = 8
+      val barrier = new java.util.concurrent.CyclicBarrier(clients)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clients)
+      val codes = try {
+        (0 until clients).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int = { barrier.await(); get() }
+          })
+        }.map(_.get())
+      } finally pool.shutdown()
+      assert(codes.forall(_ == 503), s"codes=$codes")
+      assert(evals.get() == 1, s"evals=${evals.get()}")
+      assert(pub.timeoutStats == 1, s"timeouts=${pub.timeoutStats}")
+      // a timeout envelope must NOT be cached: the next request re-evaluates
+      get()
+      assert(evals.get() == 2, "timeout response was served from the cache")
+    } finally pub.stopServing()
+  }
+
   test("cache stampede: 16 identical concurrent misses evaluate ONCE " +
       "(in-flight request collapsing, the Roxie identical-query posture)") {
     val pub = new Published(spark)
