@@ -197,7 +197,10 @@ object Parse {
       * production corpus is MEASURED, not assumed. Driver-side read via
       * [[memoStats]]; surfaced as workunit statistics through
       * `Workunits.addStatistic` (the reference publishes engine counters
-      * the same way — Workunit.ecl:167 WorkunitStatistics).
+      * the same way — Workunit.ecl:167 WorkunitStatistics). Standard
+      * Spark accumulator semantics: updates from retried/speculative
+      * tasks can over-count — these are engine metrics, not ledgers,
+      * exactly like Spark's own SQL metrics.
       */
     def withMemoMetrics(spark: org.apache.spark.sql.SparkSession,
         label: String = "parse_memo"): this.type = {
