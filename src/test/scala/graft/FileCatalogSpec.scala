@@ -49,6 +49,36 @@ class FileCatalogSpec extends SparkSpec {
     assert(cat.superFileContents("all").isEmpty)
   }
 
+  test("registerAll: ONE commit, all-or-nothing — an illegal name anywhere " +
+      "in the batch publishes nothing; Txn.createSuperFile composes with " +
+      "membership adds in one version") {
+    val cat = newCat("bulk")
+    // illegal name (tab) in the middle: names validate BEFORE the commit
+    intercept[IllegalArgumentException] {
+      cat.registerAll(Seq("bulk::a" -> "p1", "bad\tname" -> "p2",
+        "bulk::c" -> "p3"))
+    }
+    assert(!cat.exists("bulk::a") && !cat.exists("bulk::c"),
+      "a failed bulk registration leaked entries")
+    cat.registerAll((0 until 5).map(i => s"bulk::f$i" -> s"p$i"))
+    assert(cat.list("bulk::*").size == 5)
+    // a generation layout (supers + memberships) publishes as ONE version
+    cat.transaction { t =>
+      t.createSuperFile("bulk::gen1")
+      t.addSuperFile("bulk::gen1", "bulk::f0")
+      t.addSuperFile("bulk::gen1", "bulk::f1")
+    }
+    assert(cat.superFileContents("bulk::gen1") == Seq("bulk::f0", "bulk::f1"))
+    // and a failed composed txn publishes neither the super nor the adds
+    intercept[IllegalArgumentException] {
+      cat.transaction { t =>
+        t.createSuperFile("bulk::gen2")
+        t.addSuperFile("bulk::gen2", "bulk::missing") // no such logical file
+      }
+    }
+    assert(!cat.superFileExists("bulk::gen2"))
+  }
+
   test("a failed transaction publishes NOTHING (atomic swap contract)") {
     val cat = newCat("atomic")
     cat.write("g1", Seq(1).toDF("k"))

@@ -47,6 +47,24 @@ class TeraSortSpec extends SparkSpec {
     assert(exprSum.compareTo(golden) == 0)
   }
 
+  test("splitChecksum round-trips across the representable range " +
+      "(property: hi*2^63 + lo == value, 0 <= lo < 2^63)") {
+    val rnd = new scala.util.Random(7)
+    val two63 = java.math.BigInteger.ONE.shiftLeft(63)
+    // random sums up to the 1.3e36 documented bound, plus the edges
+    val cases = Seq(java.math.BigInteger.ZERO, java.math.BigInteger.ONE,
+      two63.subtract(java.math.BigInteger.ONE), two63,
+      new java.math.BigInteger("1299999999999999999999999999999999999")) ++
+      (1 to 200).map(_ => new java.math.BigInteger(120, rnd.self))
+    cases.foreach { v =>
+      val (hi, lo) = TeraSort.splitChecksum(new java.math.BigDecimal(v))
+      assert(lo >= 0L && hi >= 0L)
+      assert(java.math.BigInteger.valueOf(hi).shiftLeft(63)
+        .add(java.math.BigInteger.valueOf(lo)).equals(v),
+        s"round-trip failed for $v: ($hi, $lo)")
+    }
+  }
+
   test("validator rejects an unsorted frame") {
     val unsorted = TeraSort.generate(spark, 10000L, numPartitions = 4)
     // range-partition WITHOUT sorting within partitions: boundaries hold

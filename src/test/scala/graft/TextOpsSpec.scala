@@ -553,6 +553,15 @@ class TextOpsSpec extends SparkSpec {
       "mixed small/hot routing diverges from the bucket-local values")
   }
 
+  test("lshJaccardPairs on an EMPTY corpus: zero rows from both routes, " +
+      "no failure (the degenerate start of any pipeline run)") {
+    val sets = Seq.empty[(Long, Seq[String])].toDF("doc_id", "sset")
+    val bands = Seq.empty[(Long, Long, String)].toDF("doc_id", "band", "bk")
+    assert(TextOps.lshJaccardPairs(bands, sets, 0.5).count() == 0)
+    assert(TextOps.lshJaccardPairs(bands, sets, 0.5, maxBucket = 1)
+      .count() == 0)
+  }
+
   test("lshJaccardPairs on two empty sets: BOTH paths fail loudly (ANSI " +
       "0/0 — a silent drop would make the output depend on maxBucket " +
       "routing)") {
