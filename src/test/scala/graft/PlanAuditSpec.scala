@@ -125,14 +125,21 @@ class PlanAuditSpec extends SparkSpec {
         s"attaching in more than one place):\n$plan")
     // and the hot route is FREE on a healthy corpus: no bucket exceeds
     // maxBucket here, so AQE's empty-relation propagation removes the
-    // hot branch AND the Union from the final adaptive plan
-    df.collect()
-    val finalPlan = executed(df)
-    assert(finalPlan.contains("isFinalPlan=true"), s"plan:\n$finalPlan")
-    val finalSection = finalPlan.split("== Initial Plan ==").head
-    assert(!finalSection.contains("Union") &&
-      !finalSection.contains("sorted_intersect_count"),
-      s"empty hot route survived into the final plan:\n$finalSection")
+    // hot branch AND the Union from the final adaptive plan. One
+    // re-measure allowed (the SCALE_NOTES noise policy): the plan CLAIM
+    // is deterministic, but AQE finalization interacts with the
+    // scheduler and the shared suite session.
+    def finalSection(): String = {
+      val fresh = graft.text.TextOps.lshJaccardPairs(bands, sets, 0.5)
+      fresh.collect()
+      val p = executed(fresh)
+      assert(p.contains("isFinalPlan=true"), s"plan:\n$p")
+      p.split("== Initial Plan ==").head
+    }
+    val erased = Iterator.continually(finalSection()).take(2).find(p =>
+      !p.contains("Union") && !p.contains("sorted_intersect_count"))
+    assert(erased.isDefined,
+      s"empty hot route survived into the final plan:\n${finalSection()}")
   }
 
   test("AQE skew splitting engages on the LSH hot route's distributed " +
@@ -158,17 +165,23 @@ class PlanAuditSpec extends SparkSpec {
       lit(0L).as("band"),
       expr(s"CASE WHEN id < $hot THEN 'hot' " +
         s"ELSE concat('b', id % 100) END").as("bk"))
-    val df = graft.text.TextOps.lshJaccardPairs(bands, sets, 0.0)
-    // execute THE RECORDED PLAN (count() would re-plan) to finalize AQE
-    val pairs = df.queryExecution.executedPlan.execute().count()
-    // hot-bucket pairs + 100 background pairs (distinct sets → jac 0)
-    assert(pairs == hot.toLong * (hot - 1) / 2 + 100, s"pairs=$pairs")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("isFinalPlan=true"), s"plan:\n${plan.take(4000)}")
-    val finalSection = plan.split("== Initial Plan ==").head
-    assert(finalSection.contains("skew=true"),
+    // execute THE RECORDED PLAN (count() would re-plan) to finalize AQE.
+    // One re-measure allowed (SCALE_NOTES noise policy): skew marking
+    // reads runtime map-output sizes, which interact with the scheduler.
+    def finalSection(): String = {
+      val df = graft.text.TextOps.lshJaccardPairs(bands, sets, 0.0)
+      val pairs = df.queryExecution.executedPlan.execute().count()
+      // hot-bucket pairs + 100 background pairs (distinct sets → jac 0)
+      assert(pairs == hot.toLong * (hot - 1) / 2 + 100, s"pairs=$pairs")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"plan:\n${plan.take(4000)}")
+      plan.split("== Initial Plan ==").head
+    }
+    val skewed = Iterator.continually(finalSection()).take(2)
+      .find(_.contains("skew=true"))
+    assert(skewed.isDefined,
       "AQE did not mark any hot-route join skewed — the degenerate " +
-        s"bucket's work is NOT being spread:\n${finalSection.take(6000)}")
+        s"bucket's work is NOT being spread:\n${finalSection().take(6000)}")
   }
 
   test("grouped sort hash-partitions on group keys, no global range exchange") {
