@@ -24,14 +24,38 @@ object IoQueries {
 
   private def ioDir(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    // content key: the source dir's max top-level mtime. Regenerating the
-    // sf dir in place lands fixtures in a fresh root, so the oracle can
-    // never read indexes built from superseded data. Listing ~10 entries
-    // per call is free next to any query it guards.
-    val stamp = Option(new java.io.File(sfDir).listFiles())
-      .map(_.foldLeft(0L)((m, f) => math.max(m, f.lastModified())))
-      .getOrElse(0L)
-    s"/root/repo/target/graft_io/${tag}_v${FixtureLayoutVersion}_$stamp"
+    // content key: a hash of the RECURSIVE (relative path, mtime, size)
+    // listing — an in-place overwrite of a file nested below the top level
+    // bumps no top-level mtime, so a shallow stamp could serve fixtures
+    // built from superseded data. An sf dir holds ~10 tables × a handful
+    // of part files, so the walk is free next to any query it guards.
+    def walk(f: java.io.File, rel: String, acc: StringBuilder): Unit =
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .foreach { k =>
+          val r = s"$rel/${k.getName}"
+          if (k.isDirectory) walk(k, r, acc)
+          else acc.append(r).append('|').append(k.lastModified())
+            .append('|').append(k.length()).append('\n')
+        }
+    val listing = new StringBuilder
+    walk(new java.io.File(sfDir), "", listing)
+    val stamp = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(listing.toString.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+    val rootDir = new java.io.File("/root/repo/target/graft_io")
+    val current = s"${tag}_v${FixtureLayoutVersion}_$stamp"
+    // prune superseded fixture roots for THIS sf dir (stale stamps and old
+    // layout versions would otherwise accumulate unbounded under
+    // target/graft_io); `tag + "_v"` keeps sibling sf dirs' roots intact
+    // (e.g. sf10's tag continues with '0', never '_v', after sf1's)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(); ()
+    }
+    Option(rootDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName.startsWith(tag + "_v") && d.getName != current)
+      .foreach(rmTree)
+    s"${rootDir.getPath}/$current"
   }
 
   /** Index/base fixtures build once per sf dir: the measured operation of

@@ -122,7 +122,11 @@ final class Published(spark: SparkSession) {
           e: java.util.Map.Entry[String, (Long, Int, String, String)]): Boolean =
         size() > cacheCap
     }
-  private var cacheTtlMs = 0L
+  // @volatile: configuration may be applied around serve() startup on a
+  // different thread than the pooled handler threads that read it — plain
+  // vars have no visibility guarantee and a post-start reconfiguration
+  // could otherwise never be observed by a running handler
+  @volatile private var cacheTtlMs = 0L
 
   // hit/miss accounting (Roxie publishes the same counters per query via
   // its metrics interface) — AtomicLongs, safe under the server's
@@ -148,6 +152,14 @@ final class Published(spark: SparkSession) {
     */
   def collapsedStats: Long = collapsedCount.get()
 
+  private val collapsedTimeoutCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Collapsed waiters that gave up (503) when the in-flight evaluation
+    * outlived the bounded wait.
+    */
+  def collapsedTimeoutStats: Long = collapsedTimeoutCount.get()
+
   // ---- per-request query timeout (Roxie aborts slow queries — one
   // runaway request must not occupy a worker forever). Each request's
   // Spark work runs under its own job group with interruptOnCancel; a
@@ -155,7 +167,7 @@ final class Published(spark: SparkSession) {
   // gets a 503 timeout envelope. Driver-side compute inside a published
   // fn is not interruptible — the bound covers Spark jobs, which is
   // where data-proportional work lives.
-  private var requestTimeoutMs = 0L
+  @volatile private var requestTimeoutMs = 0L
   private val timeoutCount = new java.util.concurrent.atomic.AtomicLong(0)
   private lazy val watchdog =
     java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
@@ -166,6 +178,30 @@ final class Published(spark: SparkSession) {
 
   /** Requests aborted at the deadline since construction. */
   def timeoutStats: Long = timeoutCount.get()
+
+  /** Is this failure the watchdog's own cancellation surfacing? A request
+    * that fails AFTER the deadline fired may still have died of an
+    * unrelated cause — attributing any racing failure to the timeout would
+    * mask the real error as a 503. Only interruption / cancellation /
+    * Spark job-kill shapes (anywhere in the cause chain) classify.
+    */
+  private def isCancellation(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      cur match {
+        case _: InterruptedException => return true
+        case _: java.util.concurrent.CancellationException => return true
+        case e: org.apache.spark.SparkException =>
+          val m = String.valueOf(e.getMessage).toLowerCase
+          if (m.contains("cancel") || m.contains("killed")) return true
+        case _ =>
+      }
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
 
   /** Bound each request's Spark work to `ms` milliseconds (0 disables). */
   def withRequestTimeout(ms: Long): this.type = {
@@ -210,7 +246,7 @@ final class Published(spark: SparkSession) {
   // Two-level semaphores: `admit` bounds workers + queue (excess gets an
   // immediate 503 + Retry-After, never a blocked socket), `execute`
   // bounds in-flight query evaluation to the worker count.
-  private var admission: Option[(java.util.concurrent.Semaphore,
+  @volatile private var admission: Option[(java.util.concurrent.Semaphore,
     java.util.concurrent.Semaphore)] = None
   private val shedCount = new java.util.concurrent.atomic.AtomicLong(0)
 
@@ -371,9 +407,13 @@ final class Published(spark: SparkSession) {
               (200, body, "application/json")
             }
           } catch {
+            // fatal VM errors must propagate, never render as an envelope
+            case e: VirtualMachineError => throw e
             // deadline abort FIRST: the cancelled Spark job surfaces as a
-            // generic SparkException that must not read as a server error
-            case _: Throwable if timedOut.get() =>
+            // generic SparkException that must not read as a server error —
+            // but ONLY the cancellation itself classifies (an unrelated
+            // failure racing the watchdog keeps its own 500 envelope)
+            case t: Throwable if timedOut.get() && isCancellation(t) =>
               timeoutCount.incrementAndGet()
               val msg = s"query timeout after ${requestTimeoutMs} ms"
               if (wantXml) (503,
@@ -417,8 +457,23 @@ final class Published(spark: SparkSession) {
             val prior = inFlight.putIfAbsent(cacheKey, fresh)
             if (prior != null) {
               collapsedCount.incrementAndGet()
-              val (code, body, ct) = prior.join()
-              respond(ex, code, body, ct)
+              // BOUNDED join: with the request timeout disabled, one slow
+              // evaluation must not park unbounded handler threads (and,
+              // under serveBounded, worker permits) on a single cache key —
+              // waiters give up after the request deadline plus scheduling
+              // slack (or 60 s) and answer 503 so their threads free up
+              val waitMs =
+                if (requestTimeoutMs > 0) requestTimeoutMs + 5000 else 60000L
+              try {
+                val (code, body, ct) =
+                  prior.get(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+                respond(ex, code, body, ct)
+              } catch {
+                case _: java.util.concurrent.TimeoutException =>
+                  collapsedTimeoutCount.incrementAndGet()
+                  respond(ex, 503,
+                    """{"error":"server busy: in-flight wait timed out"}""")
+              }
             } else {
               cacheMissCount.incrementAndGet()
               try {
@@ -448,6 +503,16 @@ final class Published(spark: SparkSession) {
               // (the client can retry) rather than stretch every accepted
               // request's latency with an unbounded backlog
               shedCount.incrementAndGet()
+              // drain the request body before responding: an undrained POST
+              // body can surface client-side as a connection abort instead
+              // of a clean 503 (com.sun.net.httpserver closes the exchange
+              // with unread bytes still in flight)
+              try {
+                val in = ex.getRequestBody
+                val buf = new Array[Byte](8192)
+                while (in.read(buf) >= 0) {}
+                in.close()
+              } catch { case _: java.io.IOException => }
               ex.getResponseHeaders.set("Retry-After", "1")
               respond(ex, 503,
                 """{"error":"server busy: worker pool and queue full"}""")

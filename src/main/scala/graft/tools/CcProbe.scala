@@ -4,18 +4,39 @@ import graft.Tables
 import graft.text.TextOps
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Stage-level timing probe for the q99 shape (dev tool): splits the
   * near-dup component pipeline into candidate generation (shingle →
   * minhash → LSH → jaccard refine) and the connected-components rounds,
   * and times each star round individually with its edge count — so a
   * "q99 is slow at sfN" report can be attributed to a specific stage
-  * instead of the composite.
+  * instead of the composite, and superlinearity in the star-contraction
+  * rounds is directly visible (per-round cost should track edge count).
   *
-  * `runMain graft.tools.CcProbe` against `SPARK_GRAFT_SF_DIR`.
+  * `args(0)` picks the FIXTURE storage discipline (the task-side memory
+  * contract is unaffected — HotBucketStressSpec pins that separately):
+  *  - `heap` — deserialized MEMORY_AND_DISK persists + MEMORY_AND_DISK
+  *    localCheckpoints (the r13/r14 shape: all fixture storage shares the
+  *    one local[N] heap; at sf30 this needed ~96 GB);
+  *  - `ser`  — MEMORY_AND_DISK_SER persists, DISK_ONLY checkpoints (the
+  *    cluster-faithful shape: storage is serialized/spilled, the heap
+  *    holds only live task state — the r15 64 GB re-proof mode);
+  *  - `disk` — DISK_ONLY everything (floor of the storage axis).
+  *
+  * `runMain graft.tools.CcProbe [heap|ser|disk]` against
+  * `SPARK_GRAFT_SF_DIR` (plain-java launch for big SFs — pick -Xmx per
+  * run).
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
+    val mode = if (args.length > 0) args(0) else "heap"
+    val (persistLevel, ckLevel) = mode match {
+      case "heap" => (StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+      case "ser"  => (StorageLevel.MEMORY_AND_DISK_SER, StorageLevel.DISK_ONLY)
+      case "disk" => (StorageLevel.DISK_ONLY, StorageLevel.DISK_ONLY)
+      case other  => sys.error(s"unknown storage mode: $other")
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -27,55 +48,64 @@ object CcProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.workflow.Workflow.checkpointEager
+    println(s"[cc] storage mode: $mode (persist=$persistLevel, checkpoint=$ckLevel)")
 
-    def timed[A](label: String)(f: => A): A = {
+    def timed[A](label: String)(f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[cc] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[cc] $label: $s%.2f s")
+      (r, s)
     }
 
     val sets = graft.ops.Shape.split(TextOps.shingleSet(
-      Tables.documents(spark, dir), col("doc_id"), col("text"), 3))
+      Tables.documents(spark, dir), col("doc_id"), col("text"), 3),
+      persistLevel)
     timed("stage 1: shingle sets (persist)") {
       println(s"[cc]   docs with shingles: ${sets.count()}")
     }
     val bands = graft.ops.Shape.split(
-      TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2))
+      TextOps.lshBandKeys(TextOps.minhashSig(sets, 8), 8, 2), persistLevel)
     timed("stage 2: minhash sigs + band keys (persist)") {
       println(s"[cc]   band rows: ${bands.count()}")
     }
-    val cands = timed("stage 3: LSH bucket self-join (distinct pairs)")(
-      checkpointEager(TextOps.lshCandidates(bands)))
+    val (cands, _) = timed("stage 3: LSH bucket self-join (distinct pairs)")(
+      checkpointEager(TextOps.lshCandidates(bands), ckLevel))
     println(s"[cc]   candidate pairs: ${cands.df.count()}")
 
     // lshJaccardPairs routes hot buckets at execution time (no eager
     // probe since r14); construction is cheap but keep it in the block
-    val e0 = timed("stage 4: jaccard refine (bucket-local fused)")(
+    val (e0, _) = timed("stage 4: jaccard refine (bucket-local fused)")(
       checkpointEager(TextOps.lshJaccardPairs(bands, sets, 0.5)
       .select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()))
+      .distinct(), ckLevel))
     var e = e0
-    var eCount = timed("edge count")(e.df.count())
+    var (eCount, _) = timed("edge count")(e.df.count())
     println(s"[cc] initial edges: $eCount")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 30) {
-      val ls = timed(s"round $rounds largeStar")(
-        checkpointEager(graft.ops.Graph.largeStar(e.df)))
-      val next = timed(s"round $rounds smallStar")(
-        checkpointEager(graft.ops.Graph.smallStar(ls.df)))
+      val edgesIn = eCount
+      val (ls, lsSec) = timed(s"round $rounds largeStar")(
+        checkpointEager(graft.ops.Graph.largeStar(e.df), ckLevel))
+      val (next, ssSec) = timed(s"round $rounds smallStar")(
+        checkpointEager(graft.ops.Graph.smallStar(ls.df), ckLevel))
       val nextCount = next.df.count()
       ls.release()
-      converged = timed(s"round $rounds fixpoint test")(
+      val (conv, fpSec) = timed(s"round $rounds fixpoint test")(
         eCount == nextCount &&
           next.df.join(e.df, Seq("u", "v"), "left_anti").isEmpty)
+      converged = conv
       e.release()
-      println(s"[cc] round $rounds edges: $nextCount converged=$converged")
+      // one machine-greppable line per contraction round: cost must track
+      // the round's edge count (superlinearity shows here immediately)
+      println(f"[cc] ROUND n=$rounds edges_in=$edgesIn edges_out=$nextCount " +
+        f"largeStar_s=$lsSec%.1f smallStar_s=$ssSec%.1f " +
+        f"fixpoint_s=$fpSec%.1f converged=$converged")
       eCount = nextCount
       e = next
       rounds += 1

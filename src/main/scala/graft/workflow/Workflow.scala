@@ -70,8 +70,17 @@ object Workflow {
   private[graft] final case class Checkpointed(df: DataFrame,
       release: () => Unit)
 
-  private[graft] def checkpointEager(df: DataFrame): Checkpointed = {
-    val ck = df.localCheckpoint()
+  private[graft] def checkpointEager(df: DataFrame): Checkpointed =
+    checkpointEager(df,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[checkpointEager]] at an explicit storage level (DISK_ONLY keeps a
+    * huge checkpoint out of a single-JVM rehearsal's heap; the default
+    * matches `localCheckpoint()`'s MEMORY_AND_DISK).
+    */
+  private[graft] def checkpointEager(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): Checkpointed = {
+    val ck = df.localCheckpoint(true, level)
     val rdds = ck.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }

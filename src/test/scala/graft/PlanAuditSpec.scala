@@ -13,6 +13,45 @@ class PlanAuditSpec extends SparkSpec {
   private def executed(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** One re-measure (the SCALE_NOTES noise policy) — but never a SILENT
+    * one: a first-attempt miss is logged via info(), and a per-pin streak
+    * file under target/ counts consecutive runs whose first attempt
+    * missed. Three in a row FAIL the build: a systematically flaky AQE
+    * interaction must not hide behind the one-re-measure policy
+    * indefinitely. A clean first attempt resets the pin's streak.
+    */
+  private def pinWithOneRemeasure[A](pin: String)(attempt: () => Option[A])(
+      onExhausted: => Nothing): A = {
+    val streakFile =
+      java.nio.file.Paths.get(s"target/aqe_pin_retry_$pin.txt")
+    def streak: Int =
+      if (java.nio.file.Files.exists(streakFile))
+        new String(java.nio.file.Files.readAllBytes(streakFile))
+          .trim.toIntOption.getOrElse(0)
+      else 0
+    def writeStreak(n: Int): Unit = {
+      java.nio.file.Files.createDirectories(streakFile.getParent)
+      java.nio.file.Files.write(streakFile,
+        n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    attempt() match {
+      case Some(a) => writeStreak(0); a
+      case None =>
+        val s = streak + 1
+        writeStreak(s)
+        info(s"AQE pin '$pin': first attempt missed — re-measuring once " +
+          s"(noise policy); consecutive runs that retried: $s")
+        assert(s < 3, s"AQE pin '$pin' needed its re-measure in $s " +
+          "consecutive runs — that is a systematic flake, not VM noise; " +
+          "investigate the pin instead of re-measuring past it")
+        attempt() match {
+          case Some(a) => a
+          case None => onExhausted
+        }
+    }
+  }
+
   private def formatted(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -136,10 +175,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("isFinalPlan=true"), s"plan:\n$p")
       p.split("== Initial Plan ==").head
     }
-    val erased = Iterator.continually(finalSection()).take(2).find(p =>
-      !p.contains("Union") && !p.contains("sorted_intersect_count"))
-    assert(erased.isDefined,
-      s"empty hot route survived into the final plan:\n${finalSection()}")
+    pinWithOneRemeasure("lsh_empty_route_erasure")(() =>
+      Option(finalSection()).filter(p =>
+        !p.contains("Union") && !p.contains("sorted_intersect_count")))(
+      fail(s"empty hot route survived into the final plan:\n${finalSection()}"))
+    ()
   }
 
   test("AQE skew splitting engages on the LSH hot route's distributed " +
@@ -177,11 +217,11 @@ class PlanAuditSpec extends SparkSpec {
       assert(plan.contains("isFinalPlan=true"), s"plan:\n${plan.take(4000)}")
       plan.split("== Initial Plan ==").head
     }
-    val skewed = Iterator.continually(finalSection()).take(2)
-      .find(_.contains("skew=true"))
-    assert(skewed.isDefined,
-      "AQE did not mark any hot-route join skewed — the degenerate " +
-        s"bucket's work is NOT being spread:\n${finalSection().take(6000)}")
+    pinWithOneRemeasure("lsh_skew_split")(() =>
+      Option(finalSection()).filter(_.contains("skew=true")))(
+      fail("AQE did not mark any hot-route join skewed — the degenerate " +
+        s"bucket's work is NOT being spread:\n${finalSection().take(6000)}"))
+    ()
   }
 
   test("grouped sort hash-partitions on group keys, no global range exchange") {
