@@ -12,12 +12,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * add/remove/swap transactions (`File.ecl:982`
   * StartSuperFileTransaction / `:1065` FinishSuperFileTransaction).
   *
-  * Catalog state is a single versioned manifest under
-  * `<root>/_catalog/v%016d.txt`, committed through [[VersionedManifest]]
-  * (atomic claim-with-content winner election, `#END`-guarded reads,
-  * stale-claim expiry — see its scaladoc; the engine is shared with the
-  * [[Store]] KV service). POSIX rename is NOT used for commits because it
-  * silently overwrites, which would drop a racing committer's update.
+  * Catalog state is a versioned manifest chain under
+  * `<root>/_catalog/v%016d.txt`, committed through [[LogManifest]] —
+  * the [[VersionedManifest]] claim protocol (atomic claim-with-content
+  * winner election, `#END`-guarded reads, stale-claim expiry) with
+  * O(delta) commits: each mutation publishes its operation records and a
+  * snapshot compacts the chain periodically, so a Dali-scale catalog
+  * (~1 M names) commits a single registration in milliseconds instead of
+  * re-rendering the world (CatalogProbe / SCALE_NOTES). POSIX rename is
+  * NOT used for commits because it silently overwrites, which would drop
+  * a racing committer's update.
   *
   * Data-plane reads stay fully distributed: [[readSuper]] is the
   * path-union parquet scan ([[Sources.superfile]]); only name→path
@@ -72,12 +76,185 @@ final class FileCatalog(spark: SparkSession, root: String) {
     (fLines ++ sLines ++ aLines ++ rLines).mkString("\n")
   }
 
-  private val manifest = new VersionedManifest[State](spark,
-    catalogDir.toString, State(Map.empty, Map.empty), parse, render)
+  // ---- operation records (the delta-log command set): each op VALIDATES
+  // against and transforms the state it applies to, so a committed delta
+  // replays deterministically at load and a lost commit race re-validates
+  // against the fresher state. One op per line in a #DELTA record; tag +
+  // tab-separated fields (names/values exclude tab/newline by checkName).
+  private sealed trait CatOp { def apply(s: State): State }
+
+  private final case class PutFile(name: String, path: String) extends CatOp {
+    def apply(s: State): State = s.copy(files = s.files + (name -> path))
+  }
+  private final case class RemoveFile(name: String) extends CatOp {
+    def apply(s: State): State = {
+      require(!s.attrs.get(name).exists(_.get("protected").contains("1")),
+        s"$name is protected (ProtectLogicalFile) — unprotect before delete")
+      s.copy(files = s.files - name,
+        supers = s.supers.map { case (k, subs) =>
+          k -> subs.filterNot(_ == name) },
+        attrs = s.attrs - name)
+    }
+  }
+  private final case class Rename(oldName: String, newName: String,
+      allowOverwrite: Boolean) extends CatOp {
+    def apply(s: State): State = {
+      require(s.files.contains(oldName), s"no such logical file: $oldName")
+      require(allowOverwrite || !s.files.contains(newName),
+        s"target exists: $newName")
+      require(!s.attrs.get(oldName).exists(_.get("protected").contains("1")),
+        s"$oldName is protected (ProtectLogicalFile) — unprotect before rename")
+      s.copy(files = s.files - oldName + (newName -> s.files(oldName)),
+        supers = s.supers.map { case (k, subs) =>
+          k -> subs.map(x => if (x == oldName) newName else x)
+        },
+        attrs = s.attrs.get(oldName) match {
+          case Some(a) => s.attrs - oldName + (newName -> a)
+          case None => s.attrs
+        })
+    }
+  }
+  private final case class PutAttr(name: String, key: String,
+      value: String) extends CatOp {
+    def apply(s: State): State = {
+      require(s.files.contains(name), s"no such logical file: $name")
+      s.copy(attrs = s.attrs +
+        (name -> (s.attrs.getOrElse(name, Map.empty) + (key -> value))))
+    }
+  }
+  private final case class RemoveAttr(name: String, key: String)
+      extends CatOp {
+    def apply(s: State): State =
+      s.copy(attrs = s.attrs.get(name) match {
+        case Some(a) => val a2 = a - key
+          if (a2.isEmpty) s.attrs - name else s.attrs + (name -> a2)
+        case None => s.attrs
+      })
+  }
+  private final case class AddRel(fields: Vector[String]) extends CatOp {
+    def apply(s: State): State = {
+      require(s.files.contains(fields(0)),
+        s"no such logical file: ${fields(0)}")
+      require(s.files.contains(fields(1)),
+        s"no such logical file: ${fields(1)}")
+      s.copy(rels = s.rels :+ fields)
+    }
+  }
+  private final case class RemoveRel(primary: String, secondary: String)
+      extends CatOp {
+    def apply(s: State): State = s.copy(rels =
+      s.rels.filterNot(r => r(0) == primary && r(1) == secondary))
+  }
+  private final case class NewSuper(name: String, allowExist: Boolean)
+      extends CatOp {
+    def apply(s: State): State = {
+      require(allowExist || !s.supers.contains(name),
+        s"superfile exists: $name")
+      if (s.supers.contains(name)) s
+      else s.copy(supers = s.supers + (name -> Vector.empty))
+    }
+  }
+  private final case class DelSuper(name: String) extends CatOp {
+    def apply(s: State): State = s.copy(supers = s.supers - name)
+  }
+  private final case class AddSub(superName: String, subName: String)
+      extends CatOp {
+    def apply(s: State): State = {
+      require(s.supers.contains(superName), s"no such superfile: $superName")
+      require(s.files.contains(subName), s"no such logical file: $subName")
+      val subs = s.supers(superName)
+      require(!subs.contains(subName), s"$subName already in $superName")
+      s.copy(supers = s.supers + (superName -> (subs :+ subName)))
+    }
+  }
+  private final case class RemoveSub(superName: String, subName: String)
+      extends CatOp {
+    def apply(s: State): State = {
+      require(s.supers.contains(superName), s"no such superfile: $superName")
+      s.copy(supers = s.supers +
+        (superName -> s.supers(superName).filterNot(_ == subName)))
+    }
+  }
+  private final case class ClearSuper(superName: String) extends CatOp {
+    def apply(s: State): State = {
+      require(s.supers.contains(superName), s"no such superfile: $superName")
+      s.copy(supers = s.supers + (superName -> Vector.empty))
+    }
+  }
+  private final case class SwapSupers(a: String, b: String) extends CatOp {
+    def apply(s: State): State = {
+      require(s.supers.contains(a) && s.supers.contains(b),
+        s"no such superfile: $a / $b")
+      s.copy(supers = s.supers + (a -> s.supers(b)) + (b -> s.supers(a)))
+    }
+  }
+  private final case class Promote(names: Vector[String],
+      addHead: Option[String], guardDelete: Boolean) extends CatOp {
+    def apply(s: State): State = {
+      names.foreach(n => require(s.supers.contains(n),
+        s"no such superfile: $n"))
+      addHead.foreach(h => require(s.files.contains(h),
+        s"no such logical file: $h"))
+      if (guardDelete) s.supers(names.last).foreach { d =>
+        require(!s.attrs.get(d).exists(_.get("protected").contains("1")),
+          s"cannot promote: displaced $d is protected")
+      }
+      val shifted = names.indices.reverse.foldLeft(s.supers) { (acc, i) =>
+        acc + (names(i) -> (if (i == 0) addHead.toVector
+          else s.supers(names(i - 1))))
+      }
+      s.copy(supers = shifted)
+    }
+  }
+
+  private def renderOp(op: CatOp): String = op match {
+    case PutFile(n, p) => s"pf\t$n\t$p"
+    case RemoveFile(n) => s"rf\t$n"
+    case Rename(o, n, ow) => s"mv\t$o\t$n\t${if (ow) 1 else 0}"
+    case PutAttr(n, k, v) => s"pa\t$n\t$k\t$v"
+    case RemoveAttr(n, k) => s"ra\t$n\t$k"
+    case AddRel(f) => ("ar" +: f).mkString("\t")
+    case RemoveRel(p, s) => s"rr\t$p\t$s"
+    case NewSuper(n, ae) => s"ns\t$n\t${if (ae) 1 else 0}"
+    case DelSuper(n) => s"ds\t$n"
+    case AddSub(sup, sub) => s"as\t$sup\t$sub"
+    case RemoveSub(sup, sub) => s"rs\t$sup\t$sub"
+    case ClearSuper(sup) => s"xs\t$sup"
+    case SwapSupers(a, b) => s"sw\t$a\t$b"
+    case Promote(ns, ah, gd) =>
+      (Seq("pr", if (gd) "1" else "0", ah.getOrElse("")) ++ ns).mkString("\t")
+  }
+
+  private def parseOp(line: String): CatOp = {
+    val f = line.split("\t", -1)
+    f(0) match {
+      case "pf" => PutFile(f(1), f(2))
+      case "rf" => RemoveFile(f(1))
+      case "mv" => Rename(f(1), f(2), f(3) == "1")
+      case "pa" => PutAttr(f(1), f(2), f(3))
+      case "ra" => RemoveAttr(f(1), f(2))
+      case "ar" => AddRel(f.drop(1).toVector)
+      case "rr" => RemoveRel(f(1), f(2))
+      case "ns" => NewSuper(f(1), f(2) == "1")
+      case "ds" => DelSuper(f(1))
+      case "as" => AddSub(f(1), f(2))
+      case "rs" => RemoveSub(f(1), f(2))
+      case "xs" => ClearSuper(f(1))
+      case "sw" => SwapSupers(f(1), f(2))
+      case "pr" => Promote(f.drop(3).toVector,
+        Some(f(2)).filter(_.nonEmpty), f(1) == "1")
+      case other => sys.error(s"unknown catalog op tag: $other")
+    }
+  }
+
+  private val manifest = new LogManifest[State, CatOp](spark,
+    catalogDir.toString, State(Map.empty, Map.empty), parse, render,
+    parseOp, renderOp, (s, op) => op(s),
+    s => s.files.size + s.supers.size)
 
   private def load(): State = manifest.load()
 
-  private def commit(mutate: State => State): Unit = manifest.commit(mutate)
+  private def commit(ops: State => Seq[CatOp]): Unit = { manifest.commit(ops); () }
 
   private def checkName(n: String): String = {
     require(n.nonEmpty && !n.exists(c => c == '\t' || c == '\n'),
@@ -93,7 +270,7 @@ final class FileCatalog(spark: SparkSession, root: String) {
   /** Catalog an existing physical location under a logical name. */
   def register(name: String, path: String): Unit = {
     checkName(name)
-    commit(s => s.copy(files = s.files + (name -> path)))
+    commit(_ => Seq(PutFile(name, path)))
   }
 
   /** Bulk-catalog many logical names in ONE manifest commit. Snapshot
@@ -104,7 +281,7 @@ final class FileCatalog(spark: SparkSession, root: String) {
     */
   def registerAll(entries: Seq[(String, String)]): Unit = {
     entries.foreach { case (n, _) => checkName(n) }
-    commit(s => s.copy(files = s.files ++ entries))
+    commit(_ => entries.map { case (n, p) => PutFile(n, p) })
   }
 
   /** Physical directory for a catalog-managed logical file: ECL scope
@@ -145,14 +322,7 @@ final class FileCatalog(spark: SparkSession, root: String) {
   def delete(name: String, allowMissing: Boolean = false): Unit = {
     val known = load().files.get(name)
     require(known.nonEmpty || allowMissing, s"no such logical file: $name")
-    commit { s =>
-      require(!s.attrs.get(name).exists(_.get("protected").contains("1")),
-        s"$name is protected (ProtectLogicalFile) — unprotect before delete")
-      s.copy(files = s.files - name,
-        supers = s.supers.map { case (k, subs) =>
-          k -> subs.filterNot(_ == name) },
-        attrs = s.attrs - name)
-    }
+    commit(_ => Seq(RemoveFile(name)))
     known.filter(_.startsWith(new Path(root, "data").toString))
       .foreach(p => fs.delete(new Path(p), true))
   }
@@ -164,21 +334,7 @@ final class FileCatalog(spark: SparkSession, root: String) {
   def rename(oldName: String, newName: String,
       allowOverwrite: Boolean = false): Unit = {
     checkName(newName)
-    commit { s =>
-      require(s.files.contains(oldName), s"no such logical file: $oldName")
-      require(allowOverwrite || !s.files.contains(newName),
-        s"target exists: $newName")
-      require(!s.attrs.get(oldName).exists(_.get("protected").contains("1")),
-        s"$oldName is protected (ProtectLogicalFile) — unprotect before rename")
-      s.copy(files = s.files - oldName + (newName -> s.files(oldName)),
-        supers = s.supers.map { case (k, subs) =>
-          k -> subs.map(x => if (x == oldName) newName else x)
-        },
-        attrs = s.attrs.get(oldName) match {
-          case Some(a) => s.attrs - oldName + (newName -> a)
-          case None => s.attrs
-        })
-    }
+    commit(_ => Seq(Rename(oldName, newName, allowOverwrite)))
   }
 
   /** GetLogicalFileAttribute-style info: physical path, total bytes,
@@ -208,27 +364,18 @@ final class FileCatalog(spark: SparkSession, root: String) {
   // SetColumnMapping — Dali stores these on the DFS tree node) ------------
 
   /** Generic attribute write (the `GetLogicalFileAttribute` counterpart). */
-  def setFileAttribute(name: String, key: String, value: String): Unit =
-    commit { s =>
-      require(s.files.contains(name), s"no such logical file: $name")
-      checkName(key)
-      require(!value.exists(c => c == '\t' || c == '\n'),
-        s"illegal attribute value for $key")
-      s.copy(attrs = s.attrs +
-        (name -> (s.attrs.getOrElse(name, Map.empty) + (key -> value))))
-    }
+  def setFileAttribute(name: String, key: String, value: String): Unit = {
+    checkName(key)
+    require(!value.exists(c => c == '\t' || c == '\n'),
+      s"illegal attribute value for $key")
+    commit(_ => Seq(PutAttr(name, key, value)))
+  }
 
   def getFileAttribute(name: String, key: String): Option[String] =
     load().attrs.get(name).flatMap(_.get(key))
 
   private def clearFileAttribute(name: String, key: String): Unit =
-    commit { s =>
-      s.copy(attrs = s.attrs.get(name) match {
-        case Some(a) => val a2 = a - key
-          if (a2.isEmpty) s.attrs - name else s.attrs + (name -> a2)
-        case None => s.attrs
-      })
-    }
+    commit(_ => Seq(RemoveAttr(name, key)))
 
   /** SetFileDescription (`File.ecl:230`). */
   def setFileDescription(name: String, description: String): Unit =
@@ -292,12 +439,8 @@ final class FileCatalog(spark: SparkSession, root: String) {
       primaryFields: String, secondaryFields: String,
       kind: String = "link", cardinality: String = "",
       payload: Boolean = false): Unit =
-    commit { s =>
-      require(s.files.contains(primary), s"no such logical file: $primary")
-      require(s.files.contains(secondary), s"no such logical file: $secondary")
-      s.copy(rels = s.rels :+ Vector(primary, secondary, primaryFields,
-        secondaryFields, kind, cardinality, if (payload) "1" else "0"))
-    }
+    commit(_ => Seq(AddRel(Vector(primary, secondary, primaryFields,
+      secondaryFields, kind, cardinality, if (payload) "1" else "0"))))
 
   /** FileRelationshipList with `*`/`?` wildcards on both names: rows of
     * (primary, secondary, primaryFields, secondaryFields, kind,
@@ -310,8 +453,7 @@ final class FileCatalog(spark: SparkSession, root: String) {
         graft.workflow.Events.wildcardMatch(secondaryPattern, r(1)))
 
   def removeFileRelationship(primary: String, secondary: String): Unit =
-    commit(s => s.copy(rels =
-      s.rels.filterNot(r => r(0) == primary && r(1) == secondary)))
+    commit(_ => Seq(RemoveRel(primary, secondary)))
 
   // ---- external (landing-zone) file utilities (File.ecl:455-520:
   // MoveExternalFile / DeleteExternalFile / CreateExternalDirectory) ------
@@ -332,18 +474,13 @@ final class FileCatalog(spark: SparkSession, root: String) {
 
   def createSuperFile(name: String, allowExist: Boolean = false): Unit = {
     checkName(name)
-    commit { s =>
-      require(allowExist || !s.supers.contains(name),
-        s"superfile exists: $name")
-      if (s.supers.contains(name)) s
-      else s.copy(supers = s.supers + (name -> Vector.empty))
-    }
+    commit(_ => Seq(NewSuper(name, allowExist)))
   }
 
   def superFileExists(name: String): Boolean = load().supers.contains(name)
 
   def deleteSuperFile(name: String): Unit =
-    commit(s => s.copy(supers = s.supers - name))
+    commit(_ => Seq(DelSuper(name)))
 
   /** GetSuperFileSubName list, in position order. */
   def superFileContents(name: String): Seq[String] = {
@@ -358,42 +495,23 @@ final class FileCatalog(spark: SparkSession, root: String) {
     * them, and an exception inside `body` publishes nothing.
     */
   final class Txn private[FileCatalog] {
-    private[FileCatalog] var ops =
-      Vector.empty[State => State]
-    private def push(f: State => State): Unit = ops = ops :+ f
+    private[FileCatalog] var ops = Vector.empty[CatOp]
+    private def push(op: CatOp): Unit = ops = ops :+ op
 
     /** Create inside the transaction — lets a generation layout (its
       * superfiles AND their memberships) publish as one catalog version.
       */
     def createSuperFile(name: String, allowExist: Boolean = false): Unit =
-      push { s =>
-        require(allowExist || !s.supers.contains(name),
-          s"superfile exists: $name")
-        if (s.supers.contains(name)) s
-        else s.copy(supers = s.supers + (name -> Vector.empty))
-      }
+      push(NewSuper(name, allowExist))
 
     def addSuperFile(superName: String, subName: String): Unit =
-      push { s =>
-        require(s.supers.contains(superName), s"no such superfile: $superName")
-        require(s.files.contains(subName), s"no such logical file: $subName")
-        val subs = s.supers(superName)
-        require(!subs.contains(subName), s"$subName already in $superName")
-        s.copy(supers = s.supers + (superName -> (subs :+ subName)))
-      }
+      push(AddSub(superName, subName))
 
     def removeSuperFile(superName: String, subName: String): Unit =
-      push { s =>
-        require(s.supers.contains(superName), s"no such superfile: $superName")
-        s.copy(supers = s.supers +
-          (superName -> s.supers(superName).filterNot(_ == subName)))
-      }
+      push(RemoveSub(superName, subName))
 
     def clearSuperFile(superName: String): Unit =
-      push { s =>
-        require(s.supers.contains(superName), s"no such superfile: $superName")
-        s.copy(supers = s.supers + (superName -> Vector.empty))
-      }
+      push(ClearSuper(superName))
 
     /** ReplaceSuperFile: atomic old→new swap (`File.ecl:1057`). */
     def replaceSuperFile(superName: String, oldSub: String,
@@ -406,18 +524,17 @@ final class FileCatalog(spark: SparkSession, root: String) {
       * (`File.ecl:1046`).
       */
     def swapSuperFile(a: String, b: String): Unit =
-      push { s =>
-        require(s.supers.contains(a) && s.supers.contains(b),
-          s"no such superfile: $a / $b")
-        s.copy(supers = s.supers + (a -> s.supers(b)) + (b -> s.supers(a)))
-      }
+      push(SwapSupers(a, b))
   }
 
-  /** Run superfile mutations transactionally (one version commit). */
+  /** Run superfile mutations transactionally (one version commit; op
+    * validation happens at commit against the current state, so an
+    * invalid op — or a race that invalidates one — publishes NOTHING).
+    */
   def transaction(body: Txn => Unit): Unit = {
     val t = new Txn
     body(t) // throws → nothing committed
-    commit(s => t.ops.foldLeft(s)((acc, op) => op(acc)))
+    commit(_ => t.ops)
   }
 
   /** PromoteSuperFileList (`File.ecl:1003`): generation rotation — each
@@ -435,20 +552,12 @@ final class FileCatalog(spark: SparkSession, root: String) {
     require(names.nonEmpty, "promote needs at least one superfile")
     var displaced: Vector[String] = Vector.empty
     commit { s =>
+      // displaced is read from the state the commit actually applies to
+      // (re-captured on a lost race); the Promote op itself re-validates
       names.foreach(n => require(s.supers.contains(n),
         s"no such superfile: $n"))
-      addHead.foreach(h => require(s.files.contains(h),
-        s"no such logical file: $h"))
       displaced = s.supers(names.last)
-      if (deleteTail) displaced.foreach { d =>
-        require(!s.attrs.get(d).exists(_.get("protected").contains("1")),
-          s"cannot promote: displaced $d is protected")
-      }
-      val shifted = names.indices.reverse.foldLeft(s.supers) { (acc, i) =>
-        acc + (names(i) -> (if (i == 0) addHead.toVector
-          else s.supers(names(i - 1))))
-      }
-      s.copy(supers = shifted)
+      Seq(Promote(names.toVector, addHead, deleteTail))
     }
     if (deleteTail)
       // only delete what no surviving generation still references

@@ -166,11 +166,11 @@ private[graft] final class LogManifest[S, O](
     var state = emptyState
     var opsSince = 0
     var effBase = base
-    var startFrom = records
     if (base < 0 && cachedNow != null) {
       state = cachedNow._4; opsSince = cachedNow._3; effBase = cachedNow._2
     }
-    startFrom.foreach { case (_, isFull, body) =>
+    records.foreach { case (v, isFull, body) =>
+      if (isFull) effBase = v
       if (isFull) { state = parseState(body); opsSince = 0 }
       else {
         val ops = opsOf(body)

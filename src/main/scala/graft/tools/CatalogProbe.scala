@@ -57,8 +57,22 @@ object CatalogProbe {
     timed("exists() point probe — load dominated")(
       require(cold.exists(name(nFiles / 2))))
     timed("info() point probe")(cold.info(name(nFiles / 2)))
-    timed("single register() at full catalog (O(n) re-render)")(
-      cat.register("probe::one_more", "target/d/x"))
+    // the round-15 headline: a single registration at full catalog is an
+    // O(delta) log append, not an O(n) re-render — median over 10
+    val singles = (0 until 10).map { i =>
+      val t0 = System.nanoTime()
+      cat.register(f"probe::single$i%02d", "target/d/x")
+      (System.nanoTime() - t0) / 1e6
+    }
+    println(f"[catprobe] single register() x10 (O(delta) commits)    " +
+      f"median ${singles.sorted.apply(5)}%9.1f ms  max ${singles.max}%.1f ms")
+    timed("small txn: replace one sub in one super (O(delta))")(
+      cat.transaction { t =>
+        t.replaceSuperFile("probe::super0500",
+          name((500 * subsPer) % nFiles), "probe::single00")
+      })
+    timed("warm exists() point probe (in-process cache + listing)")(
+      require(cat.exists(name(nFiles / 2))))
     timed("superFileContents (one super)")(
       require(cold.superFileContents("probe::super0500").size == subsPer))
     val displaced = timed("promoteSuperFileList over 3 generations")(
