@@ -253,6 +253,66 @@ final class Published(spark: SparkSession) {
   /** Requests shed with 503 since construction. */
   def shedStats: Long = shedCount.get()
 
+  // ---- priority lanes (Roxie runs SEPARATE high/low-priority queues so
+  // interactive queries are not starved by batch ones — per-priority
+  // worker pools in roxie/ccd/ccdlistener.cpp, per-channel priority
+  // queues in ccdqueue.ipp). Two-class admission: each class has its own
+  // bounded admit semaphore (workers + that class's queue — a clean
+  // per-class 503 shed bound), and the shared worker gate PREEMPTS: a
+  // waiting high-priority request blocks low-priority acquisition, so a
+  // freed worker always goes to the high lane first.
+  private final case class PriorityAdmission(
+      admitHigh: java.util.concurrent.Semaphore,
+      admitLow: java.util.concurrent.Semaphore,
+      gate: PriorityGate)
+  @volatile private var priorityAdmission: Option[PriorityAdmission] = None
+  private val shedHighCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val shedLowCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** (high, low) requests shed with 503 under [[servePrioritized]]. */
+  def shedStatsByClass: (Long, Long) = (shedHighCount.get(), shedLowCount.get())
+
+  // query → priority class, assigned at publish time like Roxie's
+  // @priority query attribute; requests may also carry X-Query-Priority
+  private val queryPriority =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Assign a published query's priority class ("high" | "low"; queries
+    * default to low — the Roxie posture where batch is the default and
+    * interactive lanes are opted in).
+    */
+  def setPriority(name: String, priority: String): Unit = {
+    require(priority == "high" || priority == "low",
+      s"priority must be high|low: $priority")
+    queryPriority.put(name, priority)
+    ()
+  }
+
+  private def isHighPriority(name: String,
+      ex: com.sun.net.httpserver.HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("X-Query-Priority"))
+      .map(_ == "high")
+      .getOrElse(queryPriority.get(name).contains("high"))
+
+  /** Serve with TWO admission classes: at most `workers` requests evaluate
+    * concurrently (shared pool, high-priority preemption on every freed
+    * worker); each class queues up to its own bound beyond that and sheds
+    * 503 past it. Under mixed overload the low lane sheds first and the
+    * high lane's latency stays within its own queue's computable bound
+    * (queuedHigh / workers × service time) — ServeSpec gates this with
+    * observed per-class numbers.
+    */
+  def servePrioritized(port: Int, maxRows: Int, cacheTtlMs: Long,
+      workers: Int, highQueue: Int, lowQueue: Int): Int = {
+    require(workers > 0 && highQueue >= 0 && lowQueue >= 0,
+      "workers > 0, queues >= 0")
+    priorityAdmission = Some(PriorityAdmission(
+      new java.util.concurrent.Semaphore(workers + highQueue),
+      new java.util.concurrent.Semaphore(workers + lowQueue),
+      new PriorityGate(workers)))
+    serve(port, maxRows, cacheTtlMs)
+  }
+
   /** Serve with a bounded worker pool: at most `workers` requests evaluate
     * concurrently, at most `maxQueue` more wait; beyond that the listener
     * responds 503 immediately (clean rejection, not unbounded queueing).
@@ -330,8 +390,8 @@ final class Published(spark: SparkSession) {
         respond(ex, 200, list.map(jsonStr).mkString("[", ",", "]")))
     srv.createContext("/query/",
       (ex: com.sun.net.httpserver.HttpExchange) => {
-        def handle(): Unit = {
         val name = ex.getRequestURI.getPath.stripPrefix("/query/")
+        def handle(): Unit = {
         val qsParams = Option(ex.getRequestURI.getRawQuery).getOrElse("")
           .split('&').filter(_.contains('=')).map { kv =>
             val Array(k, v) = kv.split("=", 2)
@@ -495,31 +555,45 @@ final class Published(spark: SparkSession) {
             respond(ex, code, body, ct)
         }
         }
-        admission match {
-          case None => handle()
-          case Some((admit, execute)) =>
+        // shed: reject NOW (the client can retry) rather than stretch every
+        // accepted request's latency with an unbounded backlog. The request
+        // body is drained first: an undrained POST body can surface
+        // client-side as a connection abort instead of a clean 503
+        // (com.sun.net.httpserver closes the exchange with unread bytes
+        // still in flight).
+        def shed(msg: String): Unit = {
+          shedCount.incrementAndGet()
+          try {
+            val in = ex.getRequestBody
+            val buf = new Array[Byte](8192)
+            while (in.read(buf) >= 0) {}
+            in.close()
+          } catch { case _: java.io.IOException => }
+          ex.getResponseHeaders.set("Retry-After", "1")
+          respond(ex, 503, s"""{"error":${jsonStr(msg)}}""")
+        }
+        priorityAdmission match {
+          case Some(pa) =>
+            val high = isHighPriority(name, ex)
+            val admit = if (high) pa.admitHigh else pa.admitLow
             if (!admit.tryAcquire()) {
-              // shed: the pool and its bounded queue are full — reject NOW
-              // (the client can retry) rather than stretch every accepted
-              // request's latency with an unbounded backlog
-              shedCount.incrementAndGet()
-              // drain the request body before responding: an undrained POST
-              // body can surface client-side as a connection abort instead
-              // of a clean 503 (com.sun.net.httpserver closes the exchange
-              // with unread bytes still in flight)
-              try {
-                val in = ex.getRequestBody
-                val buf = new Array[Byte](8192)
-                while (in.read(buf) >= 0) {}
-                in.close()
-              } catch { case _: java.io.IOException => }
-              ex.getResponseHeaders.set("Retry-After", "1")
-              respond(ex, 503,
-                """{"error":"server busy: worker pool and queue full"}""")
+              (if (high) shedHighCount else shedLowCount).incrementAndGet()
+              shed(s"server busy: ${if (high) "high" else "low"}-priority " +
+                "lane full")
             } else try {
-              execute.acquire()
-              try handle() finally execute.release()
+              pa.gate.acquire(high)
+              try handle() finally pa.gate.release()
             } finally admit.release()
+          case None => admission match {
+            case None => handle()
+            case Some((admit, execute)) =>
+              if (!admit.tryAcquire())
+                shed("server busy: worker pool and queue full")
+              else try {
+                execute.acquire()
+                try handle() finally execute.release()
+              } finally admit.release()
+          }
         }
       })
     srv.start()
@@ -532,6 +606,29 @@ final class Published(spark: SparkSession) {
     server.foreach(_.stop(0))
     server = None
   }
+}
+
+/** The shared worker gate of [[Published.servePrioritized]]: `permits`
+  * workers, and a freed permit ALWAYS goes to a waiting high-priority
+  * acquirer first — a low-priority request can only take a permit while no
+  * high waits (the Roxie listener's per-priority worker-pool behavior,
+  * expressed as one preempting gate). Package-visible so the preemption
+  * contract is unit-tested deterministically, not only statistically.
+  */
+private[graft] final class PriorityGate(permits: Int) {
+  private var free = permits
+  private var highWaiting = 0
+  def acquire(high: Boolean): Unit = synchronized {
+    if (high) {
+      highWaiting += 1
+      try { while (free == 0) wait() } finally highWaiting -= 1
+      free -= 1
+    } else {
+      while (free == 0 || highWaiting > 0) wait()
+      free -= 1
+    }
+  }
+  def release(): Unit = synchronized { free += 1; notifyAll() }
 }
 
 object Published {

