@@ -181,10 +181,17 @@ object Temporal {
     val merged = rTagged.unionByName(lTagged)
     val np = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // eager localCheckpoint, NOT persist: pass 1's per-partition boundary
+    // carries become broadcast constants of the returned plan, so the row
+    // blocks pass 2 reads must be PINNED to the pass-1 snapshot. A persist
+    // could silently recompute from the (possibly mutated/regenerated)
+    // source on block loss and replay stale carries over fresh rows; lost
+    // checkpoint blocks instead fail LOUDLY (the r14 LSH-routing lesson:
+    // a plan-time decision must never silently disagree with execution).
     val ordered = merged
       .repartitionByRange(np, col(key), col("__asof_ts"), col("__asof_side"))
       .sortWithinPartitions(col(key), col("__asof_ts"), col("__asof_side"))
-      .persist()
+      .localCheckpoint(true)
     val schema = ordered.schema
     val kIdx = schema.fieldIndex(key)
     val tsIdx = schema.fieldIndex("__asof_ts")
@@ -252,9 +259,8 @@ object Temporal {
         (StructField("matched_ts", pStruct(0).dataType) +:
           payload.map(f => pStruct(pStruct.fieldIndex(f))))
           .map(_.copy(nullable = true)))
-    // `ordered` stays persisted: pass 1 already materialized it and pass 2
-    // re-reads the cached blocks (or the shuffle files) instead of
-    // re-shuffling the union
+    // `ordered` stays checkpointed: pass 1 already materialized it and
+    // pass 2 re-reads the pinned blocks instead of re-shuffling the union
     spark.createDataFrame(outRows, outSchema)
   }
 

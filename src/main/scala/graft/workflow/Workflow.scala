@@ -255,8 +255,18 @@ object Workflow {
     if (probe.length < probeCap)
       GraftDict(kv, Some(probe.map(r => r.getString(0) -> r.getString(1)).toMap),
         broadcastable = true)
-    else
-      GraftDict(kv, None, broadcastable = kv.count() <= maxBroadcastRows)
+    else {
+      // SNAPSHOT the build (eager localCheckpoint): the literal path
+      // already snapshots by collecting, and a dictionary's semantics must
+      // not depend on which size class it landed in — after the build,
+      // source mutation either leaves lookups unchanged (pinned blocks) or
+      // fails loudly (lost checkpoint blocks cannot silently recompute
+      // from newer source data). Also pins the broadcastable row count:
+      // a dict sized ≤ maxBroadcastRows at build can never grow past the
+      // broadcast cliff under a reused plan (AdaptiveReplanSpec).
+      val built = kv.localCheckpoint(true)
+      GraftDict(built, None, broadcastable = built.count() <= maxBroadcastRows)
+    }
   }
 
   /** dict[key] → value column appended as `as` (null when absent) —
