@@ -21,10 +21,16 @@ object EmbeddingQueries {
   /** One spherical k-means round (the `ivfInitHashSample` + `ivfTrain`
     * iters=1 + `ivfAssign` chain) unrolled in SQL — shared by q98b and
     * the SemDeDup gate q215. Ends with `d2` (vec × trained-centroid dots).
+    * `limitSql` is the exemplar count: q98b pins 8 (its engine side pins
+    * c=8 at every SF); q215 derives the ADAPTIVE count so the oracle
+    * tracks `semDeDupAuto`'s C = max(8, ⌈N/256⌉) at ANY rehearsal SF —
+    * the r15 sf0.3 sweep caught the previous hardcoded 8 diverging once
+    * the corpus crossed 2048 vectors (engine 24 cells vs oracle 8).
     */
-  private val IvfTrainCte =
-    """init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
-      |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT 8),
+  private def ivfTrainCteFor(limitSql: String) =
+    s"""init AS (SELECT c_id AS ex_id FROM (SELECT DISTINCT c_id FROM cx)
+      |  ORDER BY md5(CAST(c_id AS VARCHAR)), c_id LIMIT $limitSql),""".stripMargin +
+    """
       |u0 AS (SELECT cx.c_id AS ex_id, cx.pos,
       |    CAST(cx.v AS DOUBLE) / cn.c_norm AS u
       |  FROM cx JOIN cn USING (c_id) JOIN init ON init.ex_id = cx.c_id),
@@ -48,6 +54,15 @@ object EmbeddingQueries {
       |d2 AS (SELECT a.c_id AS vec_id, b.ex_id, CAST(SUM(CAST(
       |    CAST(a.v AS DOUBLE) * b.u AS DECIMAL(30,12))) AS DOUBLE) AS dot
       |  FROM cx a JOIN u1 b ON a.pos = b.pos GROUP BY 1, 2)""".stripMargin
+
+  private val IvfTrainCte = ivfTrainCteFor("8")
+
+  /** q215's variant: the exemplar count the engine's `semDeDupAuto`
+    * derives — max(8, ⌈N/256⌉) — computed BY the oracle from the same
+    * table, so the gate holds at any SF instead of only N ≤ 2048.
+    */
+  private val IvfTrainCteAdaptive = ivfTrainCteFor(
+    "(SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) FROM embeddings)")
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -297,14 +312,16 @@ object EmbeddingQueries {
         .orderBy(col("vec_id"))
     },
 
-    // ---- SemDeDup: cluster-then-exact-pairwise semantic dedup ------------
+    // ---- SemDeDup: cluster-then-exact-pairwise semantic dedup.
+    // The oracle's exemplar LIMIT is the ADAPTIVE C (IvfTrainCteAdaptive),
+    // so the gate holds at rehearsal SFs past 2048 vectors too (r15). ------
     // The trained-IVF chain (q98b) assigns cells; EVERY within-cell pair
     // gets an exact decimal cosine; a vector dies iff a smaller-id
     // cellmate is ≥ tau. The oracle unrolls the full chain — a drift in
     // training, assignment, norm, or the dominance policy flips survivors.
     QueryDef("q215_semdedup",
       s"""WITH $VecCte,
-         |$IvfTrainCte,
+         |$IvfTrainCteAdaptive,
          |cells2 AS (SELECT vec_id, ex_id AS cell FROM (
          |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
          |    ORDER BY dot DESC, ex_id) AS rn FROM d2) WHERE rn = 1),
@@ -322,9 +339,9 @@ object EmbeddingQueries {
          |FROM cells2
          |WHERE cells2.vec_id NOT IN (SELECT q_id FROM removed)
          |ORDER BY cells2.vec_id""".stripMargin) { (s, dir) =>
-      // adaptive C = max(8, N/256) — equals the oracle's LIMIT 8 for any
-      // N <= 2048 (all verify SFs); at bench scale C grows with the
-      // corpus so the within-cell quadratic stays linear overall
+      // adaptive C = max(8, ⌈N/256⌉), and the oracle derives the SAME
+      // count from the table (IvfTrainCteAdaptive) — the gate holds at
+      // any SF while the within-cell quadratic stays linear overall
       Embeddings.semDeDupAuto(Tables.embeddings(s, dir),
           col("vec_id"), col("embedding"), 0.35)
         .orderBy(col("vec_id"))

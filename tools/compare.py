@@ -9,14 +9,27 @@ import sys, json, math, glob, os
 import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
+# optional argv[3]: comma-separated query-name filter — big-SF rehearsals
+# run ONE oracle per process so a DuckDB resource failure (temp-disk fill)
+# can't poison the allocator for every later query in the same connection
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
+con.execute("SET temp_directory='/tmp/duckdb_tmp'")
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '90GB')}'")
+con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '24')}")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # driver SF dirs hold single-file tables; ScaleUp rehearsal dirs hold
+    # Spark-written parquet DIRECTORIES — glob the parts in that case
+    path = f"{sf}/{t}.parquet"
+    pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     res_dir = f"{out}/{name}"
     if not os.path.isdir(res_dir):
         print(f"FAIL {name}: no spark result dir"); fails += 1; continue
