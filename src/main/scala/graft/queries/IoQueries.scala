@@ -47,13 +47,19 @@ object IoQueries {
     // prune superseded fixture roots for THIS sf dir (stale stamps and old
     // layout versions would otherwise accumulate unbounded under
     // target/graft_io); `tag + "_v"` keeps sibling sf dirs' roots intact
-    // (e.g. sf10's tag continues with '0', never '_v', after sf1's)
+    // (e.g. sf10's tag continues with '0', never '_v', after sf1's).
+    // AGE-GATED: only roots idle > 1 h die — an in-flight reader over a
+    // just-superseded root (source regenerated mid-session) must not have
+    // its files deleted out from under a running scan; within the hour
+    // the stale root is inert, and it is collected on any later call.
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
     }
+    val pruneBefore = System.currentTimeMillis() - 3600000L
     Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName.startsWith(tag + "_v") && d.getName != current)
+      .filter(d => d.getName.startsWith(tag + "_v") && d.getName != current
+        && d.lastModified() < pruneBefore)
       .foreach(rmTree)
     s"${rootDir.getPath}/$current"
   }

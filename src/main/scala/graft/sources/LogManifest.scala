@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets.UTF_8
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
@@ -71,20 +69,11 @@ private[graft] final class LogManifest[S, O](
   private val cached =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long, Int, S)](null)
 
-  private def versionOf(p: Path): Long = {
-    val n = p.getName
-    if (n.startsWith("v") && n.endsWith(".txt"))
-      try n.substring(1, n.length - 4).toLong catch { case _: Exception => -1L }
-    else -1L
-  }
-
-  private def versionFile(v: Long) = new Path(dir, f"v$v%016d.txt")
+  private def versionFile(v: Long) = ManifestIo.versionFile(dir, v)
 
   /** All claimed version numbers, descending (valid or not). */
   private def claimedVersions(): Seq[Long] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).map(s => versionOf(s.getPath))
-      .filter(_ >= 0).sorted.reverse.toSeq
+    ManifestIo.claimedVersions(fs, dir)
 
   /** `Some((isFull, body))` iff the file is complete (`#END`-terminated);
     * `None` with `missing=false` is a crashed claim (skip), with
@@ -138,6 +127,7 @@ private[graft] final class LogManifest[S, O](
     var newest = -1L
     var base = -1L
     var stopped = false
+    var vanished = false
     val it = versions.iterator
     while (it.hasNext && !stopped) {
       val v = it.next()
@@ -153,10 +143,15 @@ private[graft] final class LogManifest[S, O](
           // from this listing; retry
           if (cachedNow == null || v > cachedNow._1) return None
           stopped = true
-        case Left(_) => () // crashed claim (or pre-history hole): skip
+        case Left(true) => vanished = true // listed file gone before read
+        case Left(_) => () // crashed claim: skip
       }
     }
     if (newest < 0) {
+      // a non-empty listing whose files ALL vanished before any read is a
+      // GC race, not an empty catalog — a silent emptyState here would be
+      // a wrong answer; re-list (the retry loop's attempt bound backstops)
+      if (vanished) return None
       // nothing newer than the cache: the cache IS the state (or empty)
       return Some(
         if (cachedNow != null) cachedNow else (-1L, -1L, 0, emptyState))
@@ -205,31 +200,12 @@ private[graft] final class LogManifest[S, O](
   private def terminate(content: String): String =
     if (content.isEmpty) EndMarker else content + "\n" + EndMarker
 
-  /** Atomic claim WITH content — see [[VersionedManifest.claimAndWrite]]
-    * (same algorithm; local filesystems claim via `link(2)` so content and
-    * claim are one atomic event, others use create-exclusive).
+  /** Atomic claim WITH content — the shared [[ManifestIo]] protocol
+    * (local filesystems claim via `link(2)` so content and claim are one
+    * atomic event, others use create-exclusive).
     */
-  private def claimAndWrite(p: Path, content: String): Boolean = {
-    val scheme = Option(p.toUri.getScheme)
-      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    if (scheme == "file") {
-      val target = new java.io.File(
-        Option(p.toUri.getPath).getOrElse(p.toString))
-      val tmp = java.io.File.createTempFile("claim-", ".tmp",
-        target.getParentFile)
-      try {
-        java.nio.file.Files.write(tmp.toPath, content.getBytes(UTF_8))
-        try { java.nio.file.Files.createLink(target.toPath, tmp.toPath); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally tmp.delete()
-    } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(content.getBytes(UTF_8)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
+  private def claimAndWrite(p: Path, content: String): Boolean =
+    ManifestIo.claimAndWrite(fs, p, content)
 
   /** Load-modify-commit loop: `f` reads the current state and returns the
     * operation records to commit; ops are validated/applied by `applyOp`
@@ -238,22 +214,32 @@ private[graft] final class LogManifest[S, O](
     */
   def commit(f: S => Seq[O]): S = {
     fs.mkdirs(dir)
+    // two budgets (see VersionedManifest.commit): lost claim RACES count
+    // against the 1000-attempt contention bound; waiting out a peer's
+    // mid-write claim is bounded by its own deadline just past
+    // staleClaimMs — 20 ms sleeps must not exhaust the race budget before
+    // the 60 s expiry can fire
     var attempts = 0
+    val waitDeadline = System.currentTimeMillis() + staleClaimMs + 10000
     while (true) {
-      attempts += 1
-      require(attempts <= 1000, "manifest commit: contention limit exceeded")
       val newest = claimedVersions().headOption.getOrElse(-1L)
-      val newestIsStaleClaim = newest >= 0 && (readRecord(newest) match {
+      val newestIsMidWrite = newest >= 0 && (readRecord(newest) match {
         case Left(false) =>
           // claim without content: mid-write (wait — committing past it
           // would build on a stale base and drop its update) or crashed
           // (expire after staleClaimMs and claim past)
           val age = System.currentTimeMillis() -
             fs.getFileStatus(versionFile(newest)).getModificationTime
-          if (age < staleClaimMs) { Thread.sleep(20); true } else false
+          if (age < staleClaimMs) {
+            require(System.currentTimeMillis() < waitDeadline,
+              "manifest commit: mid-write claim never completed nor expired")
+            Thread.sleep(20); true
+          } else false
         case _ => false
       })
-      if (!newestIsStaleClaim) {
+      if (!newestIsMidWrite) {
+        attempts += 1
+        require(attempts <= 1000, "manifest commit: contention limit exceeded")
         val (curSeq, curBase, opsSince, cur) = loadFull()
         val ops = f(cur)
         val next = ops.foldLeft(cur)(applyOp)

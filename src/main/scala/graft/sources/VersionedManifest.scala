@@ -5,6 +5,63 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+/** The claim-protocol primitives shared by [[VersionedManifest]] and
+  * [[LogManifest]] — ONE copy of the concurrency-critical election code
+  * (version-file naming/listing and atomic claim-with-content), so a
+  * protocol fix can never land in one engine and silently miss the other.
+  */
+private[sources] object ManifestIo {
+
+  def versionOf(p: Path): Long = {
+    val n = p.getName
+    if (n.startsWith("v") && n.endsWith(".txt"))
+      try n.substring(1, n.length - 4).toLong catch { case _: Exception => -1L }
+    else -1L
+  }
+
+  def versionFile(dir: Path, v: Long) = new Path(dir, f"v$v%016d.txt")
+
+  /** All claimed version numbers under `dir`, descending (valid or not). */
+  def claimedVersions(fs: FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(s => versionOf(s.getPath))
+      .filter(_ >= 0).sorted.reverse.toSeq
+
+  /** Atomic claim WITH content. Local filesystems write the full manifest
+    * to a temp file first and claim via `Files.createLink` (POSIX link(2)
+    * — atomic AND exclusive, claimed WITH content), so a claim can never
+    * exist without its content: there is no window where a paused
+    * committer holds a contentless claim that a peer could expire and
+    * supersede (the lost-update hazard of claim-then-write). Other schemes
+    * use the filesystem's exclusive `create(overwrite=false)` and stream
+    * content after the claim; there the `#END` guard + stale-claim expiry
+    * apply, and commit success is NOT durable if the committer stalls
+    * longer than the engine's `staleClaimMs` between claiming and
+    * finishing the stream (documented contract).
+    */
+  def claimAndWrite(fs: FileSystem, p: Path, content: String): Boolean = {
+    val scheme = Option(p.toUri.getScheme)
+      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
+    if (scheme == "file") {
+      val target = new java.io.File(
+        Option(p.toUri.getPath).getOrElse(p.toString))
+      val tmp = java.io.File.createTempFile("claim-", ".tmp",
+        target.getParentFile)
+      try {
+        java.nio.file.Files.write(tmp.toPath, content.getBytes(UTF_8))
+        try { java.nio.file.Files.createLink(target.toPath, tmp.toPath); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } finally tmp.delete()
+    } else {
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes(UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+}
+
 /** The catalog commit engine, factored out of [[FileCatalog]] so other
   * metadata services (the [[Store]] KV service) share one proven
   * concurrency story instead of inventing their own.
@@ -47,20 +104,11 @@ private[graft] final class VersionedManifest[S](
     */
   private val gcKeepVersions = 32L
 
-  private def versionOf(p: Path): Long = {
-    val n = p.getName
-    if (n.startsWith("v") && n.endsWith(".txt"))
-      try n.substring(1, n.length - 4).toLong catch { case _: Exception => -1L }
-    else -1L
-  }
-
-  private def versionFile(v: Long) = new Path(dir, f"v$v%016d.txt")
+  private def versionFile(v: Long) = ManifestIo.versionFile(dir, v)
 
   /** All claimed version numbers, descending (valid or not). */
   private def claimedVersions(): Seq[Long] =
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).map(s => versionOf(s.getPath))
-      .filter(_ >= 0).sorted.reverse.toSeq
+    ManifestIo.claimedVersions(fs, dir)
 
   /** Manifest content iff the file is complete (`#END`-terminated). */
   private def readValid(v: Long): Option[String] = {
@@ -85,66 +133,41 @@ private[graft] final class VersionedManifest[S](
     if (body.isEmpty) EndMarker else body + "\n" + EndMarker
   }
 
-  /** Atomic claim WITH content. Local filesystems write the full manifest
-    * to a temp file first and claim via `Files.createLink` (POSIX link(2)
-    * — atomic AND exclusive), so a claim can never exist without its
-    * content: there is no window where a paused committer holds a contentless
-    * claim that a peer could expire and supersede (the lost-update hazard
-    * of claim-then-write). Other schemes use the filesystem's exclusive
-    * `create(overwrite=false)` and stream content after the claim; there
-    * the `#END` guard + stale-claim expiry apply, and commit success is
-    * NOT durable if the committer stalls longer than `staleClaimMs`
-    * between claiming and finishing the stream (documented contract).
-    */
-  private def claimAndWrite(p: Path, content: String): Boolean = {
-    val scheme = Option(p.toUri.getScheme)
-      .orElse(Option(fs.getUri.getScheme)).getOrElse("file")
-    if (scheme == "file") {
-      val target = new java.io.File(
-        Option(p.toUri.getPath).getOrElse(p.toString))
-      val tmp = java.io.File.createTempFile("claim-", ".tmp",
-        target.getParentFile)
-      try {
-        java.nio.file.Files.write(tmp.toPath, content.getBytes(UTF_8))
-        try { java.nio.file.Files.createLink(target.toPath, tmp.toPath); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } finally tmp.delete()
-    } else {
-      try {
-        val out = fs.create(p, false)
-        try out.write(content.getBytes(UTF_8)) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
-    }
-  }
+  private def claimAndWrite(p: Path, content: String): Boolean =
+    ManifestIo.claimAndWrite(fs, p, content)
 
   /** Load-modify-commit loop; `mutate` must be a pure function of the
     * state so a lost race can replay it against the fresher version.
     * Returns the state the committed manifest was rendered from.
+    *
+    * Two separate budgets: lost CLAIM races are genuine contention and
+    * bounded at 1000 attempts; waiting out a peer's mid-write claim is
+    * NOT contention and is bounded by its own deadline just past
+    * `staleClaimMs` — counting 20 ms sleeps against the race budget would
+    * exhaust it (~20 s) before the 60 s expiry ever fired, turning one
+    * crashed non-local committer into hard commit failures for all peers.
     */
   def commit(mutate: S => S): S = {
     fs.mkdirs(dir)
     var attempts = 0
+    val waitDeadline = System.currentTimeMillis() + staleClaimMs + 10000
     var committed = -1L
     var result: S = emptyState
     while (committed < 0) {
-      attempts += 1
-      require(attempts <= 1000, "manifest commit: contention limit exceeded")
       val newest = claimedVersions().headOption.getOrElse(-1L)
-      if (newest >= 0 && readValid(newest).isEmpty) {
+      if (newest >= 0 && readValid(newest).isEmpty &&
+          System.currentTimeMillis() -
+            fs.getFileStatus(versionFile(newest)).getModificationTime
+            < staleClaimMs) {
         // a claim without content: a committer is mid-write (wait for it —
         // committing past it would build on a stale base and drop its
         // update) or crashed (expire after staleClaimMs and claim past)
-        val age = System.currentTimeMillis() -
-          fs.getFileStatus(versionFile(newest)).getModificationTime
-        if (age < staleClaimMs) { Thread.sleep(20) }
-        else {
-          val next = mutate(load())
-          if (claimAndWrite(versionFile(newest + 1), renderFull(next))) {
-            committed = newest + 1; result = next
-          }
-        }
+        require(System.currentTimeMillis() < waitDeadline,
+          "manifest commit: mid-write claim never completed nor expired")
+        Thread.sleep(20)
       } else {
+        attempts += 1
+        require(attempts <= 1000, "manifest commit: contention limit exceeded")
         val next = mutate(load())
         if (claimAndWrite(versionFile(newest + 1), renderFull(next))) {
           committed = newest + 1; result = next

@@ -235,7 +235,16 @@ object Workflow {
     */
   final case class GraftDict private[workflow] (
       kv: DataFrame, literal: Option[Map[String, String]],
-      broadcastable: Boolean)
+      broadcastable: Boolean,
+      releaseFn: () => Unit = () => ()) {
+    /** Free the join-class build's pinned checkpoint blocks when the
+      * dictionary is no longer needed (a workflow that builds several
+      * large dictionaries in one long-lived session must not accumulate
+      * unreclaimable storage until the driver GCs the handle). Idempotent;
+      * literal-class dicts are driver maps and hold no blocks.
+      */
+    def release(): Unit = releaseFn()
+  }
 
   /** Build a dictionary with a size-adaptive lookup plan: ≤ maxLiteralRows
     * → driver map literal (codegen'd element_at, zero joins); ≤
@@ -263,9 +272,13 @@ object Workflow {
       // fails loudly (lost checkpoint blocks cannot silently recompute
       // from newer source data). Also pins the broadcastable row count:
       // a dict sized ≤ maxBroadcastRows at build can never grow past the
-      // broadcast cliff under a reused plan (AdaptiveReplanSpec).
-      val built = kv.localCheckpoint(true)
-      GraftDict(built, None, broadcastable = built.count() <= maxBroadcastRows)
+      // broadcast cliff under a reused plan (AdaptiveReplanSpec). The
+      // checkpoint handle rides the dict so callers can release the
+      // pinned blocks (GraftDict.release) instead of waiting for GC.
+      val built = checkpointEager(kv)
+      GraftDict(built.df, None,
+        broadcastable = built.df.count() <= maxBroadcastRows,
+        releaseFn = built.release)
     }
   }
 

@@ -26,6 +26,13 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if only is not None:
+    # an empty or misspelled filter must FAIL, not compare zero queries
+    # and exit green having verified nothing
+    unknown = only - set(oracle)
+    if unknown or not (only & set(oracle)):
+        print(f"FATAL: filter names not in oracle set: {sorted(unknown)}")
+        sys.exit(2)
 fails = 0
 for name in sorted(oracle):
     if only is not None and name not in only:
@@ -64,5 +71,6 @@ for name in sorted(oracle):
                 print(f"  got {a}\n  exp {b}"); break
         fails += 1; continue
     print(f"PASS {name} ({len(g)} rows)")
-print(f"\n{len(oracle) - fails}/{len(oracle)} queries pass")
+compared = len(only & set(oracle)) if only is not None else len(oracle)
+print(f"\n{compared - fails}/{compared} queries pass")
 sys.exit(1 if fails else 0)
