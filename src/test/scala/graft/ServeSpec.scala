@@ -853,6 +853,104 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  test("collapsed waiters are BOUNDED: a driver-side evaluation that " +
+      "outlives the wait deadline sheds the waiter 503 instead of parking " +
+      "its handler thread indefinitely") {
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("molasses") { (s, _) =>
+      // driver-side sleep: job-group cancellation cannot interrupt it, so
+      // the winner's render outlives BOTH the request timeout and the
+      // collapsed-wait deadline (timeout + 5 s slack)
+      Thread.sleep(7000)
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    pub.withRequestTimeout(500)
+    val port = pub.serve(0, 10, cacheTtlMs = 60000)
+    def doCall(): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/molasses").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+      code
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val winner = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall()
+      })
+      Thread.sleep(400) // let the winner register as in-flight
+      val t0 = System.nanoTime()
+      val waiter = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall()
+      })
+      val waiterCode = waiter.get()
+      val waitedSec = (System.nanoTime() - t0) / 1e9
+      assert(waiterCode == 503, s"waiter got $waiterCode")
+      // bounded: ~timeout(0.5 s) + 5 s slack, NOT the winner's 7 s sleep
+      assert(waitedSec < 6.8,
+        f"waiter parked $waitedSec%.1f s — the bounded join did not fire")
+      assert(pub.collapsedTimeoutStats == 1,
+        s"collapsedTimeoutStats=${pub.collapsedTimeoutStats}")
+      winner.get() // drain; the winner's own verdict is its own business
+      pool.shutdown()
+    } finally pub.stopServing()
+  }
+
+  test("X-Query-Priority header overrides the published class: a header-" +
+      "high request rides the high lane while a plain low request sheds") {
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("lane_q") { (s, _) =>
+      Thread.sleep(1500)
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    // one worker, NO low queue: the occupying request saturates the low
+    // lane's admission entirely; the high lane still has queue room
+    val port = pub.servePrioritized(0, 10, cacheTtlMs = 0,
+      workers = 1, highQueue = 4, lowQueue = 0)
+    def doCall(header: Option[String]): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/lane_q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      header.foreach(h => conn.setRequestProperty("X-Query-Priority", h))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+      code
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      val occupier = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall(None)
+      })
+      Thread.sleep(400) // occupier holds the only worker (low lane full)
+      val shedLow = doCall(None) // second plain-low: admission 503
+      assert(shedLow == 503, s"low request not shed: $shedLow")
+      val headerHigh = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall(Some("high"))
+      })
+      assert(headerHigh.get() == 200,
+        "header-high request was not admitted through the high lane")
+      assert(occupier.get() == 200)
+      val (shedH, shedL) = pub.shedStatsByClass
+      assert(shedH == 0 && shedL >= 1, s"shed=($shedH, $shedL)")
+      pool.shutdown()
+    } finally pub.stopServing()
+  }
+
   test("SOAPCALL drives real per-row HTTP against the published loopback") {
     import graft.sources.Soapcall
     val url = Published.loopbackEchoUrl(spark)
