@@ -15,6 +15,9 @@ sf, out = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 con.execute("SET temp_directory='/tmp/duckdb_tmp'")
+# rows are sorted before hashing anyway; dropping insertion-order
+# preservation lets DuckDB stream blocking operators at far lower memory
+con.execute("SET preserve_insertion_order=false")
 con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '90GB')}'")
 con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '24')}")
 for t in ["region","nation","customer","supplier","part","orders",
