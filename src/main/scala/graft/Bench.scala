@@ -50,6 +50,68 @@ object Bench {
     spark
   }
 
+  /** Times one query `repeat` times → (name, min, median, firstError).
+    * A crashed query must surface as an ERROR cell, never as a fast time
+    * (r15 verdict #3: swallowing Throwable let a mid-sweep crash read as
+    * a speedup); the wall time is still recorded for the log, but errored
+    * queries are excluded from every headline total by [[renderLine]] and
+    * carried in the artifact's "errors" map.
+    */
+  private[graft] def measure(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      repeat: Int): (String, Double, Double, Option[String]) = {
+    def once(): (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
+    }
+    val runs = (1 to repeat).map(_ => once())
+    val err = runs.flatMap(_._2).headOption
+    val times = runs.map(_._1).sorted
+    val tMin = times.head
+    val tMed = if (times.size % 2 == 1) times(times.size / 2)
+      else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+    (name, tMin, tMed, err)
+  }
+
+  /** The one machine-read JSON line. 3-decimal times keep the whole JSON
+    * inside the driver's log-tail window — nothing may print after it
+    * (build.sbt sets showSuccess := false for sbt). Locale.ROOT: the
+    * f-interpolator uses the default locale, which in comma-decimal
+    * locales would emit invalid JSON ("q01":1,234). "queries" stays the
+    * headline estimator (per-query MIN over the repetitions) for
+    * cross-round comparability; medians ride alongside.
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double, Double, Option[String])],
+      repeat: Int, sfDir: String): String = {
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s""""$k":${d3(v)}""" }
+      .mkString("{", ",", "}")
+    val qMed = results.map { case (k, _, m, _) => s""""$k":${d3(m)}""" }
+      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString
+      } + "\""
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
+    val errCount = results.count(_._4.isDefined)
+    // errored queries never contribute to a headline total: a crash that
+    // returns quickly must not read as a speedup in cross-round ratios
+    val (contrast, main) =
+      results.filter(_._4.isEmpty).partition(r => Contrast(r._1))
+    val total = main.map(_._2).sum
+    val cTotal = contrast.map(_._2).sum
+    val medTotal = main.map(_._3).sum
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"error_count":$errCount,"errors":$errs,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+  }
+
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
     // untimed: codegen + shuffle + window machinery + the parquet footers
     spark.range(1000000).groupBy((col("id") % 100).as("k"))
@@ -102,41 +164,16 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip(n) }
     val results = names.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = (1 to repeat).map(_ => once()).sorted
-      val tMin = times.head
-      val tMed = if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      System.err.println(f"[bench] $name%-24s min=$tMin%8.2f s med=$tMed%8.2f s  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
+      val r = measure(spark, sfDir, name, fn, repeat)
+      System.err.println(f"[bench] $name%-24s min=${r._2}%8.2f s med=${r._3}%8.2f s${r._4.fold("")(e => s"  ERROR=$e")}  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
       // generated classes are per-query garbage once the query completes;
       // collecting lets the JVM unload them and reclaim code cache before
       // it fills and flushing starts evicting HOT methods (25× observed
       // on late-alphabet queries in long runs)
       System.gc()
-      (name, tMin, tMed)
+      r
     }
-    // 3-decimal times keep the whole JSON inside the driver's log-tail
-    // window — this line is the machine-read deliverable, nothing may
-    // print after it (build.sbt sets showSuccess := false for sbt).
-    // Locale.ROOT: the f-interpolator uses the default locale, which in
-    // comma-decimal locales would emit invalid JSON ("q01":1,234)
-    def d3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // "queries" stays the headline estimator (per-query MIN over the
-    // repetitions) for cross-round comparability; medians ride alongside
-    val qs = results.map { case (k, v, _) => s""""$k":${d3(v)}""" }
-      .mkString("{", ",", "}")
-    val qMed = results.map { case (k, _, m) => s""""$k":${d3(m)}""" }
-      .mkString("{", ",", "}")
-    val (contrast, main) = results.partition(r => Contrast(r._1))
-    val total = main.map(_._2).sum
-    val cTotal = contrast.map(_._2).sum
-    val medTotal = main.map(_._3).sum
-    val line = s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+    val line = renderLine(results, repeat, sfDir)
     println(line)
     // ALSO persist the full record: the driver's BENCH_r*.json tail
     // truncates at 2000 chars (r12 verdict "what's wrong" #4), so the

@@ -288,11 +288,24 @@ final class Published(spark: SparkSession) {
     ()
   }
 
-  private def isHighPriority(name: String,
-      ex: com.sun.net.httpserver.HttpExchange): Boolean =
-    Option(ex.getRequestHeaders.getFirst("X-Query-Priority"))
-      .map(_ == "high")
-      .getOrElse(queryPriority.get(name).contains("high"))
+  // the X-Query-Priority override is OPT-IN (r15 verdict #4 / advice):
+  // Roxie's priority is a publish-time query attribute; letting any
+  // client self-elevate would make the low-lane shed guarantee advisory
+  // against untrusted clients. Disabled (the default) the header is
+  // ignored entirely; enabled, only the exact values "high"|"low" are
+  // accepted and anything else is a 400, never a silent demotion.
+  @volatile private var headerOverrideEnabled = false
+
+  /** Left(badValue) → reject 400; Right(isHigh) → admit to that lane. */
+  private def priorityOf(name: String,
+      ex: com.sun.net.httpserver.HttpExchange): Either[String, Boolean] = {
+    val published = queryPriority.get(name).contains("high")
+    Option(ex.getRequestHeaders.getFirst("X-Query-Priority")) match {
+      case Some(v) if headerOverrideEnabled =>
+        if (v == "high" || v == "low") Right(v == "high") else Left(v)
+      case _ => Right(published)
+    }
+  }
 
   /** Serve with TWO admission classes: at most `workers` requests evaluate
     * concurrently (shared pool, high-priority preemption on every freed
@@ -300,12 +313,16 @@ final class Published(spark: SparkSession) {
     * 503 past it. Under mixed overload the low lane sheds first and the
     * high lane's latency stays within its own queue's computable bound
     * (queuedHigh / workers × service time) — ServeSpec gates this with
-    * observed per-class numbers.
+    * observed per-class numbers. `allowHeaderOverride` opts in to the
+    * X-Query-Priority request header; by default lane assignment is the
+    * publish-time class alone.
     */
   def servePrioritized(port: Int, maxRows: Int, cacheTtlMs: Long,
-      workers: Int, highQueue: Int, lowQueue: Int): Int = {
+      workers: Int, highQueue: Int, lowQueue: Int,
+      allowHeaderOverride: Boolean = false): Int = {
     require(workers > 0 && highQueue >= 0 && lowQueue >= 0,
       "workers > 0, queues >= 0")
+    headerOverrideEnabled = allowHeaderOverride
     priorityAdmission = Some(PriorityAdmission(
       new java.util.concurrent.Semaphore(workers + highQueue),
       new java.util.concurrent.Semaphore(workers + lowQueue),
@@ -573,17 +590,32 @@ final class Published(spark: SparkSession) {
           respond(ex, 503, s"""{"error":${jsonStr(msg)}}""")
         }
         priorityAdmission match {
-          case Some(pa) =>
-            val high = isHighPriority(name, ex)
-            val admit = if (high) pa.admitHigh else pa.admitLow
-            if (!admit.tryAcquire()) {
-              (if (high) shedHighCount else shedLowCount).incrementAndGet()
-              shed(s"server busy: ${if (high) "high" else "low"}-priority " +
-                "lane full")
-            } else try {
-              pa.gate.acquire(high)
-              try handle() finally pa.gate.release()
-            } finally admit.release()
+          case Some(pa) => priorityOf(name, ex) match {
+            case Left(bad) =>
+              // reject, never silently demote: "HIGH", a typo, etc. would
+              // otherwise drop a published-high query into the low lane
+              respond(ex, 400, s"""{"error":${jsonStr(
+                s"invalid X-Query-Priority (want high|low): $bad")}}""")
+            case Right(high) =>
+              val admit = if (high) pa.admitHigh else pa.admitLow
+              if (!admit.tryAcquire()) {
+                (if (high) shedHighCount else shedLowCount).incrementAndGet()
+                shed(s"server busy: ${if (high) "high" else "low"}-priority " +
+                  "lane full")
+              } else try {
+                // deadline-bounded worker wait: an admitted request may
+                // queue, but never parks its handler thread indefinitely
+                // (the request deadline plus scheduling slack, or 60 s —
+                // the same bound as the collapsed-join wait)
+                val laneWaitMs =
+                  if (requestTimeoutMs > 0) requestTimeoutMs + 5000 else 60000L
+                if (!pa.gate.tryAcquire(high, laneWaitMs)) {
+                  (if (high) shedHighCount else shedLowCount).incrementAndGet()
+                  shed(s"server busy: ${if (high) "high" else "low"}-priority " +
+                    "request timed out waiting for a worker")
+                } else try handle() finally pa.gate.release()
+              } finally admit.release()
+          }
           case None => admission match {
             case None => handle()
             case Some((admit, execute)) =>
@@ -626,6 +658,36 @@ private[graft] final class PriorityGate(permits: Int) {
     } else {
       while (free == 0 || highWaiting > 0) wait()
       free -= 1
+    }
+  }
+
+  /** Deadline-bounded acquire (r15 advice): an admitted request must
+    * never park a handler thread indefinitely — under sustained
+    * high-priority load the low lane would otherwise accumulate up to
+    * workers+lowQueue parked threads forever (the same unbounded-park
+    * hazard the bounded collapsed-join closed). Returns false on expiry;
+    * the caller answers 503 + Retry-After.
+    */
+  def tryAcquire(high: Boolean, timeoutMs: Long): Boolean = synchronized {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def leftMs: Long = (deadline - System.nanoTime()) / 1000000L
+    if (high) {
+      highWaiting += 1
+      try {
+        while (free == 0) {
+          val ms = leftMs
+          if (ms <= 0) return false
+          wait(ms)
+        }
+      } finally highWaiting -= 1
+      free -= 1; true
+    } else {
+      while (free == 0 || highWaiting > 0) {
+        val ms = leftMs
+        if (ms <= 0) return false
+        wait(ms)
+      }
+      free -= 1; true
     }
   }
   def release(): Unit = synchronized { free += 1; notifyAll() }

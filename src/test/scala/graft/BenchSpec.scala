@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bench artifact contract (r15 verdict #3): a query that crashes
+  * mid-sweep must be visibly RED in the artifact — an error marker in the
+  * "errors" map, an error_count, and exclusion from every headline total —
+  * never a fast-looking wall-time cell.
+  */
+class BenchSpec extends SparkSpec {
+
+  private val ok: (SparkSession, String) => DataFrame =
+    (s, _) => s.range(10).toDF("id")
+  private val poisoned: (SparkSession, String) => DataFrame =
+    (_, _) => throw new IllegalStateException("boom \"quoted\"\npath")
+
+  test("a poisoned query shows up marked and excluded from totals") {
+    val good = Bench.measure(spark, sf, "q_good", ok, 2)
+    val bad = Bench.measure(spark, sf, "q_bad", poisoned, 2)
+    assert(good._4.isEmpty)
+    assert(bad._4.exists(_.startsWith("IllegalStateException")))
+    val line = Bench.renderLine(Seq(good, bad), 2, sf)
+    assert(line.contains(""""error_count":1"""), line)
+    assert(line.contains(""""q_bad":"IllegalStateException"""), line)
+    // the error message is JSON-safe (quotes escaped, newlines removed)
+    assert(line.contains("""boom \"quoted\" path"""), line)
+    // headline total excludes the poisoned query: equal to the good
+    // query's min alone (3-decimal rendering)
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1)
+    assert(math.abs(total.toDouble - good._2) < 0.002, line)
+    // but its wall time still appears in the per-query map for the log
+    assert(line.contains(""""q_bad":0""") || line.contains(""""q_bad":"""),
+      line)
+  }
+
+  test("a clean sweep renders error_count=0 and an empty errors map") {
+    val line = Bench.renderLine(Seq(Bench.measure(spark, sf, "q_good", ok, 1)),
+      1, sf)
+    assert(line.contains(""""error_count":0"""), line)
+    assert(line.contains(""""errors":{}"""), line)
+  }
+}

@@ -904,8 +904,8 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
-  test("X-Query-Priority header overrides the published class: a header-" +
-      "high request rides the high lane while a plain low request sheds") {
+  test("X-Query-Priority header (opted in) overrides the published class: " +
+      "a header-high request rides the high lane while a plain low sheds") {
     val pub = new Published(spark)
     val oneRow = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("ok",
@@ -918,7 +918,7 @@ class ServeSpec extends SparkSpec {
     // one worker, NO low queue: the occupying request saturates the low
     // lane's admission entirely; the high lane still has queue room
     val port = pub.servePrioritized(0, 10, cacheTtlMs = 0,
-      workers = 1, highQueue = 4, lowQueue = 0)
+      workers = 1, highQueue = 4, lowQueue = 0, allowHeaderOverride = true)
     def doCall(header: Option[String]): Int = {
       val conn = new java.net.URI(
         s"http://127.0.0.1:$port/query/lane_q").toURL
@@ -947,6 +947,143 @@ class ServeSpec extends SparkSpec {
       assert(occupier.get() == 200)
       val (shedH, shedL) = pub.shedStatsByClass
       assert(shedH == 0 && shedL >= 1, s"shed=($shedH, $shedL)")
+      pool.shutdown()
+    } finally pub.stopServing()
+  }
+
+  test("X-Query-Priority is IGNORED unless opted in, and an invalid value " +
+      "is a 400 when opted in — self-elevation is not client-controlled") {
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("lane_q2") { (s, _) =>
+      Thread.sleep(1200)
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    // default servePrioritized: allowHeaderOverride = false
+    val port = pub.servePrioritized(0, 10, cacheTtlMs = 0,
+      workers = 1, highQueue = 4, lowQueue = 0)
+    def doCall(header: Option[String]): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/lane_q2").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      header.foreach(h => conn.setRequestProperty("X-Query-Priority", h))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+      code
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val occupier = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall(None)
+      })
+      Thread.sleep(400) // occupier holds the only worker; low lane is full
+      // header-high with the override DISABLED: still a low request →
+      // the saturated low lane sheds it (with the override honored it
+      // would queue in the high lane and return 200, as the opt-in test
+      // above proves)
+      val pretender = doCall(Some("high"))
+      assert(pretender == 503,
+        s"header elevated a lane despite override disabled: $pretender")
+      val (shedH, shedL) = pub.shedStatsByClass
+      assert(shedH == 0 && shedL >= 1, s"shed=($shedH, $shedL)")
+      assert(occupier.get() == 200)
+      pool.shutdown()
+    } finally pub.stopServing()
+    // opted in, a malformed value is rejected loudly — "HIGH" or a typo
+    // must never silently demote a published-high query to the low lane
+    val pub2 = new Published(spark)
+    pub2.publish("lane_q3") { (s, _) =>
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    pub2.setPriority("lane_q3", "high")
+    val port2 = pub2.servePrioritized(0, 10, cacheTtlMs = 0,
+      workers = 1, highQueue = 1, lowQueue = 1, allowHeaderOverride = true)
+    def call2(header: Option[String]): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port2/query/lane_q3").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      header.foreach(h => conn.setRequestProperty("X-Query-Priority", h))
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+      code
+    }
+    try {
+      assert(call2(Some("HIGH")) == 400, "case-mangled value not rejected")
+      assert(call2(Some("urgent")) == 400, "unknown value not rejected")
+      assert(call2(Some("low")) == 200, "valid demotion rejected")
+      assert(call2(None) == 200)
+    } finally pub2.stopServing()
+  }
+
+  test("PriorityGate.tryAcquire expires: a parked lane waiter unblocks at " +
+      "its deadline instead of parking forever") {
+    val g = new graft.serve.PriorityGate(1)
+    assert(g.tryAcquire(high = false, 1000), "free permit not acquired")
+    // low waiter under an occupied gate: expires at its deadline
+    val t0 = System.nanoTime()
+    assert(!g.tryAcquire(high = false, 250), "expired wait reported success")
+    val waitedMs = (System.nanoTime() - t0) / 1000000
+    assert(waitedMs >= 200, s"returned before the deadline: ${waitedMs}ms")
+    // a waiting high ALSO blocks low past the deadline path, then expires
+    assert(!g.tryAcquire(high = true, 250), "high expired wait succeeded")
+    g.release()
+    // after release both lanes acquire within the deadline again
+    assert(g.tryAcquire(high = true, 1000))
+    g.release()
+  }
+
+  test("an admitted low request that cannot reach a worker before the lane " +
+      "deadline is shed 503, freeing its handler thread (no unbounded park)") {
+    val pub = new Published(spark)
+    val oneRow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ok",
+        org.apache.spark.sql.types.StringType)))
+    pub.publish("park_q") { (s, _) =>
+      // driver-side sleep: job-group cancellation cannot interrupt it, so
+      // the single worker stays occupied PAST the lane-wait deadline
+      Thread.sleep(6500)
+      s.createDataFrame(java.util.Collections.singletonList(
+        org.apache.spark.sql.Row("y")), oneRow)
+    }
+    pub.withRequestTimeout(200) // lane wait = 200 + 5000 ms slack
+    val port = pub.servePrioritized(0, 10, cacheTtlMs = 0,
+      workers = 1, highQueue = 2, lowQueue = 2)
+    def doCall(): Int = {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:$port/query/park_q").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setReadTimeout(30000)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+      code
+    }
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val occupier = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = doCall()
+      })
+      Thread.sleep(400) // occupier holds the only worker
+      val t0 = System.nanoTime()
+      val queued = doCall() // admitted (lowQueue=2) → parks at the gate
+      val waitedMs = (System.nanoTime() - t0) / 1000000
+      // shed at the lane deadline (~5.2 s), NOT after the occupier's 6.5 s
+      assert(queued == 503, s"queued low request not shed: $queued")
+      assert(waitedMs >= 5000 && waitedMs < 6300,
+        s"shed outside the lane-deadline window: ${waitedMs}ms")
+      val (_, shedL) = pub.shedStatsByClass
+      assert(shedL >= 1, s"lane-deadline shed not counted: $shedL")
+      occupier.get() // the occupier's own verdict is its own business
       pool.shutdown()
     } finally pub.stopServing()
   }
