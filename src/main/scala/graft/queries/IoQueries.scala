@@ -48,19 +48,27 @@ object IoQueries {
     // layout versions would otherwise accumulate unbounded under
     // target/graft_io); `tag + "_v"` keeps sibling sf dirs' roots intact
     // (e.g. sf10's tag continues with '0', never '_v', after sf1's).
-    // AGE-GATED: only roots idle > 1 h die — an in-flight reader over a
-    // just-superseded root (source regenerated mid-session) must not have
-    // its files deleted out from under a running scan; within the hour
-    // the stale root is inert, and it is collected on any later call.
+    // AGE-GATED ON SUPERSESSION, not on build time (r15 advice): the first
+    // call that OBSERVES a root as non-current drops a tombstone in it;
+    // only roots whose tombstone is > 1 h old die. Gating on the root's
+    // own mtime would delete a root built an hour ago on the very first
+    // call after its source regenerates — exactly the in-flight-reader
+    // scenario the grace period exists for (a multi-process sweep's
+    // running scan must never lose files mid-read).
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
       f.delete(); ()
     }
     val pruneBefore = System.currentTimeMillis() - 3600000L
     Option(rootDir.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.getName.startsWith(tag + "_v") && d.getName != current
-        && d.lastModified() < pruneBefore)
-      .foreach(rmTree)
+      .filter(d => d.getName.startsWith(tag + "_v") && d.getName != current)
+      .foreach { d =>
+        val tomb = new java.io.File(d, "_SUPERSEDED")
+        try {
+          if (tomb.createNewFile()) () // first observation: grace starts now
+          else if (tomb.lastModified() < pruneBefore) rmTree(d)
+        } catch { case _: java.io.IOException => () } // racing deleter won
+      }
     s"${rootDir.getPath}/$current"
   }
 

@@ -28,10 +28,16 @@ import org.apache.spark.sql.SparkSession
   * Concurrency contract is VersionedManifest's, with one delta-specific
   * sharpening: on non-local filesystems a committer that stalls longer
   * than `staleClaimMs` between claiming and finishing its stream may have
-  * its claim expired and MUST treat commit success as non-durable (the
-  * late-completing record would otherwise replay into a chain built
-  * without it). On local filesystems `link(2)` makes claim and content one
-  * atomic event, so the hazard cannot arise.
+  * its claim expired and its record completed LATE — into a chain built
+  * without it. Each `#DELTA` therefore carries the sequence number of the
+  * record its ops were applied against (`#DELTA <parent>`), and readers
+  * skip any delta whose parent does not match the replay cursor: the
+  * late completion degrades to the documented non-durable (lost) commit
+  * instead of replaying into every future read — where a conflicting op
+  * (e.g. a duplicate AddSub, ops re-validate on replay) would otherwise
+  * make `load()` throw for ALL readers, a permanently poisoned chain. On
+  * local filesystems `link(2)` makes claim and content one atomic event,
+  * so the hazard cannot arise; the parent guard costs nothing there.
   */
 private[graft] final class LogManifest[S, O](
     spark: SparkSession,
@@ -61,13 +67,16 @@ private[graft] final class LogManifest[S, O](
     */
   private val gcKeepVersions = 32L
 
-  /** (sequence, snapshot-base sequence, ops replayed since base, state) —
-    * CAS-guarded so a slow committer can never regress the cache below a
+  /** (newest scanned sequence, snapshot-base sequence, ops replayed since
+    * base, last APPLIED sequence — the replay cursor, which lags the scan
+    * cursor when orphaned late deltas were skipped — and state). CAS-
+    * guarded so a slow committer can never regress the cache below a
     * faster peer's newer entry (a regressed cache would replay committed
     * ops twice, and validating ops are not idempotent).
     */
   private val cached =
-    new java.util.concurrent.atomic.AtomicReference[(Long, Long, Int, S)](null)
+    new java.util.concurrent.atomic.AtomicReference[
+      (Long, Long, Int, Long, S)](null)
 
   private def versionFile(v: Long) = ManifestIo.versionFile(dir, v)
 
@@ -75,11 +84,14 @@ private[graft] final class LogManifest[S, O](
   private def claimedVersions(): Seq[Long] =
     ManifestIo.claimedVersions(fs, dir)
 
-  /** `Some((isFull, body))` iff the file is complete (`#END`-terminated);
-    * `None` with `missing=false` is a crashed claim (skip), with
-    * `missing=true` the file was GC'd after listing (caller re-lists).
+  /** `Right((isFull, parent, body))` iff the file is complete
+    * (`#END`-terminated); `parent` is the delta's declared parent sequence
+    * (None for `#FULL` and for pre-r16 parentless deltas, which replay
+    * unconditionally). `Left(false)` is a crashed claim (skip),
+    * `Left(true)` means the file was GC'd after listing (caller re-lists).
     */
-  private def readRecord(v: Long): Either[Boolean, (Boolean, String)] = {
+  private def readRecord(
+      v: Long): Either[Boolean, (Boolean, Option[Long], String)] = {
     val p = versionFile(v)
     if (!fs.exists(p)) return Left(true)
     val in = fs.open(p)
@@ -90,11 +102,19 @@ private[graft] final class LogManifest[S, O](
     if (!(t == EndMarker || t.endsWith("\n" + EndMarker))) Left(false)
     else {
       val body = t.stripSuffix(EndMarker).stripSuffix("\n")
-      if (body.startsWith(DeltaTag))
-        Right((false, body.stripPrefix(DeltaTag).stripPrefix("\n")))
-      else if (body.startsWith(FullTag))
-        Right((true, body.stripPrefix(FullTag).stripPrefix("\n")))
-      else Right((true, body)) // legacy VersionedManifest snapshot
+      if (body.startsWith(DeltaTag)) {
+        val afterTag = body.stripPrefix(DeltaTag)
+        val (hdr, rest) = afterTag.indexOf('\n') match {
+          case -1 => (afterTag, "")
+          case i => (afterTag.take(i), afterTag.drop(i + 1))
+        }
+        Right((false, hdr.trim match {
+          case "" => None
+          case s => s.toLongOption
+        }, rest))
+      } else if (body.startsWith(FullTag))
+        Right((true, None, body.stripPrefix(FullTag).stripPrefix("\n")))
+      else Right((true, None, body)) // legacy VersionedManifest snapshot
     }
   }
 
@@ -102,10 +122,11 @@ private[graft] final class LogManifest[S, O](
     if (deltaBody.isEmpty) Nil
     else deltaBody.split("\n").toSeq.filter(_.nonEmpty).map(parseOp)
 
-  /** Newest state + bookkeeping: (newestSeq, baseSeq, opsSinceBase, state).
-    * Warm path replays only records committed since the cached sequence.
+  /** Newest state + bookkeeping: (newestSeq, baseSeq, opsSinceBase,
+    * lastAppliedSeq, state). Warm path replays only records committed
+    * since the cached sequence.
     */
-  private def loadFull(): (Long, Long, Int, S) = {
+  private def loadFull(): (Long, Long, Int, Long, S) = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -118,12 +139,13 @@ private[graft] final class LogManifest[S, O](
     sys.error("unreachable")
   }
 
-  private def reconstructOnce(): Option[(Long, Long, Int, S)] = {
+  private def reconstructOnce(): Option[(Long, Long, Int, Long, S)] = {
     val versions = claimedVersions() // descending
     val cachedNow = cached.get()
     // records newer than the cache (or the whole chain when cold), newest
     // first, stopping at a #FULL or at the cached sequence
-    var records = List.empty[(Long, Boolean, String)] // ascending when done
+    var records = // ascending when done
+      List.empty[(Long, Boolean, Option[Long], String)]
     var newest = -1L
     var base = -1L
     var stopped = false
@@ -133,9 +155,9 @@ private[graft] final class LogManifest[S, O](
       val v = it.next()
       if (cachedNow != null && v <= cachedNow._1) { stopped = true }
       else readRecord(v) match {
-        case Right((isFull, body)) =>
+        case Right((isFull, parent, body)) =>
           if (newest < 0) newest = v
-          records = (v, isFull, body) :: records
+          records = (v, isFull, parent, body) :: records
           if (isFull) { base = v; stopped = true }
         case Left(true) if newest >= 0 =>
           // a file BELOW an already-read newer record vanished: GC race —
@@ -154,31 +176,37 @@ private[graft] final class LogManifest[S, O](
       if (vanished) return None
       // nothing newer than the cache: the cache IS the state (or empty)
       return Some(
-        if (cachedNow != null) cachedNow else (-1L, -1L, 0, emptyState))
+        if (cachedNow != null) cachedNow else (-1L, -1L, 0, -1L, emptyState))
     }
     // fold: from the in-range #FULL if present, else from the cache, else
     // from empty (a fully-GC'd pre-history can only sit below a #FULL)
     var state = emptyState
     var opsSince = 0
     var effBase = base
+    var cursor = -1L // last APPLIED sequence
     if (base < 0 && cachedNow != null) {
-      state = cachedNow._4; opsSince = cachedNow._3; effBase = cachedNow._2
+      state = cachedNow._5; opsSince = cachedNow._3; effBase = cachedNow._2
+      cursor = cachedNow._4
     }
-    records.foreach { case (v, isFull, body) =>
-      if (isFull) effBase = v
-      if (isFull) { state = parseState(body); opsSince = 0 }
-      else {
+    records.foreach { case (v, isFull, parent, body) =>
+      if (isFull) {
+        effBase = v; state = parseState(body); opsSince = 0; cursor = v
+      } else if (parent.forall(_ == cursor)) {
         val ops = opsOf(body)
         state = ops.foldLeft(state)(applyOp)
         opsSince += ops.size
+        cursor = v
       }
+      // else: an expired claim completed LATE into a chain built without
+      // it (its parent is not the record the chain applied last) — skip:
+      // the documented non-durable commit, never a replayed conflict
     }
-    val result = (newest, effBase, opsSince, state)
+    val result = (newest, effBase, opsSince, cursor, state)
     cacheAdvance(result)
     Some(result)
   }
 
-  private def cacheAdvance(entry: (Long, Long, Int, S)): Unit = {
+  private def cacheAdvance(entry: (Long, Long, Int, Long, S)): Unit = {
     var done = false
     while (!done) {
       val cur = cached.get()
@@ -188,13 +216,13 @@ private[graft] final class LogManifest[S, O](
   }
 
   /** Newest complete state. */
-  def load(): S = loadFull()._4
+  def load(): S = loadFull()._5
 
   /** (newest sequence, snapshot base sequence, ops since base) — probe /
     * spec observability.
     */
   def chainInfo(): (Long, Long, Int) = {
-    val (n, b, o, _) = loadFull(); (n, b, o)
+    val (n, b, o, _, _) = loadFull(); (n, b, o)
   }
 
   private def terminate(content: String): String =
@@ -240,7 +268,7 @@ private[graft] final class LogManifest[S, O](
       if (!newestIsMidWrite) {
         attempts += 1
         require(attempts <= 1000, "manifest commit: contention limit exceeded")
-        val (curSeq, curBase, opsSince, cur) = loadFull()
+        val (curSeq, curBase, opsSince, lastApplied, cur) = loadFull()
         val ops = f(cur)
         val next = ops.foldLeft(cur)(applyOp)
         // compact when replay depth reaches the snapshot-amortized bound:
@@ -249,15 +277,19 @@ private[graft] final class LogManifest[S, O](
         // bounding cold-load replay at a fraction of the snapshot parse
         val compactAt = math.max(compactEvery, sizeOf(next) / 8)
         val asFull = curBase < 0 || opsSince + ops.size >= compactAt
+        // a delta declares the record its ops were applied against (the
+        // replay CURSOR, not the raw newest — an orphaned late delta at
+        // the chain head is scanned but not applied, and a new commit
+        // must not inherit its sequence as parent)
         val content = terminate(
           if (asFull) FullTag + "\n" + renderState(next)
-          else DeltaTag + (if (ops.isEmpty) ""
+          else DeltaTag + " " + lastApplied + (if (ops.isEmpty) ""
             else "\n" + ops.map(renderOp).mkString("\n")))
         val seq = math.max(curSeq, newest) + 1
         if (claimAndWrite(versionFile(seq), content)) {
           val base = if (asFull) seq else curBase
           cacheAdvance((seq, base,
-            if (asFull) 0 else opsSince + ops.size, next))
+            if (asFull) 0 else opsSince + ops.size, seq, next))
           // GC: keep the live chain (>= base) plus a reader margin
           claimedVersions()
             .filter(v => v < base && v < seq - gcKeepVersions)

@@ -90,6 +90,47 @@ object CatalogProbe {
     val bytes = Option(dir.listFiles()).map(_.map(_.length).max).getOrElse(0L)
     println(f"[catprobe] manifest size: ${bytes / 1e6}%.1f MB " +
       f"($nFiles files, $nSupers supers x $subsPer)")
+
+    // r15 verdict #7 — sustained commit storm vs COLD readers: the GC
+    // margin is fixed (gcKeepVersions=32) and a cold reader races
+    // committers under a 50-retry bound; this is the pathological case
+    // (Dali serves reads from the in-memory SDS tree precisely to avoid
+    // this race class — dali/base/dadfs.hpp:493). Four writers commit
+    // continuously while a fresh-instance reader cold-loads in a loop;
+    // every read must converge inside the retry budget (a budget blowout
+    // throws and fails the probe), and the latency distribution is the
+    // SCALE_NOTES row.
+    val stormSecs = if (args.length > 3) args(3).toInt else 10
+    @volatile var stop = false
+    val commits = new java.util.concurrent.atomic.AtomicLong
+    val writers = (0 until 4).map { w =>
+      val wcat = new graft.sources.FileCatalog(spark, root)
+      val t = new Thread(() => {
+        var i = 0
+        while (!stop) {
+          wcat.register(f"probe::storm::w$w%d_$i%06d", "target/d/s")
+          commits.incrementAndGet(); i += 1
+        }
+      }, s"storm-writer-$w")
+      t.setDaemon(true); t.start(); t
+    }
+    val lat = scala.collection.mutable.ArrayBuffer[Double]()
+    val t0 = System.currentTimeMillis()
+    while (System.currentTimeMillis() - t0 < stormSecs * 1000L) {
+      val fresh = new graft.sources.FileCatalog(spark, root) // cold cache
+      val s = System.nanoTime()
+      val n = fresh.list("*").size
+      lat += (System.nanoTime() - s) / 1e6
+      require(n >= nFiles, s"cold read lost names: $n < $nFiles")
+    }
+    stop = true
+    writers.foreach(_.join(10000))
+    val ls = lat.sorted
+    println(f"[catprobe] commit-storm ${stormSecs}s: 4 writers, " +
+      f"${commits.get} commits, ${lat.size} cold list('*') reads — " +
+      f"p50 ${ls(ls.size / 2)}%.0f ms  " +
+      f"p99 ${ls(((ls.size - 1) * 0.99).toInt)}%.0f ms  " +
+      f"max ${ls.last}%.0f ms (every read inside the retry budget)")
     spark.stop()
   }
 }

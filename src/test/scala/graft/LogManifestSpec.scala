@@ -121,6 +121,85 @@ class LogManifestSpec extends SparkSpec {
     assert(newManifest(root).load() == (1 to 100).map(i => s"x$i").toVector)
   }
 
+  /** Like [[newManifest]] but ops VALIDATE on replay (the FileCatalog
+    * situation: a duplicate AddSub throws) — the fixture for the
+    * late-delta poisoning hazard.
+    */
+  private def newValidating(dir: String) =
+    new LogManifest[Vector[String], String](spark, dir,
+      Vector.empty,
+      s => s.split("\n").filter(_.nonEmpty).toVector,
+      _.mkString("\n"),
+      identity, identity,
+      (s, o) => {
+        require(!s.contains(o), s"duplicate op $o"); s :+ o
+      },
+      _.size, 16)
+
+  test("an expired claim that completes its #DELTA late (parent != replay " +
+      "cursor) is skipped — a conflicting late op degrades to the " +
+      "documented lost commit, never a permanently poisoned chain") {
+    val root = newRoot("latedelta")
+    val m = newValidating(root)
+    m.commit(_ => Seq("a")) // v0: #FULL
+    m.commit(_ => Seq("b")) // v1: #DELTA parent 0
+    m.commit(_ => Seq("c")) // v2: #DELTA parent 1
+    // a committer claimed v3 against the v0 chain, stalled past the claim
+    // expiry, and completes NOW — its op re-validates on replay and "b"
+    // already exists: without the parent guard every future load() throws
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, f"v${3L}%016d.txt"),
+      "#DELTA 0\nb\n#END".getBytes("UTF-8"))
+    val cold = newValidating(root)
+    assert(cold.load() == Vector("a", "b", "c"),
+      "late orphan delta replayed into the chain")
+    // the chain stays writable, and the new commit's parent is the replay
+    // cursor (2), not the orphan head (3) — a fresh cold reader agrees
+    assert(cold.commit(_ => Seq("d")) == Vector("a", "b", "c", "d"))
+    assert(newValidating(root).load() == Vector("a", "b", "c", "d"))
+  }
+
+  test("pre-parent-tag deltas (no parent in the header) replay " +
+      "unconditionally — existing catalogs read unchanged") {
+    val root = newRoot("legacydelta")
+    val m = newManifest(root)
+    m.commit(_ => Seq("a")) // v0: #FULL
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, f"v${1L}%016d.txt"),
+      "#DELTA\nb\n#END".getBytes("UTF-8"))
+    assert(newManifest(root).load() == Vector("a", "b"))
+  }
+
+  test("sustained commit storm vs cold readers: 4 writers committing " +
+      "continuously, every fresh-instance list('*') converges inside the " +
+      "retry budget and never loses a name") {
+    val root = newRoot("storm")
+    val cat = new FileCatalog(spark, root)
+    val preload = 2000
+    cat.registerAll((0 until preload).map(i => f"pre::f$i%05d" -> "t/p"))
+    val perWriter = 25
+    val writers = (0 until 4).map { w =>
+      val wcat = new FileCatalog(spark, root) // own cold cache
+      val t = new Thread(() => (0 until perWriter).foreach(i =>
+        wcat.register(f"storm::w$w%d_$i%03d", "t/s")), s"spec-storm-$w")
+      t.start(); t
+    }
+    // cold reads race the committers (and their GC of old versions): the
+    // retry bound must absorb every listing race — a budget blowout
+    // throws out of list() and fails the gate
+    var reads = 0
+    while (writers.exists(_.isAlive)) {
+      val n = new FileCatalog(spark, root).list("*").size
+      assert(n >= preload, s"cold read lost names: $n")
+      reads += 1
+    }
+    writers.foreach(_.join(10000))
+    val finalNames = new FileCatalog(spark, root).list("*")
+    assert(finalNames.size == preload + 4 * perWriter,
+      s"committed names lost: ${finalNames.size}")
+    info(s"storm gate: $reads cold reads raced ${4 * perWriter} commits")
+  }
+
   test("FileCatalog survives a cold reload across mixed delta ops " +
       "(cascading delete, rename, promote all replay from the log)") {
     val root = newRoot("filecat")
