@@ -58,6 +58,55 @@ object Graph {
       .distinct()
   }
 
+  /** Partition-local union-find contraction (the "local contraction"
+    * optimization from Kiveris et al. SoCC'14 §6): each partition replaces
+    * its edges by the star forest node → partition-local component minimum.
+    * Zero shuffles — a single mapPartitions over the raw (oriented,
+    * non-distinct) edge stream. Connectivity is preserved exactly: every
+    * input edge (u,v) lives in SOME partition, and there u and v share a
+    * local root, so the union of the per-partition stars connects them.
+    * Per partition the star has (nodes − components) ≤ edges rows — never
+    * more output than input, and on clustered graphs (near-dup components
+    * are dense by construction) FAR fewer: a partition holding a k-node
+    * clique's k²/2 candidate pairs emits k−1 rows. That shrinks the first
+    * global distinct() shuffle and hands the star rounds a pre-collapsed
+    * graph, typically saving a full global round — two hash shuffles of
+    * the whole edge set at 100 TB. Roots are component minima, so output
+    * rows keep the u > v orientation the star rounds require. State is
+    * bounded by the partition's node count (≤ 2× its rows ≤
+    * maxPartitionBytes-sized), not the graph.
+    */
+  private[graft] def localContract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          var p = parent.getOrDefault(r, r)
+          while (p != r) { r = p; p = parent.getOrDefault(r, r) }
+          var c = x // path compression
+          while (c != r) {
+            val n = parent.getOrDefault(c, c); parent.put(c, r); c = n
+          }
+          r
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru != rv) { // union by min id: the root IS the local minimum
+            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          }
+        }
+        val keys = new Array[Long](parent.size())
+        val kit = parent.keySet().iterator()
+        var i = 0
+        while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
+        keys.iterator.map(k => (k, find(k))).filter { case (k, r) => k != r }
+      }
+      .toDF("u", "v")
+  }
+
   /** Formatted physical plan of one large-star round (PLANS.md evidence —
     * the component loop itself is iterative, one such plan per round).
     */
@@ -97,7 +146,8 @@ object Graph {
     */
   def connectedComponentsReleasable(vertices: DataFrame, vid: Column,
       edges: DataFrame, src: Column, dst: Column,
-      maxRounds: Int = 30): (DataFrame, () => Unit) = {
+      maxRounds: Int = 30,
+      localContraction: Boolean = true): (DataFrame, () => Unit) = {
     import graft.workflow.Workflow.checkpointEager
     val verts = vertices.select(vid.cast("long").as("id"))
     // superseded rounds release their checkpoint blocks through the RDD
@@ -105,12 +155,16 @@ object Graph {
     // checkpoints, so the previous shape silently pinned EVERY round's
     // edge set until driver GC (O(rounds·|E|) block-store pressure at
     // sf10 — the same leak class the r12 rehearsal found in LOOP)
-    var e = checkpointEager(edges
+    val oriented = edges
       .select(src.cast("long").as("u"), dst.cast("long").as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct())
+    // contract BEFORE the distinct(): the first shuffle then carries the
+    // per-partition star forests (≤ raw edge count, far less on the dense
+    // clusters near-dup graphs produce) instead of the raw pair stream
+    var e = checkpointEager(
+      (if (localContraction) localContract(oriented) else oriented).distinct())
     var eCount = e.df.count()
     var converged = false
     var rounds = 0

@@ -24,13 +24,16 @@ import org.apache.spark.storage.StorageLevel
   *    holds only live task state — the r15 64 GB re-proof mode);
   *  - `disk` — DISK_ONLY everything (floor of the storage axis).
   *
-  * `runMain graft.tools.CcProbe [heap|ser|disk]` against
+  * `runMain graft.tools.CcProbe [heap|ser|disk] [contract|plain]` against
   * `SPARK_GRAFT_SF_DIR` (plain-java launch for big SFs — pick -Xmx per
-  * run).
+  * run). `contract` (r16 default) applies Graph.localContract before the
+  * initial distinct — the probe prints raw-pair vs contracted edge counts
+  * so the pre-pass's shuffle saving is directly visible.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val mode = if (args.length > 0) args(0) else "heap"
+    val contract = if (args.length > 1) args(1) == "contract" else true
     val (persistLevel, ckLevel) = mode match {
       case "heap" => (StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
       case "ser"  => (StorageLevel.MEMORY_AND_DISK_SER, StorageLevel.DISK_ONLY)
@@ -75,14 +78,18 @@ object CcProbe {
 
     // lshJaccardPairs routes hot buckets at execution time (no eager
     // probe since r14); construction is cheap but keep it in the block
-    val (e0, _) = timed("stage 4: jaccard refine (bucket-local fused)")(
-      checkpointEager(TextOps.lshJaccardPairs(bands, sets, 0.5)
+    val oriented = TextOps.lshJaccardPairs(bands, sets, 0.5)
       .select(col("doc_a").cast("long").as("u"),
         col("doc_b").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct(), ckLevel))
+    val (e0, _) = timed(if (contract)
+        "stage 4: jaccard refine + localContract (bucket-local fused)"
+      else "stage 4: jaccard refine (bucket-local fused)")(
+      checkpointEager(
+        (if (contract) graft.ops.Graph.localContract(oriented) else oriented)
+          .distinct(), ckLevel))
     var e = e0
     var (eCount, _) = timed("edge count")(e.df.count())
     println(s"[cc] initial edges: $eCount")
