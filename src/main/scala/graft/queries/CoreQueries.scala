@@ -17,14 +17,46 @@ object CoreQueries {
   def sumD(c: Column, as: String): Column =
     sum(c.cast(DecimalType(25, 6))).cast("double").as(as)
   def sumDSql(expr: String, as: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DOUBLE) AS $as"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS $as"
 
   /** Exact double avg: decimal sum and long count, divided as doubles. */
   def avgD(c: Column, as: String): Column =
     (sum(c.cast(DecimalType(25, 6))).cast("double") /
       count(c).cast("double")).as(as)
   def avgDSql(expr: String, as: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT($expr) AS DOUBLE) AS $as"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT($expr) AS DOUBLE) AS $as"
+
+  /** Tie-free decimal PRODUCTS (r16, caught by the full-210 sf1 oracle
+    * sweep): Spark casts double→decimal through the value's SHORTEST
+    * decimal representation (BigDecimal.valueOf → Double.toString) while
+    * DuckDB rounds the exact binary expansion — for a product of clean
+    * 2-dp monetary doubles the two can disagree by one unit of the target
+    * scale when the product's shortest repr terminates exactly on a
+    * rounding tie (rare per row: invisible at sf0.01, 1 group at sf1 in
+    * q01, catastrophic after the var/corr cancellation in q14). A SINGLE
+    * clean 2-dp column is tie-free (binary error ~1e-12 vs a tie 0.005
+    * away), so the fix is to cast the FACTORS and multiply in DECIMAL:
+    * exact, and bit-identical on both engines. Types are kept narrow so
+    * neither engine's 38-digit cap forces a scale-reducing round. */
+  def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  /** l_extendedprice * (1 - l_discount), exact decimal — DECIMAL(18,4). */
+  def revenueDec: Column =
+    dec2(col("l_extendedprice")) *
+      (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2)))
+  val revenueDecSql: String =
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+  /** revenue * (1 + l_tax), exact decimal — DECIMAL(24,6). */
+  def chargeDec: Column =
+    revenueDec *
+      (lit(1).cast(DecimalType(4, 2)) + col("l_tax").cast(DecimalType(4, 2)))
+  val chargeDecSql: String =
+    s"($revenueDecSql * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2))))"
+  /** l_extendedprice * l_discount (promo revenue), exact decimal. */
+  def promoDec: Column =
+    dec2(col("l_extendedprice")) * col("l_discount").cast(DecimalType(4, 2))
+  val promoDecSql: String =
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2)))"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -34,8 +66,8 @@ object CoreQueries {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sumDSql("l_quantity", "sum_qty")},
          |  ${sumDSql("l_extendedprice", "sum_base_price")},
-         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
-         |  ${sumDSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", "sum_charge")},
+         |  ${sumDSql(revenueDecSql, "sum_disc_price")},
+         |  ${sumDSql(chargeDecSql, "sum_charge")},
          |  ${avgDSql("l_quantity", "avg_qty")},
          |  ${avgDSql("l_extendedprice", "avg_price")},
          |  ${avgDSql("l_discount", "avg_disc")},
@@ -51,8 +83,8 @@ object CoreQueries {
         Seq(
           sumD(col("l_quantity"), "sum_qty"),
           sumD(col("l_extendedprice"), "sum_base_price"),
-          sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), "sum_disc_price"),
-          sumD(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), "sum_charge"),
+          sumD(revenueDec, "sum_disc_price"),
+          sumD(chargeDec, "sum_charge"),
           avgD(col("l_quantity"), "avg_qty"),
           avgD(col("l_extendedprice"), "avg_price"),
           avgD(col("l_discount"), "avg_disc"),
@@ -67,7 +99,7 @@ object CoreQueries {
     // top-10 is TakeOrderedAndProject, not a global sort.
     QueryDef("q18_shipping_priority",
       s"""SELECT l_orderkey,
-         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+         |  ${sumDSql(revenueDecSql, "revenue")},
          |  CAST(o_orderdate AS DATE) AS odate
          |FROM customer, orders, lineitem
          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
@@ -87,8 +119,7 @@ object CoreQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
-          "revenue"))
+        .agg(sumD(revenueDec, "revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("odate"))
         .orderBy(col("revenue").desc, col("odate"), col("l_orderkey"))
@@ -100,7 +131,7 @@ object CoreQueries {
     // scales with SF, so AQE decides its join strategy at runtime.
     QueryDef("q19_supplier_volume",
       s"""SELECT n_name,
-         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+         |  ${sumDSql(revenueDecSql, "revenue")}
          |FROM customer, orders, lineitem, supplier, nation, region
          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -127,8 +158,7 @@ object CoreQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
-          "revenue"))
+        .agg(sumD(revenueDec, "revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 

@@ -41,7 +41,7 @@ object EmbeddingQueries {
       |  SELECT vec_id, ex_id, ROW_NUMBER() OVER (PARTITION BY vec_id
       |    ORDER BY dot DESC, ex_id) AS rn FROM d1) WHERE rn = 1),
       |mexp AS (SELECT cells1.cell, a.pos,
-      |    CAST(SUM(CAST(CAST(a.v AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE)
+      |    CAST(CAST(SUM(CAST(CAST(a.v AS DOUBLE) AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
       |      / COUNT(*) AS m
       |  FROM cx a JOIN cells1 ON cells1.vec_id = a.c_id GROUP BY 1, 2),
       |mnorm AS (SELECT cell, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
@@ -370,7 +370,7 @@ object EmbeddingQueries {
            |    ROW_NUMBER() OVER (PARTITION BY ex_id
            |      ORDER BY dot DESC, si) AS rn FROM g$k) WHERE rn = 1),
            |m$k AS (SELECT a$k.si, c.pos,
-           |    CAST(SUM(CAST(c.u AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+           |    CAST(CAST(SUM(CAST(c.u AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
            |  FROM cent c JOIN a$k USING (ex_id) GROUP BY 1, 2),
            |n$k AS (SELECT si, sqrt(CAST(SUM(CAST(m * m AS DECIMAL(30,12)))
            |    AS DOUBLE)) AS nrm FROM m$k GROUP BY si),

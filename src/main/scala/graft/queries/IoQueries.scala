@@ -405,7 +405,7 @@ object IoQueries {
     QueryDef("q211_incremental_agg",
       s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
          |  o_orderstatus,
-         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS total,
          |  CAST(COUNT(*) AS BIGINT) AS n,
          |  MAX(o_totalprice) AS top_price
          |FROM orders GROUP BY o_year, o_orderstatus

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ops.Joins
 import org.apache.spark.sql.functions._
-import graft.queries.CoreQueries.{sumD, sumDSql}
+import graft.queries.CoreQueries.{sumD, sumDSql, revenueDec, revenueDecSql}
 
 /** The join family (SURVEY §2.4): inner/left/full/only types, LOOKUP
   * first-match, KEEP(n), ATMOST(n), ALL (non-equi), self-join,
@@ -184,7 +184,7 @@ object JoinQueries {
     // ---- star join: fact ⋈ broadcast dims (the 100 TB headline shape) ----
     QueryDef("q31_star_join",
       s"""SELECT p_brand, n_name, COUNT(*) AS n_items,
-         |  ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+         |  ${sumDSql(revenueDecSql, "revenue")}
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -200,7 +200,7 @@ object JoinQueries {
         .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
         .groupBy(col("p_brand"), col("n_name"))
         .agg(count(lit(1)).as("n_items"),
-          sumD(col("l_extendedprice") * (lit(1) - col("l_discount")), "revenue"))
+          sumD(revenueDec, "revenue"))
         .orderBy(col("p_brand"), col("n_name"))
     },
 

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.ops.Joins
 import org.apache.spark.sql.functions._
-import graft.queries.CoreQueries.{sumD, sumDSql}
+import graft.queries.CoreQueries.{sumD, sumDSql, dec2, revenueDec, revenueDecSql, promoDec, promoDecSql}
 
 /** Completion of the classic-OLAP gauntlet (TPC-H Q3/Q5/Q6/Q9/Q10/Q12/Q14/
   * Q16/Q18/Q19 shapes) on top of the round-11 correlated-subquery set in
@@ -39,7 +39,7 @@ object Olap2Queries {
     // TakeOrderedAndProject over the (orderkey, date, priority) aggregate —
     // no global sort of the revenue frame.
     QueryDef("q195_shipping_priority",
-      s"""SELECT l_orderkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+      s"""SELECT l_orderkey, ${sumDSql(revenueDecSql, "revenue")},
          |  o_orderdate, o_orderpriority
          |FROM customer, orders, lineitem
          |WHERE c_mktsegment = 'BUILDING'
@@ -59,7 +59,7 @@ object Olap2Queries {
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") > ts("1997-06-01"))
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sumD(col("volume"), "revenue"))
@@ -74,7 +74,7 @@ object Olap2Queries {
     // after the supplier broadcast join, so the fact still shuffles only
     // on its two equi-keys (orderkey; none for the broadcasts).
     QueryDef("q196_local_supplier_volume",
-      s"""SELECT n_name, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+      s"""SELECT n_name, ${sumDSql(revenueDecSql, "revenue")}
          |FROM customer, orders, lineitem, supplier, nation, region
          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
          |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -102,7 +102,7 @@ object Olap2Queries {
           col("o_custkey") === col("c_custkey"))
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .filter(col("c_nationkey") === col("s_nationkey"))
@@ -116,7 +116,7 @@ object Olap2Queries {
     // (PushedFilters on shipdate/discount/quantity), one partial+final
     // aggregate, zero joins, zero shuffles beyond the 1-row exchange.
     QueryDef("q197_forecast_revenue",
-      s"""SELECT ${sumDSql("l_extendedprice * l_discount", "revenue")}
+      s"""SELECT ${sumDSql(promoDecSql, "revenue")}
          |FROM lineitem
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          |  AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -127,7 +127,7 @@ object Olap2Queries {
           col("l_shipdate") < ts("1998-01-01") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sumD(col("l_extendedprice") * col("l_discount"), "revenue"))
+        .agg(sumD(promoDec, "revenue"))
     },
 
     // ---- q198: TPC-H Q9 — product-type profit by nation and year ---------
@@ -143,7 +143,7 @@ object Olap2Queries {
          |  FROM lineitem GROUP BY 1, 2)
          |SELECT n_name AS nation, o_year, ${sumDSql("amount", "sum_profit")}
          |FROM (SELECT n.n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-         |        l_extendedprice * (1 - l_discount) - supp_cost * l_quantity AS amount
+         |        ((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) - (CAST(supp_cost AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))) AS amount
          |      FROM part, supplier, lineitem, orders, nation n, costs
          |      WHERE s_suppkey = l_suppkey AND ck_supp = l_suppkey
          |        AND ck_part = l_partkey AND p_partkey = l_partkey
@@ -182,8 +182,7 @@ object Olap2Queries {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .withColumn("amount",
-          col("l_extendedprice") * (lit(1) - col("l_discount")) -
-            col("supp_cost") * col("l_quantity"))
+          revenueDec - dec2(col("supp_cost")) * dec2(col("l_quantity")))
         .groupBy(col("nation"), col("o_year"))
         .agg(sumD(col("amount"), "sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
@@ -194,7 +193,7 @@ object Olap2Queries {
     // orderkey shuffle; customer joins on the custkey aggregate's key;
     // nation broadcasts; top-20 is TakeOrderedAndProject.
     QueryDef("q199_returned_items",
-      s"""SELECT c_custkey, c_name, ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")},
+      s"""SELECT c_custkey, c_name, ${sumDSql(revenueDecSql, "revenue")},
          |  c_acctbal, n_name
          |FROM customer, orders, lineitem, nation
          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -210,7 +209,7 @@ object Olap2Queries {
       val rev = Tables.lineitem(s, dir)
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey")).agg(sumD(col("volume"), "revenue"))
       val custN = Joins.lookupJoinMany(
@@ -269,9 +268,9 @@ object Olap2Queries {
     // pattern) — numerator and denominator see identical rows, so both
     // engines agree bitwise.
     QueryDef("q201_promo_revenue",
-      """SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+      """SELECT 100.0 * CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN (CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) ELSE 0 END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
         |  AS promo_revenue
         |FROM lineitem, part
         |WHERE l_partkey = p_partkey
@@ -282,7 +281,7 @@ object Olap2Queries {
         .filter(col("l_shipdate") >= ts("1997-09-01") &&
           col("l_shipdate") < ts("1997-10-01"))
         .select(col("l_partkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO", col("volume")).otherwise(lit(0))
@@ -336,7 +335,7 @@ object Olap2Queries {
     // fact is scanned once, shuffled once.
     QueryDef("q203_large_volume_customer",
       """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM customer, orders, lineitem
         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
         |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
@@ -368,7 +367,7 @@ object Olap2Queries {
     // join; the mixed part×line residual evaluates post-join. No union of
     // three scans — the fact is read once.
     QueryDef("q204_bracket_revenue",
-      s"""SELECT ${sumDSql("l_extendedprice * (1 - l_discount)", "revenue")}
+      s"""SELECT ${sumDSql(revenueDecSql, "revenue")}
          |FROM lineitem, part
          |WHERE p_partkey = l_partkey AND
          | ((p_brand = 'Brand#12' AND p_type = 'SMALL'  AND p_size BETWEEN 1 AND 15
@@ -392,7 +391,7 @@ object Olap2Queries {
         (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30))
       Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_quantity"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .filter(bracket)
         .agg(sumD(col("volume"), "revenue"))

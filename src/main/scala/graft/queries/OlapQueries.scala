@@ -4,7 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.ops.Joins
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.CoreQueries.{sumD, sumDSql, avgD, avgDSql}
+import graft.queries.CoreQueries.{sumD, sumDSql, avgD, avgDSql, revenueDec, revenueDecSql}
 
 /** TPC-H-class multi-join depth (round-11 brief #2): correlated
   * subqueries, EXISTS / NOT EXISTS against self-joined facts, and
@@ -37,7 +37,7 @@ object OlapQueries {
     * scalar-subquery expressions.
     */
   private def avgDExpr(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(25,6))) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -156,7 +156,7 @@ object OlapQueries {
     // of that same narrowed fact, broadcast-joined back. Two fact scans,
     // zero fact shuffles.
     QueryDef("q183_small_qty_revenue",
-      s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+      s"""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) / 7.0
          |    AS avg_yearly
          |FROM lineitem JOIN part ON p_partkey = l_partkey
          |WHERE p_brand = 'Brand#23' AND p_type = 'SMALL'
@@ -231,13 +231,13 @@ object OlapQueries {
     // the SAME decimal aggregate without keys (1 row, broadcast) — NOT a
     // double re-sum of the per-part values, so both engines agree bitwise.
     QueryDef("q185_part_value_having",
-      s"""SELECT l_partkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "value")}
+      s"""SELECT l_partkey, ${sumDSql(revenueDecSql, "value")}
          |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
          |              JOIN nation ON n_nationkey = s_nationkey
          |WHERE n_name IN ('NATION_7','NATION_8')
          |GROUP BY l_partkey
-         |HAVING CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
-         |     > (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS DOUBLE)
+         |HAVING CAST(CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+         |     > (SELECT 0.001 * CAST(CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
          |        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
          |                      JOIN nation ON n_nationkey = s_nationkey
          |        WHERE n_name IN ('NATION_7','NATION_8'))
@@ -249,7 +249,7 @@ object OlapQueries {
         .select(col("s_suppkey"))
       val li = Tables.lineitem(s, dir)
         .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("val0"))
+          revenueDec.as("val0"))
       val narrowed = Joins.lookupJoinMany(li, sup,
         col("l_suppkey") === col("s_suppkey"))
       val v = narrowed.groupBy(col("l_partkey")).agg(sumD(col("val0"), "value"))
@@ -268,7 +268,7 @@ object OlapQueries {
     // equality filter; dimension join broadcasts.
     QueryDef("q186_top_supplier",
       s"""WITH rev AS (
-         |  SELECT l_suppkey, ${sumDSql("l_extendedprice * (1 - l_discount)", "total_revenue")}
+         |  SELECT l_suppkey, ${sumDSql(revenueDecSql, "total_revenue")}
          |  FROM lineitem
          |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
          |    AND l_shipdate <  TIMESTAMP '1998-04-01'
@@ -281,8 +281,7 @@ object OlapQueries {
         .filter(col("l_shipdate") >= ts("1998-01-01") &&
           col("l_shipdate") < ts("1998-04-01"))
         .groupBy(col("l_suppkey"))
-        .agg(sumD(col("l_extendedprice") * (lit(1) - col("l_discount")),
-          "total_revenue"))
+        .agg(sumD(revenueDec, "total_revenue"))
       val mx = rev.agg(max(col("total_revenue")).as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
@@ -353,7 +352,7 @@ object OlapQueries {
       s"""SELECT supp_nation, cust_nation, l_year, ${sumDSql("volume", "revenue")}
          |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |        CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-         |        l_extendedprice * (1 - l_discount) AS volume
+         |        (CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS volume
          |      FROM supplier, lineitem, orders, customer, nation n1, nation n2
          |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
          |        AND c_custkey = o_custkey
@@ -384,7 +383,7 @@ object OlapQueries {
           col("l_shipdate") < ts("1998-01-01"))
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).cast("long").as("l_year"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
@@ -400,10 +399,10 @@ object OlapQueries {
     // numerator over the same rows as the denominator — no second pass.
     QueryDef("q192_market_share",
       """SELECT o_year,
-        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+        |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
         |FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-        |        l_extendedprice * (1 - l_discount) AS volume,
+        |        (CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS volume,
         |        n2.n_name AS supp_nation
         |      FROM lineitem, orders, customer, supplier, nation n1, nation n2
         |      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -429,7 +428,7 @@ object OlapQueries {
         .join(custR, col("o_custkey") === col("c_custkey"), "left_semi")
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+          revenueDec.as("volume"))
         .join(ordR, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"))

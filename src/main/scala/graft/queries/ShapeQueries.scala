@@ -46,7 +46,7 @@ object ShapeQueries {
     QueryDef("q221_child_aggregate",
       """SELECT l_orderkey AS o_orderkey,
         |  CAST(COUNT(*) AS INTEGER) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
         |  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS INTEGER)
         |    AS n_returned
         |FROM lineitem WHERE l_orderkey <= 2000

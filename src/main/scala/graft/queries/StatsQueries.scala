@@ -21,11 +21,11 @@ object StatsQueries {
     QueryDef("q14_stats",
       """WITH m AS (
         |  SELECT COUNT(*) AS n,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) * CAST(o_custkey AS DOUBLE) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |    CAST(SUM(CAST(o_totalprice * CAST(o_custkey AS DOUBLE) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(CAST(o_custkey AS DOUBLE) AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(CAST(o_custkey AS DECIMAL(19,0)) * CAST(o_custkey AS DECIMAL(19,0)) AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_custkey AS DECIMAL(19,0)) AS DECIMAL(30,4))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM orders)
         |SELECT n,
         |  (sxx - sx * sx / n) / n AS var_x,
@@ -36,13 +36,19 @@ object StatsQueries {
         |FROM m""".stripMargin) { (s, dir) =>
       val x = col("o_totalprice")
       val y = col("o_custkey").cast("double")
+      // products are computed in DECIMAL from 2dp-clean / integer factors
+      // (see CoreQueries.dec2 scaladoc): the double-product→decimal cast
+      // tie that diverged Spark and DuckDB at sf1 can't occur, and the
+      // var/corr cancellation below no longer amplifies it
+      val xd = x.cast(DecimalType(12, 2))
+      val yd = col("o_custkey").cast(DecimalType(19, 0))
       val m = Tables.orders(s, dir).agg(
         count(lit(1)).as("n"),
         sum(x.cast(DecimalType(25, 6))).cast("double").as("sx"),
-        sum((x * x).cast(DecimalType(30, 4))).cast("double").as("sxx"),
+        sum((xd * xd).cast(DecimalType(30, 4))).cast("double").as("sxx"),
         sum(y.cast(DecimalType(25, 6))).cast("double").as("sy"),
-        sum((y * y).cast(DecimalType(30, 4))).cast("double").as("syy"),
-        sum((x * y).cast(DecimalType(30, 4))).cast("double").as("sxy"))
+        sum((yd * yd).cast(DecimalType(30, 4))).cast("double").as("syy"),
+        sum((xd * yd).cast(DecimalType(30, 4))).cast("double").as("sxy"))
       val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
       val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
       val varX = (sxx - sx * sx / n) / n

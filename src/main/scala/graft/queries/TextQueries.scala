@@ -187,7 +187,7 @@ object TextQueries {
         |         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))) AS sc
         |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id)
         |  CROSS JOIN stats)
-        |SELECT doc_id, CAST(SUM(CAST(sc AS DECIMAL(25,6))) AS DOUBLE) AS bm25
+        |SELECT doc_id, CAST(CAST(SUM(CAST(sc AS DECIMAL(25,6))) AS VARCHAR) AS DOUBLE) AS bm25
         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin) { (s, dir) =>
       TextOps.bm25(Tables.documents(s, dir), col("doc_id"), col("text"),
           Seq("spark", "hash", "join", "window"))
@@ -484,8 +484,8 @@ object TextQueries {
         |vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
         |tot AS (SELECT SUM(c) AS tt, COUNT(*) AS v FROM vocab)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |  round(CAST(SUM(CAST(-ln((c + 1.0) / (tt + v)) AS DECIMAL(25,15)))
-        |      AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+        |  round(CAST(CAST(SUM(CAST(-ln((c + 1.0) / (tt + v)) AS DECIMAL(25,15)))
+        |      AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
         |FROM toks JOIN vocab USING (t) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.unigramScore(Tables.documents(s, dir), col("doc_id"),
