@@ -29,6 +29,44 @@ object Bench {
   private val Contrast =
     Set("q92_ann_bucketed", "q94_cosine_dedup", "q93_ann_multitable")
 
+  /** SF-independent calibration basket (r16 verdict #2): three synthetic
+    * probes — codegen CPU, a wide hash shuffle, a range-exchange sort —
+    * sized to ~1 s each on a healthy machine, with NO table inputs so the
+    * same basket is comparable across SFs and rounds. The sweep runs it
+    * timed at start/middle/end and emits every phase plus a normalized
+    * headline (`value_norm = value / calib_total`), so a sweep taken in a
+    * degraded VM window carries its own window evidence instead of reading
+    * as a code regression (r16's committed sweeps landed ~2× vs r15 purely
+    * from kernel-storm windows — adjudicated environmental, but only via
+    * manual counter-experiments). `calib_version` pins the basket
+    * definition: normalized values are only comparable within a version.
+    */
+  private[graft] val CalibVersion = "v1"
+
+  private[graft] def calibBasket(spark: SparkSession): Seq[(String, Double)] = {
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      // pure codegen arithmetic over a range — CPU / JIT / scheduler probe
+      "cpu" -> t {
+        spark.range(192L << 20)
+          .select(sum(hash(col("id")).cast("long"))).collect()
+      },
+      // 64k-key hash aggregate over 16M rows — shuffle write+read probe
+      "shuffle" -> t {
+        spark.range(16L << 20)
+          .groupBy(pmod(hash(col("id")), lit(1 << 16)).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .select(sum(col("c"))).collect()
+      },
+      // global sort of 16M hashed longs — range exchange + spill-path probe
+      "sort" -> t {
+        spark.range(16L << 20).select(hash(col("id")).as("h"))
+          .orderBy(col("h")).select(sum(col("h"))).collect()
+      })
+  }
+
   private def newSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +125,19 @@ object Bench {
     */
   private[graft] def renderLine(
       results: Seq[(String, Double, Double, Option[String])],
-      repeat: Int, sfDir: String): String = {
+      repeat: Int, sfDir: String): String =
+    renderLine(results, repeat, sfDir, Nil)
+
+  /** `calib`: (phase → basket times) from start/middle/end of the sweep.
+    * `calib_total` is the MEDIAN of the phase sums (one storm-hit phase
+    * doesn't poison the estimator), and `value_norm = value/calib_total`
+    * is the cross-round comparable headline — raw totals are only
+    * comparable between equally-healthy windows (README "benchmarks").
+    */
+  private[graft] def renderLine(
+      results: Seq[(String, Double, Double, Option[String])],
+      repeat: Int, sfDir: String,
+      calib: Seq[(String, Seq[(String, Double)])]): String = {
     def d3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _, _) => s""""$k":${d3(v)}""" }
@@ -109,7 +159,17 @@ object Bench {
     val total = main.map(_._2).sum
     val cTotal = contrast.map(_._2).sum
     val medTotal = main.map(_._3).sum
-    s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"error_count":$errCount,"errors":$errs,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+    val calibJson = calib.map { case (phase, times) =>
+      s""""$phase":${times.map { case (k, v) => s""""$k":${d3(v)}""" }
+        .mkString("{", ",", "}")}"""
+    }.mkString("{", ",", "}")
+    val phaseSums = calib.map(_._2.map(_._2).sum).sorted
+    val calibTotal =
+      if (phaseSums.isEmpty) 0.0
+      else if (phaseSums.size % 2 == 1) phaseSums(phaseSums.size / 2)
+      else (phaseSums(phaseSums.size / 2 - 1) + phaseSums(phaseSums.size / 2)) / 2.0
+    val norm = if (calibTotal > 0) total / calibTotal else 0.0
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"calib":$calibJson,"calib_total":${d3(calibTotal)},"value_norm":${d3(norm)},"calib_version":"$CalibVersion","error_count":$errCount,"errors":$errs,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
   }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
@@ -134,6 +194,26 @@ object Bench {
     val repeat = args.headOption.orElse(sys.env.get("SPARK_GRAFT_REPEAT"))
       .map(_.toInt).getOrElse(2).max(1)
     val spark = newSession(cpus)
+
+    // window-probe mode: run ONLY the calibration basket (one untimed JIT
+    // pass + N timed) and print its JSON — tools/bench_sweep.sh gates sweep
+    // launches on this reading vs the session floor, so headline artifacts
+    // are only committed from representative windows (r16 verdict #1)
+    if (sys.env.get("SPARK_GRAFT_CALIB_ONLY").exists(_ == "1")) {
+      calibBasket(spark) // untimed: JIT + codegen
+      val n = sys.env.get("SPARK_GRAFT_CALIB_RUNS").map(_.toInt).getOrElse(2)
+      val runs = (1 to n).map(i => s"run$i" -> calibBasket(spark))
+      def d3(v: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val best = runs.map(_._2.map(_._2).sum).min
+      println(s"""{"metric":"calib","calib_version":"$CalibVersion","best_total":${d3(best)},"runs":${
+        runs.map { case (k, ts) => s""""$k":${ts.map { case (p, v) =>
+          s""""$p":${d3(v)}""" }.mkString("{", ",", "}")}""" }
+          .mkString("{", ",", "}")}}""")
+      spark.stop()
+      return
+    }
+
     warmup(spark, sfDir)
 
     // One session for the whole run (restarting contexts or clearing the
@@ -163,7 +243,22 @@ object Bench {
       .getOrElse(Set.empty[String])
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip(n) }
-    val results = names.map { case (name, fn) =>
+    // calibration basket: one untimed JIT pass, then timed at start /
+    // after half the queries / at the end — the sweep's own window record
+    calibBasket(spark)
+    def calibPhase(phase: String): (String, Seq[(String, Double)]) = {
+      val ts = calibBasket(spark)
+      System.err.println(f"[bench] calib/$phase%-17s total=${ts.map(_._2).sum}%8.2f s  ${ts.map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")}")
+      phase -> ts
+    }
+    val calibStart = calibPhase("start")
+    // the mid basket runs INTERLEAVED, after the first half of the queries
+    // — a storm that arrives mid-sweep shows up as start≈end≪mid or
+    // start≪mid≈end in the committed artifact, not as a mystery 2× total
+    val half = math.max(1, names.size / 2)
+    var calibMid: Option[(String, Seq[(String, Double)])] = None
+    val results = names.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == half && calibMid.isEmpty) calibMid = Some(calibPhase("mid"))
       val r = measure(spark, sfDir, name, fn, repeat)
       System.err.println(f"[bench] $name%-24s min=${r._2}%8.2f s med=${r._3}%8.2f s${r._4.fold("")(e => s"  ERROR=$e")}  codecache=${poolUsage("CodeHeap", "CodeCache") / (1 << 20)}%5d MB  meta=${poolUsage("Metaspace") / (1 << 20)}%5d MB")
       // generated classes are per-query garbage once the query completes;
@@ -173,7 +268,9 @@ object Bench {
       System.gc()
       r
     }
-    val line = renderLine(results, repeat, sfDir)
+    val calibEnd = calibPhase("end")
+    val line = renderLine(results, repeat, sfDir,
+      Seq(calibStart) ++ calibMid.toSeq ++ Seq(calibEnd))
     println(line)
     // ALSO persist the full record: the driver's BENCH_r*.json tail
     // truncates at 2000 chars (r12 verdict "what's wrong" #4), so the

@@ -76,11 +76,19 @@ object Graph {
     * bounded by the partition's node count (≤ 2× its rows ≤
     * maxPartitionBytes-sized), not the graph.
     */
-  private[graft] def localContract(edges: DataFrame): DataFrame = {
+  private[graft] def localContract(edges: DataFrame,
+      rawCount: Option[org.apache.spark.util.LongAccumulator] = None,
+      outCount: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("u"), col("v")).as[(Long, Long)]
-      .mapPartitions { it =>
+      .mapPartitions { it0 =>
+        // optional pre-contract input / star-forest output row counts,
+        // observed inside the SAME pass (no second evaluation of the
+        // upstream refine) — CcProbe prints the contraction ratio (raw
+        // pairs vs rows entering the first distinct() shuffle) from one run
+        val it = rawCount.fold(it0)(acc => it0.map { e => acc.add(1); e })
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -102,7 +110,9 @@ object Graph {
         val kit = parent.keySet().iterator()
         var i = 0
         while (kit.hasNext) { keys(i) = kit.next(); i += 1 }
-        keys.iterator.map(k => (k, find(k))).filter { case (k, r) => k != r }
+        val out = keys.iterator.map(k => (k, find(k)))
+          .filter { case (k, r) => k != r }
+        outCount.fold(out)(acc => out.map { e => acc.add(1); e })
       }
       .toDF("u", "v")
   }

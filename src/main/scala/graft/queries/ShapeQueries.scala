@@ -204,6 +204,112 @@ object ShapeQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("w.start").as("session_start"), col("n"))
         .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // ---- REGROUP (TAKregroup :982): append grouped datasets with the SAME
+    // group keys, preserving grouping — observable because a grouped
+    // aggregate over the regrouped frame folds rows from BOTH inputs into
+    // one group per key. Oracle: GROUP BY over the union of the two inputs.
+    QueryDef("q229_regroup",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.model.GraftFrame
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val a = GraftFrame(o.filter(col("o_orderstatus") === "F"))
+        .group("o_orderpriority")
+      val b = GraftFrame(o.filter(col("o_orderstatus") === "O"))
+        .group("o_orderpriority")
+      a.regroup(b)
+        .aggregate(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+        .df.orderBy(col("o_orderpriority"))
+    },
+
+    // ---- LIMIT guard (eclhelper.hpp:1448): FAIL (error past n) and SKIP
+    // (empty past n) variants, all four observable paths in one result:
+    // guard-pass (nation ≤ 100), skip-pass (region ≤ 100), skip-exceeded
+    // (customer > 10 → zero rows), guard-exceeded (customer > 10 → the
+    // IllegalStateException is caught and surfaced as a marker row — if the
+    // guard ever stops throwing, the marker disappears and the oracle row
+    // count mismatches).
+    QueryDef("q230_limit_guard",
+      """SELECT 'guard_pass' AS src, CAST(n_nationkey AS BIGINT) AS k,
+        |       n_name AS name FROM nation
+        |UNION ALL
+        |SELECT 'skip_pass', CAST(r_regionkey AS BIGINT), r_name FROM region
+        |UNION ALL
+        |SELECT 'guard_fail', CAST(-1 AS BIGINT), 'caught'
+        |ORDER BY src, k""".stripMargin) { (s, dir) =>
+      import graft.ops.Sorting
+      val guarded = Sorting.limitGuard(Tables.nation(s, dir), 100)
+        .select(lit("guard_pass").as("src"),
+          col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
+      val skipPass = Sorting.limitSkip(Tables.region(s, dir), 100)
+        .select(lit("skip_pass").as("src"),
+          col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
+      val skipOut = Sorting.limitSkip(Tables.customer(s, dir), 10)
+        .select(lit("skip_exceeded").as("src"),
+          col("c_custkey").cast("long").as("k"), col("c_name").as("name"))
+      val failMarker =
+        try {
+          Sorting.limitGuard(Tables.customer(s, dir), 10)
+          // wrong path: the guard should have thrown — contribute nothing,
+          // so the oracle's one guard_fail row reads as a red mismatch
+          s.range(0).select(lit("guard_missed").as("src"),
+            lit(-2L).as("k"), lit("x").as("name"))
+        } catch { case _: IllegalStateException =>
+          s.range(1).select(lit("guard_fail").as("src"),
+            lit(-1L).as("k"), lit("caught").as("name"))
+        }
+      guarded.unionByName(skipPass).unionByName(skipOut)
+        .unionByName(failMarker).orderBy(col("src"), col("k"))
+    },
+
+    // ---- NWAYDISTRIBUTE (TAKnwaydistribute :1086): predicate-routed
+    // distribution with an exact partitioner. The oracle recomputes the
+    // routing function in SQL and compares against the partition each row
+    // ACTUALLY landed in (spark_partition_id over the routed RDD) — routing
+    // is verified row-by-row, replicate-all as the nation × partitions
+    // cross product.
+    QueryDef("q231_nway_distribute",
+      """SELECT 'route' AS mode, n_nationkey AS key,
+        |       CAST(n_regionkey % 4 AS INTEGER) AS part FROM nation
+        |UNION ALL
+        |SELECT 'replicate', n_nationkey, CAST(p.part AS INTEGER)
+        |FROM nation CROSS JOIN (VALUES (0),(1),(2),(3)) p(part)
+        |ORDER BY mode, key, part""".stripMargin) { (s, dir) =>
+      val nation = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val routed = Distribute.nwayRouted(nation, col("n_regionkey"), 4)
+        .select(lit("route").as("mode"), col("n_nationkey").as("key"),
+          spark_partition_id().as("part"))
+      val repl = Distribute.nwayRouted(nation, col("n_regionkey"), 4,
+          replicateAll = true)
+        .select(lit("replicate").as("mode"), col("n_nationkey").as("key"),
+          spark_partition_id().as("part"))
+      routed.unionByName(repl)
+        .orderBy(col("mode"), col("key"), col("part"))
+    },
+
+    // ---- APPLY (TAKapply :904): per-row side effect. The effect is made
+    // oracle-checkable through order-independent accumulators (count + key
+    // sum — commutative, so distributed visit order can't flake the gate):
+    // apply_ must visit every row exactly once for the read-back row to
+    // match SELECT count(*), sum(s_suppkey).
+    QueryDef("q232_apply",
+      """SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |       CAST(sum(s_suppkey) AS BIGINT) AS key_sum
+        |FROM supplier""".stripMargin) { (s, dir) =>
+      import graft.model.GraftFrame
+      val cnt = s.sparkContext.longAccumulator("apply_cnt")
+      val keySum = s.sparkContext.longAccumulator("apply_sum")
+      val sup = Tables.supplier(s, dir).select(col("s_suppkey").cast("long"))
+      GraftFrame(sup).apply_ { r => cnt.add(1); keySum.add(r.getLong(0)) }
+      s.range(1).select(lit(cnt.value.longValue).as("cnt"),
+        lit(keySum.value.longValue).as("key_sum"))
     }
   )
 }

@@ -147,6 +147,12 @@ final class Published(spark: SparkSession) {
     */
   def cacheStats: (Long, Long) = (cacheHitCount.get(), cacheMissCount.get())
 
+  /** Number of evaluations currently in flight (Roxie publishes the same
+    * active-query gauge); also lets specs synchronize on "the winner has
+    * registered" instead of sleeping a guessed interval.
+    */
+  def inFlightCount: Int = inFlight.size()
+
   /** Requests that joined an identical in-flight evaluation instead of
     * running their own (Roxie evaluates identical concurrent queries once).
     */
@@ -207,6 +213,32 @@ final class Published(spark: SparkSession) {
   def withRequestTimeout(ms: Long): this.type = {
     requestTimeoutMs = ms
     this
+  }
+
+  // ---- data-version pinning (r16 verdict #6) --------------------------
+  // Roxie pins a query's data at load and switches on an explicit reload
+  // (roxie/ccd/ccdlistener.cpp control messages). The Spark analog offers
+  // both halves: (a) a data-version supplier folded into the cache key —
+  // wire it to FileCatalog.dataVersion and a promote/superfile swap
+  // mid-TTL changes the key, so the next request re-evaluates against the
+  // new generation instead of serving stale rows until the TTL runs out;
+  // (b) an explicit /control/reload endpoint that drops every cached
+  // response (the ccdlistener "reload" analog) for deployments without a
+  // catalog to key on. The supplier runs once per request — keep it cheap
+  // (FileCatalog's manifest chainInfo is cached between commits).
+  @volatile private var dataVersion: () => String = () => ""
+
+  /** Fold a data-version reading into every cache key. */
+  def withDataVersion(f: () => String): this.type = {
+    dataVersion = f
+    this
+  }
+
+  /** Explicit full-cache drop (the Roxie control:reload analog). Returns
+    * the number of entries dropped.
+    */
+  def reload(): Int = cache.synchronized {
+    val n = cache.size(); cache.clear(); n
   }
 
   private def cacheGet(key: String): Option[(Int, String, String)] =
@@ -405,6 +437,9 @@ final class Published(spark: SparkSession) {
     srv.createContext("/queries",
       (ex: com.sun.net.httpserver.HttpExchange) =>
         respond(ex, 200, list.map(jsonStr).mkString("[", ",", "]")))
+    srv.createContext("/control/reload",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 200, s"""{"reloaded":true,"cleared":${reload()}}"""))
     srv.createContext("/query/",
       (ex: com.sun.net.httpserver.HttpExchange) => {
         val name = ex.getRequestURI.getPath.stripPrefix("/query/")
@@ -440,7 +475,7 @@ final class Published(spark: SparkSession) {
         // cache key: name + format + sorted params (the space separator
         // cannot occur in a query name path segment)
         val cacheKey = s"$name ${if (wantXml) "x" else "j"}:$soapIn " +
-          params.toSeq.sorted.mkString("&")
+          s"dv:${dataVersion()} " + params.toSeq.sorted.mkString("&")
         // full evaluation + rendering as a (code, body, contentType)
         // triple — never throws (errors render as 404/500/timeout
         // envelopes), so an in-flight future built on it always completes

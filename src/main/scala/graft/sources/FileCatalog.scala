@@ -254,6 +254,15 @@ final class FileCatalog(spark: SparkSession, root: String) {
 
   private def load(): State = manifest.load()
 
+  /** Monotone data-version reading: the manifest's newest committed
+    * sequence. Every catalog mutation (promote, superfile swap, delete,
+    * spray registration) commits through [[LogManifest]], so folding this
+    * into a serving-layer cache key (`Published.withDataVersion`) makes a
+    * mid-TTL promote visible to the NEXT request instead of after the TTL.
+    * Cheap between commits: chainInfo reads the manifest's advance cache.
+    */
+  def dataVersion: Long = manifest.chainInfo()._1
+
   private def commit(ops: State => Seq[CatOp]): Unit = { manifest.commit(ops); () }
 
   private def checkName(n: String): String = {

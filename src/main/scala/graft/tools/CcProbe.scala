@@ -27,8 +27,11 @@ import org.apache.spark.storage.StorageLevel
   * `runMain graft.tools.CcProbe [heap|ser|disk] [contract|plain]` against
   * `SPARK_GRAFT_SF_DIR` (plain-java launch for big SFs — pick -Xmx per
   * run). `contract` (r16 default) applies Graph.localContract before the
-  * initial distinct — the probe prints raw-pair vs contracted edge counts
-  * so the pre-pass's shuffle saving is directly visible.
+  * initial distinct; an accumulator inside the contraction pass counts the
+  * raw oriented pairs (no extra job), so ONE contract run prints raw vs
+  * contracted vs post-distinct edge counts — the pre-pass's shuffle saving
+  * is visible without a paired plain run. Wall-clock A/B still needs a
+  * plain run: the per-stage and per-round timing lines are the comparison.
   */
 object CcProbe {
   def main(args: Array[String]): Unit = {
@@ -84,14 +87,26 @@ object CcProbe {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+    val rawPairs =
+      if (contract) Some(spark.sparkContext.longAccumulator("cc_raw_pairs"))
+      else None
+    val starRows =
+      if (contract) Some(spark.sparkContext.longAccumulator("cc_star_rows"))
+      else None
     val (e0, _) = timed(if (contract)
         "stage 4: jaccard refine + localContract (bucket-local fused)"
       else "stage 4: jaccard refine (bucket-local fused)")(
       checkpointEager(
-        (if (contract) graft.ops.Graph.localContract(oriented) else oriented)
+        (if (contract)
+           graft.ops.Graph.localContract(oriented, rawPairs, starRows)
+         else oriented)
           .distinct(), ckLevel))
     var e = e0
     var (eCount, _) = timed("edge count")(e.df.count())
+    for (raw <- rawPairs; st <- starRows) println(
+      f"[cc] pre-contract oriented pairs: ${raw.value} -> star-forest rows " +
+        f"entering distinct(): ${st.value} " +
+        f"(first-shuffle contraction ${raw.value.toDouble / math.max(1L, st.value.toLong)}%.2fx)")
     println(s"[cc] initial edges: $eCount")
     var converged = false
     var rounds = 0

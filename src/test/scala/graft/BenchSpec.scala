@@ -39,4 +39,33 @@ class BenchSpec extends SparkSpec {
     assert(line.contains(""""error_count":0"""), line)
     assert(line.contains(""""errors":{}"""), line)
   }
+
+  // r16 verdict #2: the artifact must be noise-immune by construction —
+  // the calibration basket's start/mid/end phases and the normalized
+  // headline (value / median phase sum) ride in the JSON itself, so a
+  // sweep taken in a degraded window carries its own window evidence
+  test("calibration phases render and value_norm = value/median(calib)") {
+    val good = Bench.measure(spark, sf, "q_good", ok, 1)
+    val calib = Seq(
+      "start" -> Seq("cpu" -> 1.0, "shuffle" -> 1.0, "sort" -> 1.0), // 3.0
+      "mid" -> Seq("cpu" -> 2.0, "shuffle" -> 2.0, "sort" -> 2.0),   // 6.0
+      "end" -> Seq("cpu" -> 1.0, "shuffle" -> 1.5, "sort" -> 1.5))   // 4.0
+    val line = Bench.renderLine(Seq(good), 1, sf, calib)
+    assert(line.contains(""""calib_total":4.000"""), line)
+    assert(line.contains(""""calib_version":"v1""""), line)
+    assert(line.contains(""""start":{"cpu":1.000,"shuffle":1.000,"sort":1.000}"""), line)
+    val norm = """"value_norm":([0-9.]+)""".r
+      .findFirstMatchIn(line).get.group(1).toDouble
+    assert(math.abs(norm - good._2 / 4.0) < 0.002, line)
+    // without calib phases the normalized fields degrade to zero, never NaN
+    val bare = Bench.renderLine(Seq(good), 1, sf)
+    assert(bare.contains(""""calib_total":0.000"""), bare)
+    assert(bare.contains(""""value_norm":0.000"""), bare)
+  }
+
+  test("the basket itself runs: three positive SF-independent phases") {
+    val ts = Bench.calibBasket(spark)
+    assert(ts.map(_._1) == Seq("cpu", "shuffle", "sort"))
+    assert(ts.forall(_._2 > 0), ts.toString)
+  }
 }

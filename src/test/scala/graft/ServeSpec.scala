@@ -402,6 +402,49 @@ class ServeSpec extends SparkSpec {
     } finally pub.stopServing()
   }
 
+  // r16 verdict #6: the response cache keyed on name+params+TTL alone
+  // serves stale rows after a catalog promote until the TTL expires, and
+  // nothing pins a served query to a data version. Roxie pins data at
+  // query load and switches on explicit reload; the Spark analog folds the
+  // catalog's manifest sequence into the cache key (promote → next request
+  // re-evaluates) and adds /control/reload for the explicit-drop posture.
+  test("data-version keying: a catalog promote mid-TTL reaches the NEXT " +
+      "request; /control/reload drops the cache explicitly") {
+    val cat = new graft.sources.FileCatalog(spark,
+      s"target/graft_io/serve_dv-${System.nanoTime()}")
+    cat.write("gen::one", Seq("v1").toDF("r"))
+    cat.write("gen::two", Seq("v2").toDF("r"))
+    cat.createSuperFile("live")
+    cat.addSuperFile("live", "gen::one")
+    val pub = new Published(spark)
+    val evals = new java.util.concurrent.atomic.AtomicInteger(0)
+    pub.publish("live_rows") { (_, _) =>
+      evals.incrementAndGet(); cat.readSuper("live")
+    }
+    pub.withDataVersion(() => cat.dataVersion.toString)
+    val port = pub.serve(0, 100, cacheTtlMs = 600000)
+    def get(path: String): String = {
+      val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
+    }
+    try {
+      assert(get("/query/live_rows").contains("v1") && evals.get() == 1)
+      assert(get("/query/live_rows").contains("v1") && evals.get() == 1) // hit
+      // the promote: generation swap, two manifest commits → version bump
+      cat.removeSuperFile("live", "gen::one")
+      cat.addSuperFile("live", "gen::two")
+      // mid-TTL: the new data version changes the key → fresh evaluation
+      assert(get("/query/live_rows").contains("v2") && evals.get() == 2)
+      assert(get("/query/live_rows").contains("v2") && evals.get() == 2) // re-cached
+      // explicit reload drops every cached response at an UNCHANGED version
+      assert(get("/control/reload").contains("\"reloaded\":true"))
+      assert(get("/query/live_rows").contains("v2") && evals.get() == 3)
+    } finally pub.stopServing()
+  }
+
   test("serve survives 16+ concurrent clients: isolated responses, " +
       "exact cache-hit accounting (roxie ccdlistener thread-pool posture)") {
     val pub = new Published(spark)
@@ -886,7 +929,14 @@ class ServeSpec extends SparkSpec {
       val winner = pool.submit(new java.util.concurrent.Callable[Int] {
         def call(): Int = doCall()
       })
-      Thread.sleep(400) // let the winner register as in-flight
+      // wait until the winner has actually REGISTERED as in-flight — a
+      // fixed sleep is load-sensitive (a cold-JIT run can take >400 ms to
+      // reach putIfAbsent, turning the waiter into its own evaluation and
+      // flaking collapsedTimeoutStats)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (pub.inFlightCount == 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(pub.inFlightCount == 1, "winner never registered in-flight")
       val t0 = System.nanoTime()
       val waiter = pool.submit(new java.util.concurrent.Callable[Int] {
         def call(): Int = doCall()

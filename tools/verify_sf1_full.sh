@@ -42,10 +42,17 @@ declare -A RESULT
 PASS_N=0; FAIL_N=0; ERR_N=0
 for q in $QUERIES; do
   if [ "$q" = "q228_curation_dedup_pipeline" ]; then
-    if DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
-        python3 tools/oracle_q228.py "$SF1" "$OUT" /tmp/q228_oracle_sf1; then
-      RESULT[$q]=PASS; PASS_N=$((PASS_N+1))
-    else RESULT[$q]=FAIL; FAIL_N=$((FAIL_N+1)); fi
+    # same FAIL/ERR distinction as the compare.py branch: rc=0 → PASS; a
+    # printed FAIL marker → FAIL (a real value mismatch); anything else
+    # (timeout 124, a crash inside the staged oracle) → ERR, so automation
+    # can tell "wrong answer" from "oracle infrastructure problem"
+    out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+      python3 tools/oracle_q228.py "$SF1" "$OUT" /tmp/q228_oracle_sf1 2>&1)
+    rc=$?
+    echo "$out" | grep -E "^(PASS|FAIL)" | head -2
+    if [ $rc -eq 0 ]; then RESULT[$q]=PASS; PASS_N=$((PASS_N+1))
+    elif echo "$out" | grep -q "^FAIL"; then RESULT[$q]=FAIL; FAIL_N=$((FAIL_N+1))
+    else RESULT[$q]=ERR; ERR_N=$((ERR_N+1)); fi
   else
     out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
       python3 tools/compare.py "$SF1" "$OUT" "$q" 2>&1)
@@ -68,3 +75,5 @@ done
   echo '}}'
 } > "$REPO/VERIFY_sf1_full.json"
 echo "[verify_sf1_full] wrote VERIFY_sf1_full.json: $PASS_N pass, $FAIL_N fail, $ERR_N err"
+# gateable exit status: any FAIL or ERR is a red sweep
+[ $((FAIL_N + ERR_N)) -eq 0 ] || exit 1
