@@ -120,6 +120,27 @@ object PlanDump {
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
       sb.append("```\n")
     }
+    // r16: the contraction pre-pass ahead of the first distinct() — the
+    // mapPartitions union-find must sit BELOW the first Exchange with an
+    // exchange-free subtree (PlanAuditSpec pins the same shape; this is
+    // the committed plan evidence the r16 verdict asked for).
+    sb.append("\n## q99_dedup_components — localContract pre-pass: zero-shuffle mapPartitions feeding the first distinct() exchange\n\n")
+    sb.append("`Graph.localContract` replaces each partition's raw candidate-pair\n")
+    sb.append("stream with its local star forest BEFORE the initial distinct():\n")
+    sb.append("the MapPartitions node sits directly on the scan-side plan with no\n")
+    sb.append("Exchange below it — the first shuffle the edges ever cross is the\n")
+    sb.append("distinct()'s, and it carries the contracted rows (sf1: 2.2x fewer).\n\n```\n")
+    // no limit(): its single-partition exchange would sit below the
+    // MapPartitions and the tiny input would let distinct() skip its own
+    // exchange — the raw scan keeps the plan the honest production shape
+    val rawEdges = Tables.documents(spark, dir)
+      .select(col("doc_id").as("a"), (col("doc_id") % 7).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+    sb.append(graft.ops.Graph.localContract(rawEdges).distinct()
+      .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    sb.append("```\n")
     // q99 is iterative (one plan per star round) — show one round's plan
     // instead of the trivial final label join.
     sb.append("\n## q99_dedup_components — one large-star round: two hash exchanges, no cartesian\n\n")
