@@ -41,7 +41,7 @@ object Bench {
     * manual counter-experiments). `calib_version` pins the basket
     * definition: normalized values are only comparable within a version.
     */
-  private[graft] val CalibVersion = "v1"
+  private[graft] val CalibVersion = "v2"
 
   private[graft] def calibBasket(spark: SparkSession): Seq[(String, Double)] = {
     def t(f: => Unit): Double = {
@@ -50,20 +50,55 @@ object Bench {
     Seq(
       // pure codegen arithmetic over a range — CPU / JIT / scheduler probe
       "cpu" -> t {
-        spark.range(192L << 20)
+        spark.range(768L << 20)
           .select(sum(hash(col("id")).cast("long"))).collect()
       },
-      // 64k-key hash aggregate over 16M rows — shuffle write+read probe
+      // 64k-key hash aggregate over 48M rows — shuffle write+read probe
       "shuffle" -> t {
-        spark.range(16L << 20)
+        spark.range(48L << 20)
           .groupBy(pmod(hash(col("id")), lit(1 << 16)).as("k"))
           .agg(count(lit(1)).as("c"))
           .select(sum(col("c"))).collect()
       },
-      // global sort of 16M hashed longs — range exchange + spill-path probe
+      // global sort of 64M hashed longs — range exchange + spill-path probe
       "sort" -> t {
-        spark.range(16L << 20).select(hash(col("id")).as("h"))
+        spark.range(64L << 20).select(hash(col("id")).as("h"))
           .orderBy(col("h")).select(sum(col("h"))).collect()
+      },
+      // buffered 256 MB file write + fsync + read-back (v2): the r17 sf0.1
+      // sweep found the VM's I/O path degrades INDEPENDENTLY of CPU —
+      // compute queries at 0.94-0.97x parity with r15 while spray/copy/
+      // blob queries inflated 4-7x on an idle-CPU machine (fsync'd writes
+      // measured 53 MB/s vs ~300 healthy). A CPU-only basket reads such a
+      // window as clean; this phase makes I/O weather visible in the
+      // artifact itself.
+      "io" -> t {
+        val p = java.nio.file.Paths.get("target/calib_io.tmp")
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(4 << 20)
+          var i = 0
+          while (i < 64) { // 64 x 4 MB = 256 MB
+            buf.clear()
+            while (buf.hasRemaining) buf.putLong(i.toLong * buf.position())
+            buf.flip()
+            while (buf.hasRemaining) ch.write(buf)
+            i += 1
+          }
+          ch.force(false)
+        } finally ch.close()
+        val in = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(4 << 20)
+          var n = 0
+          while ({ buf.clear(); n = in.read(buf); n > 0 }) ()
+        } finally in.close()
+        java.nio.file.Files.deleteIfExists(p)
+        ()
       })
   }
 

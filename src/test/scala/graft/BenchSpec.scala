@@ -52,7 +52,7 @@ class BenchSpec extends SparkSpec {
       "end" -> Seq("cpu" -> 1.0, "shuffle" -> 1.5, "sort" -> 1.5))   // 4.0
     val line = Bench.renderLine(Seq(good), 1, sf, calib)
     assert(line.contains(""""calib_total":4.000"""), line)
-    assert(line.contains(""""calib_version":"v1""""), line)
+    assert(line.contains(s""""calib_version":"${Bench.CalibVersion}""""), line)
     assert(line.contains(""""start":{"cpu":1.000,"shuffle":1.000,"sort":1.000}"""), line)
     val norm = """"value_norm":([0-9.]+)""".r
       .findFirstMatchIn(line).get.group(1).toDouble
@@ -63,9 +63,12 @@ class BenchSpec extends SparkSpec {
     assert(bare.contains(""""value_norm":0.000"""), bare)
   }
 
-  test("the basket itself runs: three positive SF-independent phases") {
+  test("the basket itself runs: four positive SF-independent phases") {
     val ts = Bench.calibBasket(spark)
-    assert(ts.map(_._1) == Seq("cpu", "shuffle", "sort"))
+    assert(ts.map(_._1) == Seq("cpu", "shuffle", "sort", "io"))
     assert(ts.forall(_._2 > 0), ts.toString)
+    // the io probe cleans up after itself
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get("target/calib_io.tmp")))
   }
 }
