@@ -65,7 +65,7 @@ object PlanDump {
       "q180_exists_priority" ->
         "TPC-H Q4 shape: EXISTS lowered to LEFT SEMI on the correlation key (inequality as residual), no distinct/count",
       "q181_late_supplier" ->
-        "TPC-H Q21 shape: l2/l3 EXISTS folded into ONE order-level aggregate over the fact⨝orders join key; region dims broadcast; no second fact-fact join",
+        "TPC-H Q21 shape: l2/l3 EXISTS folded into a (order,supplier) pair pre-agg + ONE window over the orderkey (no countDistinct Expand, no fact-fact re-join); region dims broadcast",
       "q182_idle_customers" ->
         "TPC-H Q22 shape: 1-row scalar broadcast-crossed + LEFT ANTI against the date-pruned fact (filter pushed to orders scan)",
       "q183_small_qty_revenue" ->

@@ -802,7 +802,7 @@ class PlanAuditSpec extends SparkSpec {
   test("sf1 cliff: q180/q181/q191/q192/q196 transition to SMJ, never to a " +
       "nested-loop or cartesian plan") {
     assume(sf1Available, s"$sf1Dir not generated (run graft.tools.ScaleUp)")
-    val cliff = Seq("q180_exists_priority", "q181_late_supplier",
+    val cliff = Seq("q180_exists_priority",
       "q191_nation_volume", "q192_market_share",
       "q196_local_supplier_volume")
     cliff.foreach { name =>
@@ -813,6 +813,23 @@ class PlanAuditSpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoop"),
         s"$name: cliff degenerated to a product plan:\n$plan")
     }
+    // q181's pair-level pre-agg prunes the orders side to two columns, so
+    // its NATURAL cliff moved past sf1 (the filtered side broadcasts there
+    // — the right plan when it fits; probe-observed SMJ at sf10). Certify
+    // the cliff CONTRACT directly: with auto-broadcast off, the fact join
+    // must be SMJ, never a product — while the explicit broadcast() hint
+    // on the dim side still broadcasts (hints ignore the threshold).
+    val noAuto = spark.newSession()
+    noAuto.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan181 = executed(
+      graft.SparkEntry.queries("q181_late_supplier")(noAuto, sf1Dir))
+    assert(plan181.contains("SortMergeJoin"),
+      s"q181: with broadcast off the fact join must SMJ:\n$plan181")
+    assert(plan181.contains("BroadcastHashJoin"),
+      s"q181: the broadcast() hint on the dim side must survive:\n$plan181")
+    assert(!plan181.contains("CartesianProduct") &&
+      !plan181.contains("BroadcastNestedLoop"),
+      s"q181: cliff degenerated to a product plan:\n$plan181")
   }
 
   test("jaccardSets: array_sort is evaluated per DOC below the pair joins " +
