@@ -295,6 +295,41 @@ object IoQueries {
         .orderBy(col("nk"))
     },
 
+    // ---- EMBED(python) — streamed row transform through a per-partition
+    // python3 worker (plugins/py3embed; IEmbedFunctionContext
+    // rtl/eclrtl/eclrtl.hpp:864). The transform exercises all three embed
+    // behaviors: computed numeric, string manipulation, and the None→SKIP
+    // drop path; the oracle recomputes the identical transform in SQL, so
+    // a row lost/duplicated/mangled at the process boundary hash-fails.
+    QueryDef("q233_embed_python",
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |       CAST(o_orderkey % 7 AS BIGINT) AS bucket7,
+        |       upper(trim(substr(o_orderpriority, 3))) AS pri,
+        |       CAST(length(o_orderpriority) AS BIGINT) AS plen
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |ORDER BY okey""".stripMargin) { (s, dir) =>
+      // manual column pruning: projection cannot push through a process
+      // boundary, so only the columns the transform reads cross the pipe
+      val in = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.functions.Embed.python(in,
+        """|def transform(row):
+           |    k = row["o_orderkey"]
+           |    if k % 3 == 0:
+           |        return None
+           |    return {"okey": k,
+           |            "bucket7": k % 7,
+           |            "pri": row["o_orderpriority"][2:].strip().upper(),
+           |            "plen": len(row["o_orderpriority"])}""",
+        StructType(Seq(
+          StructField("okey", LongType),
+          StructField("bucket7", LongType),
+          StructField("pri", StringType),
+          StructField("plen", LongType))))
+        .select(col("okey"), col("bucket7"), col("pri"), col("plen"))
+        .orderBy(col("okey"))
+    },
+
     // ---- workunit result write + read (named view) -----------------------
     QueryDef("q120_workunit",
       s"""SELECT o_orderpriority, ${sumDSql("o_totalprice", "sum_price")}

@@ -110,16 +110,24 @@ object OlapQueries {
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"), col("late"))
-      // pair-level pre-agg: one shuffle of the joined fact, output is one
-      // row per (order, supplier) carrying its late line count
+      // pair-level pre-agg shrinks the joined fact to one row per
+      // (order, supplier) carrying its late line count. Two fact-side
+      // exchanges remain — hash(l_orderkey, l_suppkey) for the pre-agg,
+      // then hash(l_orderkey) for the window — but the second re-shuffles
+      // only the reduced pair frame, a small fraction of the line-level
+      // bytes the previous countDistinct lowering moved twice.
       val pair = ol.groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(count(when(col("late"), 1)).as("late_lines"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("l_orderkey"))
+      // both window aggregates in ONE projection so CollapseWindow keeps
+      // them in a single Window node (interleaved Projects would split it
+      // into two passes over the pair rows)
       pair
-        .withColumn("n_supps", count(lit(1)).over(w))
-        .withColumn("n_late",
-          sum(when(col("late_lines") > 0, 1).otherwise(0)).over(w))
+        .select(col("l_suppkey"), col("late_lines"),
+          count(lit(1)).over(w).as("n_supps"),
+          sum(when(col("late_lines") > 0, 1).otherwise(0)).over(w)
+            .as("n_late"))
         .filter(col("late_lines") > 0 &&
           col("n_supps") >= 2 && col("n_late") === 1)
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))

@@ -813,9 +813,11 @@ class PlanAuditSpec extends SparkSpec {
         !plan.contains("BroadcastNestedLoop"),
         s"$name: cliff degenerated to a product plan:\n$plan")
     }
-    // q181's pair-level pre-agg prunes the orders side to two columns, so
-    // its NATURAL cliff moved past sf1 (the filtered side broadcasts there
-    // — the right plan when it fits; probe-observed SMJ at sf10). Certify
+    // q181's re-lowering removed the line-level stats re-join against the
+    // fact, leaving only the fact-orders join — whose filtered orders side
+    // (already pruned to o_orderkey/o_orderdate) fits the broadcast
+    // threshold at sf1, so the NATURAL cliff moved past sf1 (the right
+    // plan when it fits; probe-observed SMJ at sf10). Certify
     // the cliff CONTRACT directly: with auto-broadcast off, the fact join
     // must be SMJ, never a product — while the explicit broadcast() hint
     // on the dim side still broadcasts (hints ignore the threshold).
