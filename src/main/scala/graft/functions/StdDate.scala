@@ -460,4 +460,214 @@ object StdDate {
   // ---- current date (Date.ecl:1279-1289) ----------------------------------
 
   def currentDate(): Column = toDateT(current_date())
+
+  // ---- r18 parity audit: the remaining Date.ecl exports --------------------
+
+  /** Today (Date.ecl:1289). */
+  def today(): Column = currentDate()
+
+  /** CurrentTime (Date.ecl:1300 region): Time_t of now. Sessions pin UTC;
+    * the reference's in_local_time flag is the session timezone here.
+    */
+  def currentTime(): Column = EclFunctions.toTimeT(current_timestamp())
+
+  /** CurrentSeconds (Date.ecl:1315): unix seconds of now. */
+  def currentSeconds(): Column = unix_timestamp(current_timestamp())
+
+  /** CurrentTimestamp: microseconds since epoch. */
+  def currentTimestampT(): Column = unix_micros(current_timestamp())
+
+  /** AdjustSeconds (Date.ecl:1046, TimeLib.AdjustSeconds): calendar deltas
+    * via mktime-style normalization (Jan 31 + 1 month = Mar 2/3), the same
+    * rule as [[adjustDate]]; clock deltas are exact seconds. Normalization
+    * falls out of make_date(y, m, 1) + (day-1) day arithmetic, all
+    * codegen'd.
+    */
+  def adjustSeconds(seconds: Column,
+      yearDelta: Column = lit(0), monthDelta: Column = lit(0),
+      dayDelta: Column = lit(0), hourDelta: Column = lit(0),
+      minuteDelta: Column = lit(0), secondDelta: Column = lit(0)): Column = {
+    val ts = from_utc_timestamp(timestamp_seconds(seconds), "UTC")
+    val mi = (year(ts) * 12 + month(ts) - 1) + yearDelta * 12 + monthDelta
+    val ny = floor(mi / 12).cast("int")
+    val nm = (pmod(mi, lit(12)) + 1).cast("int")
+    val newDate = date_add(make_date(ny, nm, lit(1)),
+      (dayofmonth(ts) - 1 + dayDelta).cast("int"))
+    (unix_date(newDate).cast("long") * 86400
+      + hour(ts) * 3600 + minute(ts) * 60 + second(ts)
+      + hourDelta * 3600 + minuteDelta * 60 + secondDelta).cast("long")
+  }
+
+  // ---- record (struct) constructors and accessors (Date.ecl:566-619,
+  // 1524-1560). ECL's Date_rec/Time_rec/DateTime_rec are nested RECORDs;
+  // the Spark analog is a StructType column with the same field names. ----
+
+  /** CreateDate / CreateTime / CreateDateTime (struct forms). */
+  def createDateRec(y: Column, m: Column, d: Column): Column =
+    struct(y.cast("int").as("year"), m.cast("int").as("month"),
+      d.cast("int").as("day"))
+  def createTimeRec(h: Column, m: Column, s: Column): Column =
+    struct(h.cast("int").as("hour"), m.cast("int").as("minute"),
+      s.cast("int").as("second"))
+  def createDateTime(y: Column, mo: Column, d: Column,
+      h: Column, mi: Column, s: Column): Column =
+    struct(y.cast("int").as("year"), mo.cast("int").as("month"),
+      d.cast("int").as("day"), h.cast("int").as("hour"),
+      mi.cast("int").as("minute"), s.cast("int").as("second"))
+
+  /** CreateDateTimeFromSeconds (Date.ecl:1550). */
+  def createDateTimeFromSeconds(seconds: Column): Column = {
+    val p = secondsToParts(seconds)
+    struct(p("year").as("year"), p("month").as("month"), p("day").as("day"),
+      p("hour").as("hour"), p("minute").as("minute"),
+      p("second").as("second"))
+  }
+
+  /** CreateDateFromSeconds / CreateTimeFromSeconds. */
+  def createDateFromSeconds(seconds: Column): Column = secondsToDateT(seconds)
+  def createTimeFromSeconds(seconds: Column): Column = secondsToTimeT(seconds)
+
+  /** DateFromDateRec (Date.ecl:566; DateFromRec is its deprecated alias). */
+  def dateFromDateRec(rec: Column): Column =
+    dateFromParts(rec("year"), rec("month"), rec("day"))
+
+  /** TimeFromTimeRec (Date.ecl:586). */
+  def timeFromTimeRec(rec: Column): Column =
+    timeFromParts(rec("hour"), rec("minute"), rec("second"))
+
+  /** DateFromDateTimeRec / TimeFromDateTimeRec (Date.ecl:596-606). */
+  def dateFromDateTimeRec(rec: Column): Column = dateFromDateRec(rec)
+  def timeFromDateTimeRec(rec: Column): Column = timeFromTimeRec(rec)
+
+  /** SecondsFromDateTimeRec (Date.ecl:619). */
+  def secondsFromDateTimeRec(rec: Column): Column =
+    secondsFromParts(rec("year"), rec("month"), rec("day"),
+      rec("hour"), rec("minute"), rec("second"))
+
+  // ---- Gregorian YMD forms (Date.ecl:247,267) ------------------------------
+
+  /** FromGregorianYMD: day count with 1 Jan 1AD = day 1. */
+  def fromGregorianYMD(y: Column, m: Column, d: Column): Column =
+    fromGregorianDate(dateFromParts(y, m, d))
+
+  /** ToGregorianYMD: (year, month, day) struct from the day count. */
+  def toGregorianYMD(days: Column): Column = {
+    val d = toGregorianDate(days)
+    struct(yearT(d).as("year"), monthT(d).as("month"), dayT(d).as("day"))
+  }
+
+  // ---- string parse/format completions (Date.ecl:651-942) ------------------
+
+  /** FromString (Date.ecl:665) — alias of FromStringToDate. */
+  def fromString(text: Column, fmt: String): Column =
+    fromStringToDate(text, fmt)
+
+  /** FromStringToSeconds (Date.ecl:720): strftime parse → unix seconds,
+    * 0 when unparseable (the reference's failure value).
+    */
+  def fromStringToSeconds(text: Column, fmt: String): Column =
+    coalesce(
+      unix_timestamp(tryParseTs(text, fmt)).cast("long"), lit(0L))
+
+  /** SecondsToString (Date.ecl:815): strftime format of unix seconds. */
+  def secondsToString(seconds: Column,
+      fmt: String = "%Y-%m-%dT%H:%M:%S"): Column =
+    date_format(from_utc_timestamp(timestamp_seconds(seconds), "UTC"),
+      strftimeToJava(fmt))
+
+  /** TimestampToString (Date.ecl:835): microseconds since epoch with the
+    * reference's extra specifiers — %@ = 6-digit microsecond fraction,
+    * %# = 3-digit milliseconds. The fraction is per-row data, so the
+    * specifiers become sentinel literals through the formatter and the
+    * fraction substitutes afterwards (all builtin string ops).
+    */
+  def timestampToString(micros: Column,
+      fmt: String = "%Y-%m-%dT%H:%M:%S.%@"): Column = {
+    val SentMicro = "\u0001"
+    val SentMilli = "\u0002"
+    val fmt2 = fmt.replace("%@", SentMicro).replace("%#", SentMilli)
+    val base = secondsToString(floor(micros / 1000000).cast("long"), fmt2)
+    val frac6 = lpad((micros % 1000000).cast("string"), 6, "0")
+    replace(replace(base, lit(SentMicro), frac6),
+      lit(SentMilli), substring(frac6, 1, 3))
+  }
+
+  /** ToString (Date.ecl:853) — deprecated alias of DateToString. */
+  def toStringT(d: Column, fmt: String): Column = dateToString(d, fmt)
+
+  /** ConvertFormat / ConvertFormatMultiple (Date.ecl:884,929) — aliases of
+    * the date-format converters.
+    */
+  def convertFormat(text: Column, fromFmt: String = "%m/%d/%Y",
+      toFmt: String = "%Y%m%d"): Column =
+    convertDateFormat(text, fromFmt, toFmt)
+  def convertFormatMultiple(text: Column, fromFmts: Seq[String],
+      toFmt: String = "%Y%m%d"): Column =
+    convertDateFormatMultiple(text, fromFmts, toFmt)
+
+  /** ConvertTimeFormatMultiple: first parseable of `fromFmts`, else ''. */
+  def convertTimeFormatMultiple(text: Column, fromFmts: Seq[String],
+      toFmt: String = "%H%M%S"): Column = {
+    val t = matchTimeString(text, fromFmts)
+    when(t.isNull, lit("")).otherwise(timeToString(t, toFmt))
+  }
+
+  // ---- ISO week completions (Date.ecl:1140-1186) ---------------------------
+
+  /** ISOIsLongYear (Date.ecl:1140): the year has 53 ISO weeks. */
+  def isoIsLongYear(y: Column): Column = isoWeeksInYear(y) === 53
+
+  /** ISORawWeekNumForDate (Date.ecl:1156): may be 0 or 53/54 at year
+    * boundaries — the raw value before ISOWeekNumWeekDayAndYear folds it.
+    */
+  def isoRawWeekNum(d: Column): Column =
+    floor((dayOfYear(d) - isoDayOfWeek(d) + 10) / 7).cast("int")
+
+  /** ISOWeekNumWeekDayAndYearFromDate (Date.ecl:1168): struct of the
+    * folded ISO week number, its year, and the ISO weekday.
+    */
+  def isoWeekNumWeekDayAndYear(d: Column): Column = {
+    val gy = yearT(d)
+    val raw = isoRawWeekNum(d)
+    val lastWeekPrev = isoWeeksInYear(gy - 1)
+    val lastWeekGiven = isoWeeksInYear(gy)
+    val week = when(raw < 1, lastWeekPrev)
+      .when(raw > lastWeekGiven, 1).otherwise(raw).cast("int")
+    val wy = (gy + when(raw < 1, -1).when(raw > lastWeekGiven, 1)
+      .otherwise(0)).cast("int")
+    struct(week.as("weekNumber"), wy.as("year"),
+      isoDayOfWeek(d).as("weekDay"))
+  }
+
+  // ---- session-timezone scalars (Date.ecl:1235-1264 analogs) ---------------
+  // The reference asks the C library about the PROCESS's local zone; the
+  // engine analog is the Spark session timezone (sessions here pin UTC, so
+  // both read 0/false there — the implementations are zone-generic).
+
+  /** LocalTimeZoneOffset: seconds east of UTC for the session zone now,
+    * read back from the formatter's xxx offset rendering (codegen'd).
+    */
+  def localTimeZoneOffset(): Column = {
+    val off = date_format(current_timestamp(), "xxx") // e.g. +05:30
+    val sign = when(substring(off, 1, 1) === "-", -1).otherwise(1)
+    sign * (substring(off, 2, 2).cast("int") * 3600 +
+      substring(off, 5, 2).cast("int") * 60)
+  }
+
+  /** IsLocalDaylightSavingsInEffect: the session zone's offset now differs
+    * from its standard (minimum of mid-winter/mid-summer) offset —
+    * hemisphere-neutral, matching tm_isdst for zones with a single DST
+    * rule.
+    */
+  def isLocalDaylightSavingsInEffect(): Column = {
+    def offAt(md: String): Column = {
+      val ts = to_timestamp(concat(year(current_date()).cast("string"),
+        lit(s"-$md 12:00:00")))
+      val off = date_format(ts, "xxx")
+      val sign = when(substring(off, 1, 1) === "-", -1).otherwise(1)
+      sign * (substring(off, 2, 2).cast("int") * 3600 +
+        substring(off, 5, 2).cast("int") * 60)
+    }
+    localTimeZoneOffset() > least(offAt("01-15"), offAt("07-15"))
+  }
 }

@@ -243,4 +243,74 @@ object StdStr {
   /** Std.Str.DecodeBase64 (`Str.ecl:453`). */
   def decodeBase64(value: Column): Column =
     unbase64(regexp_replace(value, "\\s", ""))
+
+  // ---- r18 parity audit: remaining Str.ecl exports. Each is a named
+  // surface over the codegen'd builtin (or EclFunctions helper) that
+  // already carried the semantics, so the full Str.ecl export list
+  // resolves 1:1 to a Scala def (COVERAGE.md parity table). -----------------
+
+  /** Std.Str.EditDistance (`Str.ecl:313`, EditDistanceV3 with radius 0 =
+    * unbounded): Levenshtein on trailing-space-trimmed operands (ECL string
+    * compares are trailing-space-blind).
+    */
+  def editDistance(a: Column, b: Column): Column =
+    levenshtein(rtrim(a), rtrim(b))
+
+  /** Std.Str.Find (`Str.ecl:54`): 1-based position of the nth
+    * NON-OVERLAPPING occurrence (`slStringFind` skips hitLen after a match,
+    * `plugins/stringlib/stringlib.cpp:519`), 0 when absent. `instance` is a
+    * plan-time literal, so the scan unrolls to `instance` chained `locate`
+    * calls — all codegen'd, no UDF.
+    */
+  def find(src: Column, sought: String, instance: Int = 1): Column = {
+    require(instance >= 1, s"find: instance must be >= 1, got $instance")
+    if (sought.isEmpty) lit(0)
+    else {
+      val first = locate(sought, src)
+      (2 to instance).foldLeft(first) { (pos, _) =>
+        // locate's Int-position overload can't take a Column start, so the
+        // chained step searches the remainder and re-bases the hit
+        val start = pos + sought.length
+        val p = locate(sought, src.substr(start, length(src)))
+        when(pos === 0 || p === 0, 0).otherwise(p + start - 1)
+      }
+    }
+  }
+
+  /** Std.Str.FindCount (`Str.ecl:64`): non-overlapping occurrence count. */
+  def findCount(src: Column, sought: String): Column =
+    EclFunctions.findCount(src, sought)
+
+  /** Std.Str.CleanSpaces (`Str.ecl:225`). */
+  def cleanSpaces(src: Column): Column = EclFunctions.cleanSpaces(src)
+
+  /** Std.Str.Filter (`Str.ecl:108`): keep only chars in `keep`. (Named
+    * strFilter — a bare `filter` would shadow functions.filter in-file.)
+    */
+  def strFilter(src: Column, keep: String): Column =
+    EclFunctions.strFilter(src, keep)
+
+  /** Std.Str.FilterOut (`Str.ecl:98`). */
+  def strFilterOut(src: Column, drop: String): Column =
+    EclFunctions.strFilterOut(src, drop)
+
+  /** Std.Str.Translate (`Str.ecl:149`): per-char mapping; when the lengths
+    * differ the reference installs the IDENTITY map and returns the input
+    * unchanged (`slStringTranslate`, stringlib.cpp:469) — Spark's builtin
+    * would instead DELETE unmapped chars, so the guard is load-bearing.
+    */
+  def strTranslate(src: Column, within: String, mapping: String): Column =
+    if (within.length != mapping.length) src
+    else translate(src, within, mapping)
+
+  /** Std.Str.Reverse (`Str.ecl:195`). */
+  def strReverse(src: Column): Column = reverse(src)
+
+  /** Std.Str.Repeat (`Str.ecl:404`). */
+  def strRepeat(src: Column, n: Int): Column =
+    if (n <= 0) lit("") else repeat(src, n)
+
+  /** Std.Str.ToLowerCase / ToUpperCase (`Str.ecl:162,172`). */
+  def toLowerCase(src: Column): Column = lower(src)
+  def toUpperCase(src: Column): Column = upper(src)
 }

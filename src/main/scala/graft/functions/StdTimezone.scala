@@ -172,4 +172,87 @@ object StdTimezone {
     if (location.isEmpty) base
     else base.filter(upper(col("location")) === location.trim.toUpperCase)
   }
+
+  /** UniqueTZAbbreviations (Date.ecl:1852). */
+  def uniqueTZAbbreviations(spark: SparkSession): DataFrame =
+    tzDataFrame(spark).select(col("tz_abbrev")).distinct()
+
+  /** UniqueTZLocations (Date.ecl:1864): uppercase location names. */
+  def uniqueTZLocations(spark: SparkSession): DataFrame =
+    tzDataFrame(spark).select(upper(col("location")).as("name")).distinct()
+
+  /** Shared spine of AppendTZOffset/AppendTZAdjustedTime (Date.ecl:2166,
+    * 2292): LEFT join the input against the zone table on the row's
+    * abbreviation (and location when a location column is named) — the
+    * zone table is tiny and constant, so the join is an explicit
+    * broadcast; the destination zone resolves ONCE (driver-side read of a
+    * handful of constant rows, the macro's "find destination just once").
+    * Returns (joined-with-dim frame, dim offset col, dest offset,
+    * dest location, dest found).
+    */
+  private def tzJoin(in: DataFrame, tzAbbrevCol: String,
+      fromLocationCol: String, toAbbrev: String, toLocation: String)
+      : (DataFrame, Column, Int, String, Boolean) = {
+    val spark = in.sparkSession
+    val dest = findTZData(spark, toAbbrev, toLocation)
+      .orderBy(col("tz_rank")).limit(1).collect().headOption
+    val dOff = dest.map(_.getInt(1)).getOrElse(0)
+    val dLoc = if (toLocation.nonEmpty) toLocation
+      else dest.map(_.getString(2)).getOrElse("")
+    val tz0 = tzDataFrame(spark)
+    // abbrev-only matches take the zone table's FIRST row for the abbrev
+    // (TZ_DATA is one row per abbrev; the flattened frame re-derives that
+    // via min tz_rank) so the join can't multiply input rows
+    val dim =
+      if (fromLocationCol.isEmpty)
+        tz0.groupBy(col("tz_abbrev"))
+          .agg(min_by(struct(col("seconds_offset"), col("location")),
+            col("tz_rank")).as("r"))
+          .select(col("tz_abbrev"), col("r.seconds_offset").as("seconds_offset"),
+            col("r.location").as("location"))
+      else tz0.select(col("tz_abbrev"), col("seconds_offset"), col("location"))
+    val cond = upper(in(tzAbbrevCol)) === upper(dim("tz_abbrev")) &&
+      (if (fromLocationCol.isEmpty) lit(true)
+       else upper(in(fromLocationCol)) === upper(dim("location")))
+    val joined = in.join(broadcast(dim),
+      if (dest.isEmpty) lit(false) else cond, "left")
+    (joined, dim("seconds_offset"), dOff, dLoc, dest.nonEmpty)
+  }
+
+  /** AppendTZOffset (Date.ecl:2166): append per row the seconds to add to
+    * move from the row's zone to the destination zone, plus the macro's
+    * `<new>_is_valid` / `<new>_tz` / `<new>_location` companions.
+    */
+  def appendTZOffset(in: DataFrame, tzAbbrevCol: String, newCol: String,
+      fromLocationCol: String = "", toAbbrev: String = "UTC",
+      toLocation: String = ""): DataFrame = {
+    val (j, srcOff, dOff, dLoc, found) =
+      tzJoin(in, tzAbbrevCol, fromLocationCol, toAbbrev, toLocation)
+    val valid = srcOff.isNotNull
+    j.select(in.columns.map(in(_)) ++ Seq(
+      when(valid, lit(dOff) - srcOff).otherwise(0).cast("int").as(newCol),
+      valid.as(s"${newCol}_is_valid"),
+      when(valid, lit(if (found) toAbbrev else "")).otherwise("")
+        .as(s"${newCol}_tz"),
+      when(valid, lit(dLoc)).otherwise("").as(s"${newCol}_location")): _*)
+  }
+
+  /** AppendTZAdjustedTime (Date.ecl:2292): append the row's Time_t
+    * re-expressed in the destination zone (invalid rows keep the original
+    * time, per the macro's IF).
+    */
+  def appendTZAdjustedTime(in: DataFrame, timeCol: String,
+      tzAbbrevCol: String, newCol: String, fromLocationCol: String = "",
+      toAbbrev: String = "UTC", toLocation: String = ""): DataFrame = {
+    val (j, srcOff, dOff, dLoc, found) =
+      tzJoin(in, tzAbbrevCol, fromLocationCol, toAbbrev, toLocation)
+    val valid = srcOff.isNotNull
+    val adjusted = StdDate.adjustTimeBySeconds(in(timeCol), lit(dOff) - srcOff)
+    j.select(in.columns.map(in(_)) ++ Seq(
+      when(valid, adjusted).otherwise(in(timeCol)).cast("int").as(newCol),
+      valid.as(s"${newCol}_is_valid"),
+      when(valid, lit(if (found) toAbbrev else "")).otherwise("")
+        .as(s"${newCol}_tz"),
+      when(valid, lit(dLoc)).otherwise("").as(s"${newCol}_location")): _*)
+  }
 }

@@ -263,4 +263,82 @@ object StdUni {
     }
     fn(src, target, replacement)
   }
+
+  // ---- r18 parity audit: the remaining Uni.ecl exports ---------------------
+  //
+  // Spark strings ARE unicode (UTF-8 with codepoint-aware builtins:
+  // levenshtein, reverse, lower/upper are all codepoint-based), so every
+  // Uni.ecl export whose reference implementation is locale-INDEPENDENT
+  // codepoint logic (`plugins/unicodelib/unicodelib.cpp` paths that never
+  // open a collator) delegates to the Std.Str composition — same Column
+  // plan, already codegen'd. Only the collator paths above need ICU.
+  // Astral-plane caveat: Filter/FilterOut/Translate build per-char maps;
+  // chars outside the BMP pass through unmapped (the reference's UChar
+  // tables share the UTF-16-unit granularity).
+
+  /** Uni.LocaleFind (Uni.ecl:97): default-collator search = strength 3
+    * (`usearch_open(..., localename, 0)` uses the locale's tertiary
+    * default, unicodelib.cpp:1486).
+    */
+  def localeFind(src: Column, target: Column, instance: Int,
+      localeName: String): Column =
+    localeFindAtStrength(src, target, instance, localeName, 3)
+
+  /** Uni.LocaleFindReplace (Uni.ecl:275): strength-3 replace-all. */
+  def localeFindReplace(src: Column, target: Column,
+      replacement: Column, localeName: String): Column =
+    localeFindAtStrengthReplace(src, target, replacement, localeName, 3)
+
+  // codepoint-logic delegations (Uni.ecl export name → Str composition)
+  def cleanSpaces(src: Column): Column = StdStr.cleanSpaces(src)
+  def commonPrefix(a: Column, b: Column): Column = StdStr.commonPrefix(a, b)
+  def commonSuffix(a: Column, b: Column): Column = StdStr.commonSuffix(a, b)
+  def compareIgnoreCase(a: Column, b: Column): Column =
+    StdStr.compareIgnoreCase(a, b)
+  def uniContains(src: Column, pattern: String, ignoreCase: Boolean): Column =
+    StdStr.strContains(src, pattern, ignoreCase)
+  def countWords(src: Column, separator: String,
+      allowBlank: Boolean = false): Column =
+    StdStr.countWords(src, separator, allowBlank)
+  def editDistance(a: Column, b: Column): Column = StdStr.editDistance(a, b)
+  def editDistanceWithinRadius(a: Column, b: Column, radius: Int): Column =
+    StdStr.editDistanceWithinRadius(a, b, radius)
+  def excludeFirstWord(src: Column): Column = StdStr.excludeFirstWord(src)
+  def excludeLastWord(src: Column): Column = StdStr.excludeLastWord(src)
+  def excludeNthWord(src: Column, n: Int): Column =
+    StdStr.excludeNthWord(src, n)
+  def extract(src: Column, instance: Int): Column = StdStr.extract(src, instance)
+  def strFilter(src: Column, keep: String): Column = StdStr.strFilter(src, keep)
+  def strFilterOut(src: Column, drop: String): Column =
+    StdStr.strFilterOut(src, drop)
+  def find(src: Column, sought: String, instance: Int = 1): Column =
+    StdStr.find(src, sought, instance)
+  def findCount(src: Column, sought: String): Column =
+    StdStr.findCount(src, sought)
+  def findReplace(src: Column, sought: String, replacement: String): Column =
+    StdStr.findReplace(src, sought, replacement)
+  def findWord(src: Column, word: Column, ignoreCase: Boolean = false): Column =
+    StdStr.findWord(src, word, ignoreCase)
+  def repeat(src: Column, n: Int): Column = StdStr.strRepeat(src, n)
+  def uniReverse(src: Column): Column = StdStr.strReverse(src)
+  def splitWords(src: Column, separator: String,
+      allowBlank: Boolean = false): Column =
+    StdStr.splitWords(src, separator, allowBlank)
+  def substituteExcluded(src: Column, keep: String, sub: String): Column =
+    StdStr.substituteExcluded(src, keep, sub)
+  def substituteIncluded(src: Column, drop: String, sub: String): Column =
+    StdStr.substituteIncluded(src, drop, sub)
+  def toLowerCase(src: Column): Column = lower(src)
+  def toUpperCase(src: Column): Column = upper(src)
+  def toTitleCase(src: Column): Column = StdStr.toTitleCase(src)
+  def translate(src: Column, within: String, mapping: String): Column =
+    StdStr.strTranslate(src, within, mapping)
+  def wildMatch(src: Column, pattern: String, ignoreCase: Boolean): Column =
+    StdStr.wildMatch(src, pattern, ignoreCase)
+
+  /** Uni.Version (Uni.ecl:471): the unicode library version string — here
+    * the ICU4J version Spark ships (the reference reports ICU4C's).
+    */
+  def version(): Column =
+    lit("ICU4J " + com.ibm.icu.util.VersionInfo.ICU_VERSION.toString)
 }

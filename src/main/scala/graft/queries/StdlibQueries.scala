@@ -856,6 +856,162 @@ object StdlibQueries {
       graft.ops.FuzzyJoin.editDistanceSelfJoin(
           Tables.customer(s, dir), col("c_name"), radius = 1)
         .orderBy(col("a"), col("b"))
+    },
+
+    // ---- r18 stdlib parity audit: the Str.ecl exports added to close the
+    // 35/40 gap, each recomputed by the oracle from first principles.
+    // find: chained-locate nth occurrence; translate: the length-mismatch
+    // identity guard (Spark's raw builtin would DELETE unmapped chars);
+    // filter/filterOut, cleanSpaces, editDistance (trailing-space-blind).
+    QueryDef("q234_str_parity",
+      """SELECT p_partkey,
+        |  CAST(CASE WHEN strpos(p_name, 'a') > 0
+        |         AND strpos(substr(p_name, strpos(p_name, 'a') + 1), 'a') > 0
+        |       THEN strpos(p_name, 'a')
+        |            + strpos(substr(p_name, strpos(p_name, 'a') + 1), 'a')
+        |       ELSE 0 END AS INTEGER) AS find_a2,
+        |  CAST(levenshtein(rtrim(p_brand), 'Brand#13') AS INTEGER) AS ed,
+        |  regexp_replace(p_type, '[^aeiou]', '', 'g') AS kept,
+        |  regexp_replace(p_type, '[aeiou]', '', 'g') AS dropped,
+        |  p_type AS trans_guard,
+        |  translate(p_type, 'ab', 'xy') AS trans_ok,
+        |  trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS cleaned,
+        |  reverse(p_brand) AS rev,
+        |  lower(p_type) AS lo, upper(p_type) AS up,
+        |  repeat(p_brand, 3) AS rep
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir).select(col("p_partkey"),
+        StdStr.find(col("p_name"), "a", 2).as("find_a2"),
+        StdStr.editDistance(col("p_brand"), lit("Brand#13")).as("ed"),
+        StdStr.strFilter(col("p_type"), "aeiou").as("kept"),
+        StdStr.strFilterOut(col("p_type"), "aeiou").as("dropped"),
+        StdStr.strTranslate(col("p_type"), "abc", "xy").as("trans_guard"),
+        StdStr.strTranslate(col("p_type"), "ab", "xy").as("trans_ok"),
+        StdStr.cleanSpaces(col("p_name")).as("cleaned"),
+        StdStr.strReverse(col("p_brand")).as("rev"),
+        StdStr.toLowerCase(col("p_type")).as("lo"),
+        StdStr.toUpperCase(col("p_type")).as("up"),
+        StdStr.strRepeat(col("p_brand"), 3).as("rep"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // ---- r18 Date.ecl parity: the newly-surfaced exports, oracled from
+    // first principles. adjustSeconds' mktime NORMALIZATION is restated
+    // explicitly in SQL (DuckDB's own +INTERVAL MONTH would CLAMP —
+    // recomputing the rule is the point of the gate); the ISO week family
+    // cross-checks our folding formula against DuckDB's native isoyear/
+    // weekofyear; the record round-trips and the session-TZ scalars
+    // (UTC → 0/false) close the rest.
+    QueryDef("q236_date_parity",
+      """SELECT o_orderkey,
+        |  CAST(epoch(make_date(
+        |        CAST((year(o_orderdate)*12 + month(o_orderdate)) // 12
+        |             AS INTEGER),
+        |        CAST((year(o_orderdate)*12 + month(o_orderdate)) % 12 + 1
+        |             AS INTEGER), 1)
+        |      + (day(o_orderdate) - 1 + 2) * INTERVAL 1 DAY)
+        |    + 3*3600
+        |    + (epoch(o_orderdate) - epoch(CAST(o_orderdate AS DATE)))
+        |    AS BIGINT) AS adj_sec,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '0000-12-31' AS INTEGER)
+        |    AS greg_days,
+        |  CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+        |       + day(o_orderdate) AS INTEGER) AS greg_rt,
+        |  (weekofyear(make_date(CAST(year(o_orderdate) AS INTEGER), 12, 28))
+        |    = 53) AS long_year,
+        |  CAST((dayofyear(o_orderdate) - isodow(o_orderdate) + 10) // 7
+        |    AS INTEGER) AS raw_week,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(isoyear(o_orderdate) AS INTEGER) AS iso_week_year,
+        |  CAST(isodow(o_orderdate) AS INTEGER) AS iso_wd,
+        |  CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+        |       + day(o_orderdate) AS INTEGER) AS rec_rt,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS dtrec_rt,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sec_str,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS parse_rt,
+        |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') || '.'
+        |    || lpad(CAST(o_orderkey % 1000000 AS VARCHAR), 6, '0') AS ts_str,
+        |  replace(strftime(o_orderdate, '%H:%M:%S'), ':', '') AS time_conv,
+        |  CAST(0 AS INTEGER) AS tz_off,
+        |  FALSE AS dst
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      // o_orderdate reads as TIMESTAMP_NTZ; sessions pin UTC, so the cast
+      // to TIMESTAMP re-labels the same wall clock as UTC — exactly how
+      // the DuckDB oracle's naive epoch() reads it
+      val ots = col("o_orderdate").cast("timestamp")
+      val sec = unix_timestamp(ots)
+      val dateT = EclFunctions.toDateT(ots)
+      val micros = unix_micros(ots) + col("o_orderkey") % 1000000
+      val rec = StdDate.createDateRec(
+        StdDate.yearT(dateT), StdDate.monthT(dateT), StdDate.dayT(dateT))
+      val iso = StdDate.isoWeekNumWeekDayAndYear(dateT)
+      o.select(col("o_orderkey"),
+        StdDate.adjustSeconds(sec, monthDelta = lit(1), dayDelta = lit(2),
+          hourDelta = lit(3)).as("adj_sec"),
+        StdDate.fromGregorianYMD(StdDate.yearT(dateT), StdDate.monthT(dateT),
+          StdDate.dayT(dateT)).as("greg_days"),
+        StdDate.dateFromParts(
+          StdDate.toGregorianYMD(StdDate.fromGregorianDate(dateT))("year"),
+          StdDate.toGregorianYMD(StdDate.fromGregorianDate(dateT))("month"),
+          StdDate.toGregorianYMD(StdDate.fromGregorianDate(dateT))("day"))
+          .as("greg_rt"),
+        StdDate.isoIsLongYear(StdDate.yearT(dateT)).as("long_year"),
+        StdDate.isoRawWeekNum(dateT).as("raw_week"),
+        iso("weekNumber").as("iso_week"),
+        iso("year").as("iso_week_year"),
+        iso("weekDay").as("iso_wd"),
+        StdDate.dateFromDateRec(rec).as("rec_rt"),
+        StdDate.secondsFromDateTimeRec(
+          StdDate.createDateTimeFromSeconds(sec)).as("dtrec_rt"),
+        StdDate.secondsToString(sec, "%Y-%m-%d %H:%M:%S").as("sec_str"),
+        StdDate.fromStringToSeconds(
+          StdDate.secondsToString(sec, "%Y-%m-%d %H:%M:%S"),
+          "%Y-%m-%d %H:%M:%S").as("parse_rt"),
+        StdDate.timestampToString(micros).as("ts_str"),
+        StdDate.convertTimeFormatMultiple(
+          StdDate.timeToString(StdDate.secondsToTimeT(sec), "%H:%M:%S"),
+          Seq("%H:%M:%S"), "%H%M%S").as("time_conv"),
+        StdDate.localTimeZoneOffset().as("tz_off"),
+        StdDate.isLocalDaylightSavingsInEffect().as("dst"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- r18 TimeZone dataset ops: AppendTZOffset/AppendTZAdjustedTime
+    // (Date.ecl:2166,2292) — the per-row zone column joins the constant
+    // zone table (explicit broadcast; dimension is O(100) rows, the 100 TB
+    // shape is a map-side join). The oracle inlines the four zone rows it
+    // uses, so a wrong offset, a dropped row, or a bad validity flag
+    // hash-fails.
+    QueryDef("q237_tz_append",
+      """WITH tz(ab, off) AS (VALUES ('EST', -18000), ('PST', -28800),
+        |                            ('GMT', 0), ('UTC', 0)),
+        |n AS (SELECT n_nationkey,
+        |        CASE n_nationkey % 4 WHEN 0 THEN 'EST' WHEN 1 THEN 'PST'
+        |             WHEN 2 THEN 'GMT' ELSE 'UTC' END AS zone,
+        |        CAST((n_nationkey % 10) * 10000
+        |             + (n_nationkey % 60) * 100 AS INTEGER) AS t
+        |      FROM nation)
+        |SELECT n_nationkey, zone, t,
+        |  CAST(0 - off AS INTEGER) AS utc_off,
+        |  TRUE AS utc_off_is_valid,
+        |  CAST(t + ((0 - off) // 3600) * 10000 AS INTEGER) AS utc_t
+        |FROM n JOIN tz ON zone = ab
+        |ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      import graft.functions.StdTimezone
+      val in = Tables.nation(s, dir).select(col("n_nationkey"),
+        element_at(array(lit("EST"), lit("PST"), lit("GMT"), lit("UTC")),
+          (col("n_nationkey") % 4 + 1).cast("int")).as("zone"),
+        // hours capped at 9 so the +5h/+8h UTC shifts never wrap the day
+        // (adjustTime wraps mod 86400; the oracle's hour arithmetic
+        // doesn't model the wrap)
+        ((col("n_nationkey") % 10) * 10000
+          + (col("n_nationkey") % 60) * 100).cast("int").as("t"))
+      val off = StdTimezone.appendTZOffset(in, "zone", "utc_off")
+      val adj = StdTimezone.appendTZAdjustedTime(off, "t", "zone", "utc_t")
+      adj.select(col("n_nationkey"), col("zone"), col("t"),
+          col("utc_off"), col("utc_off_is_valid"), col("utc_t"))
+        .orderBy(col("n_nationkey"))
     }
   )
 

@@ -297,4 +297,74 @@ class StdDateSpec extends SparkSpec {
     times.foreach { case (t, exp) =>
       assert(tgot(t) == exp, s"IsValidTime($t)") }
   }
+
+  test("r18 parity fns: adjustSeconds normalizes like mktime") {
+    // 2000-01-31T10:20:30Z = 949314030; +1 month normalizes to Mar 2
+    // (leap Feb has 29 days: 31 -> 29 overflow 2), clock parts exact
+    val base = 949314030L
+    assert(long(adjustSeconds(lit(base), monthDelta = lit(1))) ==
+      951992430L) // 2000-03-02T10:20:30Z
+    // pure clock delta
+    assert(long(adjustSeconds(lit(base), secondDelta = lit(90))) == base + 90)
+    // negative month crosses the year
+    assert(long(adjustSeconds(lit(base), monthDelta = lit(-2))) ==
+      944043630L) // 1999-12-01T10:20:30Z
+  }
+
+  test("r18 parity fns: record round-trips and Gregorian YMD") {
+    val rec = createDateRec(lit(1999), lit(2), lit(1))
+    assert(int(dateFromDateRec(rec)) == 19990201)
+    val dt = createDateTime(lit(1999), lit(2), lit(1),
+      lit(12), lit(34), lit(56))
+    assert(long(secondsFromDateTimeRec(dt)) == 917872496L)
+    assert(long(secondsFromDateTimeRec(
+      createDateTimeFromSeconds(lit(917872496L)))) == 917872496L)
+    assert(int(timeFromTimeRec(createTimeRec(lit(12), lit(34), lit(56))))
+      == 123456)
+    // 1 Jan 1AD = day 1 (Date.ecl:247)
+    assert(int(fromGregorianYMD(lit(1), lit(1), lit(1))) == 1)
+    val ymd = toGregorianYMD(lit(730180)) // round-trip via a known date
+    assert(int(fromGregorianYMD(ymd("year"), ymd("month"), ymd("day")))
+      == 730180)
+  }
+
+  test("r18 parity fns: string formats incl %@/%# fractions") {
+    assert(str(secondsToString(lit(917872496L))) == "1999-02-01T12:34:56")
+    assert(str(timestampToString(lit(917872496123456L))) ==
+      "1999-02-01T12:34:56.123456")
+    assert(str(timestampToString(lit(917872496123456L),
+      "%H:%M %# end")) == "12:34 123 end")
+    assert(long(fromStringToSeconds(lit("1999-02-01 12:34:56"),
+      "%Y-%m-%d %H:%M:%S")) == 917872496L)
+    assert(long(fromStringToSeconds(lit("garbage"),
+      "%Y-%m-%d %H:%M:%S")) == 0L) // reference failure value
+    assert(str(toStringT(lit(19990201), "%d/%m/%Y")) == "01/02/1999")
+    assert(str(convertFormat(lit("02/01/1999"))) == "19990201")
+  }
+
+  test("r18 parity fns: ISO week family matches the reference's folding") {
+    // 2021-01-01 is ISO week 53 of 2020 (raw week 0 folds to prev year)
+    val d = lit(20210101)
+    assert(int(isoRawWeekNum(d)) == 0)
+    val s = isoWeekNumWeekDayAndYear(d)
+    assert(int(s("weekNumber")) == 53 && int(s("year")) == 2020 &&
+      int(s("weekDay")) == 5)
+    // 2019-12-30 is ISO week 1 of 2020 (raw week 53 > weeks-in-2019=52)
+    val s2 = isoWeekNumWeekDayAndYear(lit(20191230))
+    assert(int(s2("weekNumber")) == 1 && int(s2("year")) == 2020)
+    assert(bool(isoIsLongYear(lit(2020))) && !bool(isoIsLongYear(lit(2019))))
+  }
+
+  test("r18 parity fns: current-time family and session-TZ scalars (UTC)") {
+    // non-deterministic values get sanity bounds, not vectors
+    val t = long(currentSeconds())
+    assert(t > 1700000000L && t < 4102444800L) // 2023..2100
+    assert(int(today()) / 10000 >= 2023)
+    val tt = int(currentTime())
+    assert(tt >= 0 && tt <= 235959)
+    assert(long(currentTimestampT()) / 1000000L - t < 60)
+    // sessions pin UTC
+    assert(int(localTimeZoneOffset()) == 0)
+    assert(!bool(isLocalDaylightSavingsInEffect()))
+  }
 }

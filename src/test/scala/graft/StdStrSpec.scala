@@ -200,4 +200,37 @@ class StdStrSpec extends SparkSpec {
     assert(str(decode(decodeBase64(encodeBase64(long)), "UTF-8")) == "x" * 100)
     assert(!str(encodeBase64(long, insertLF = false)).contains("\n"))
   }
+
+  // ---- r18 parity additions -------------------------------------------------
+
+  test("find: nth NON-OVERLAPPING occurrence, 0 when exhausted") {
+    val s = lit("abcabcabc")
+    assert(int(find(s, "abc", 1)) == 1)
+    assert(int(find(s, "abc", 2)) == 4)
+    assert(int(find(s, "abc", 3)) == 7)
+    assert(int(find(s, "abc", 4)) == 0)
+    // non-overlapping: "aaaa" holds two "aa", not three (slStringFind
+    // skips hitLen after a match)
+    assert(int(find(lit("aaaa"), "aa", 2)) == 3)
+    assert(int(find(lit("aaaa"), "aa", 3)) == 0)
+    assert(int(find(s, "zzz", 1)) == 0)
+    assert(int(find(s, "", 1)) == 0)
+  }
+
+  test("strTranslate: length mismatch returns input unchanged") {
+    assert(str(strTranslate(lit("abcd"), "ab", "xy")) == "xycd")
+    assert(str(strTranslate(lit("abcd"), "abc", "xy")) == "abcd")
+    assert(str(strTranslate(lit("abcd"), "", "")) == "abcd")
+  }
+
+  test("editDistance is trailing-space-blind; repeat clamps n<=0") {
+    assert(int(editDistance(lit("cat  "), lit("cat"))) == 0)
+    assert(int(editDistance(lit("kitten"), lit("sitting"))) == 3)
+    assert(str(strRepeat(lit("ab"), 0)) == "")
+    assert(str(strRepeat(lit("ab"), 3)) == "ababab")
+    assert(str(strReverse(lit("abc"))) == "cba")
+    assert(str(cleanSpaces(lit("  a   b\t c "))) == "a b c")
+    assert(str(strFilter(lit("banana"), "an")) == "anana")
+    assert(str(strFilterOut(lit("banana"), "an")) == "b")
+  }
 }

@@ -134,4 +134,27 @@ class StdUniSpec extends SparkSpec {
     assert(out.head == "Once Upon A Time")
     assert(out(1).startsWith("İstanbul") || out(1).startsWith("Istanbul"))
   }
+
+  // ---- r18 parity additions -------------------------------------------------
+
+  test("localeFind/localeFindReplace default to tertiary strength") {
+    // tertiary: case-sensitive, accent-sensitive — exact match only
+    assert(int(StdUni.localeFind(lit("café bar café"), lit("café"), 1, "fr"))
+      == 1)
+    assert(int(StdUni.localeFind(lit("café bar café"), lit("café"), 2, "fr"))
+      == 10)
+    assert(int(StdUni.localeFind(lit("café"), lit("CAFE"), 1, "fr")) == 0)
+    assert(str(StdUni.localeFindReplace(lit("café bar café"), lit("café"),
+      lit("pub"), "fr")) == "pub bar pub")
+  }
+
+  test("codepoint delegations: unicode-aware by construction") {
+    // levenshtein and reverse count codepoints, not bytes
+    assert(int(StdUni.editDistance(lit("日本語"), lit("日本"))) == 1)
+    assert(str(StdUni.uniReverse(lit("日本語"))) == "語本日")
+    assert(str(StdUni.toUpperCase(lit("straße"))) == "STRASSE")
+    assert(str(StdUni.cleanSpaces(lit(" ü   v "))) == "ü v")
+    assert(int(StdUni.find(lit("αβγαβγ"), "βγ", 2)) == 5)
+    assert(str(StdUni.version()).startsWith("ICU4J "))
+  }
 }
