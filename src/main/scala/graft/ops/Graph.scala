@@ -157,8 +157,15 @@ object Graph {
   def connectedComponentsReleasable(vertices: DataFrame, vid: Column,
       edges: DataFrame, src: Column, dst: Column,
       maxRounds: Int = 30,
-      localContraction: Boolean = true): (DataFrame, () => Unit) = {
-    import graft.workflow.Workflow.checkpointEager
+      localContraction: Boolean = true,
+      // single-JVM rehearsals of cluster-sized inputs pass DISK_ONLY so
+      // round checkpoints spill instead of crowding the one shared heap
+      // (the r15 64 GB `ser` discipline); on a cluster the default holds
+      ckLevel: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (DataFrame, () => Unit) = {
+    def checkpointEager(df: DataFrame) =
+      graft.workflow.Workflow.checkpointEager(df, ckLevel)
     val verts = vertices.select(vid.cast("long").as("id"))
     // superseded rounds release their checkpoint blocks through the RDD
     // handle (Workflow.Checkpointed) — Dataset.unpersist is a no-op on
