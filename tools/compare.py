@@ -48,7 +48,9 @@ for name in sorted(oracle):
             f"SELECT * FROM '{res_dir}/*.parquet'").fetchdf()
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
+        # infrastructure failure (temp-disk fill, allocator crash), not a
+        # value mismatch — callers distinguish ERR from FAIL
+        print(f"ERR {name}: {e}"); fails += 1; continue
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
     if list(got.columns) != list(exp.columns):

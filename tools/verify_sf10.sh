@@ -42,17 +42,32 @@ if [ ! -e "$SF10/lineitem.parquet" ]; then
 fi
 
 NAMES=$(IFS=,; echo "${QUERIES[*]}")
-rm -rf "$OUT"
-echo "[verify_sf10] dumping ${#QUERIES[@]} queries at $SF10"
-SPARK_GRAFT_CPUS=${SF10_CPUS:-32} $JAVA graft.Verify "$SF10" "$OUT" "$NAMES" \
-  2>&1 | grep -E "\[verify\]" || true
+# VERIFY_SKIP_DUMP=1 reuses an existing engine dump (oracle-side iteration
+# must not pay the ~50 min Spark dump again)
+if [ "${VERIFY_SKIP_DUMP:-0}" != "1" ] || [ ! -e "$OUT/oracle_sql.json" ]; then
+  rm -rf "$OUT"
+  echo "[verify_sf10] dumping ${#QUERIES[@]} queries at $SF10"
+  SPARK_GRAFT_CPUS=${SF10_CPUS:-32} $JAVA graft.Verify "$SF10" "$OUT" "$NAMES" \
+    2>&1 | grep -E "\[verify\]" || true
+else
+  echo "[verify_sf10] reusing existing dump at $OUT"
+fi
 
 declare -A RESULT
 PASS_N=0; FAIL_N=0; ERR_N=0
 for q in "${QUERIES[@]}"; do
-  if [ "$q" = "q228_curation_dedup_pipeline" ]; then
-    out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
-      python3 tools/oracle_q228.py "$SF10" "$OUT" /tmp/q228_oracle_sf10 2>&1)
+  if [ "$q" = "q228_curation_dedup_pipeline" ] || \
+     [ "$q" = "q76_curation_pipeline" ]; then
+    # both pipelines' one-query oracles carry the recursive closure CTE,
+    # DuckDB-infeasible at big SFs (q76 temp-filled ~70 GB at sf10) —
+    # staged oracles replace only the closure with exact union-find
+    if [ "$q" = "q228_curation_dedup_pipeline" ]; then
+      out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+        python3 tools/oracle_q228.py "$SF10" "$OUT" /tmp/q228_oracle_sf10 2>&1)
+    else
+      out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+        python3 tools/oracle_q76.py "$SF10" "$OUT" /tmp/q76_oracle_sf10 2>&1)
+    fi
     rc=$?
     echo "$out" | grep -E "^(PASS|FAIL)" | head -2
     if [ $rc -eq 0 ]; then RESULT[$q]=PASS; PASS_N=$((PASS_N+1))
