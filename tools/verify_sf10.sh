@@ -55,7 +55,24 @@ fi
 
 declare -A RESULT
 PASS_N=0; FAIL_N=0; ERR_N=0
+# VERIFY_ONLY=q87_jaccard,q92_... re-oracles a subset against the reused
+# dump (resume after an interrupted sweep); cells not in the subset are
+# carried from VERIFY_PRIOR (a prior VERIFY_sf10.json) when given
+ONLY="${VERIFY_ONLY:-}"
 for q in "${QUERIES[@]}"; do
+  if [ -n "$ONLY" ] && ! echo ",$ONLY," | grep -q ",$q,"; then
+    prior=$(python3 -c "
+import json,sys
+try: print(json.load(open('${VERIFY_PRIOR:-/dev/null}'))['results']['$q'])
+except Exception: print('SKIP')" 2>/dev/null)
+    RESULT[$q]="${prior:-SKIP}"
+    case "${RESULT[$q]}" in
+      PASS) PASS_N=$((PASS_N+1));;
+      FAIL) FAIL_N=$((FAIL_N+1));;
+      *) [ "${RESULT[$q]}" = "SKIP" ] || ERR_N=$((ERR_N+1));;
+    esac
+    continue
+  fi
   if [ "$q" = "q228_curation_dedup_pipeline" ] || \
      [ "$q" = "q76_curation_pipeline" ]; then
     # both pipelines' one-query oracles carry the recursive closure CTE,
