@@ -74,17 +74,22 @@ except Exception: print('SKIP')" 2>/dev/null)
     continue
   fi
   if [ "$q" = "q228_curation_dedup_pipeline" ] || \
-     [ "$q" = "q76_curation_pipeline" ]; then
-    # both pipelines' one-query oracles carry the recursive closure CTE,
+     [ "$q" = "q76_curation_pipeline" ] || \
+     [ "$q" = "q99_dedup_components" ]; then
+    # these one-query oracles carry the recursive closure CTE,
     # DuckDB-infeasible at big SFs (q76 temp-filled ~70 GB at sf10) —
     # staged oracles replace only the closure with exact union-find
-    if [ "$q" = "q228_curation_dedup_pipeline" ]; then
-      out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
-        python3 tools/oracle_q228.py "$SF10" "$OUT" /tmp/q228_oracle_sf10 2>&1)
-    else
-      out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
-        python3 tools/oracle_q76.py "$SF10" "$OUT" /tmp/q76_oracle_sf10 2>&1)
-    fi
+    case "$q" in
+      q228_curation_dedup_pipeline)
+        out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+          python3 tools/oracle_q228.py "$SF10" "$OUT" /tmp/q228_oracle_sf10 2>&1);;
+      q76_curation_pipeline)
+        out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+          python3 tools/oracle_q76.py "$SF10" "$OUT" /tmp/q76_oracle_sf10 2>&1);;
+      q99_dedup_components)
+        out=$(DUCKDB_THREADS="${DUCKDB_THREADS:-16}" timeout "$TIMEOUT_S" \
+          python3 tools/oracle_q99.py "$SF10" "$OUT" /tmp/q99_oracle_sf10 2>&1);;
+    esac
     rc=$?
     echo "$out" | grep -E "^(PASS|FAIL)" | head -2
     if [ $rc -eq 0 ]; then RESULT[$q]=PASS; PASS_N=$((PASS_N+1))
