@@ -181,11 +181,15 @@ object DataPatterns {
     // corpus-sized, and every downstream job here assumes it is bounded by
     // numCols × exactCardLimit.
     val exactFields = fields.filter(f => acd(f.name) <= exactCardLimit)
+    // persisted: the collapsed counts feed BOTH the mode/cardinality job
+    // and (r19) the pattern job for the exact-gated attributes — bounded
+    // by numCols × exactCardLimit rows by the gate above, never input-sized
     val counts =
       (if (exactFields.isEmpty) melt(fields).limit(0)
        else melt(exactFields))
         .groupBy("attribute", "value")
         .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ONE job over the collapsed counts computes everything they feed:
     // exact cardinality (count over the attribute partition), top-5 modes
@@ -213,14 +217,27 @@ object DataPatterns {
       .filter(_.getAs[Long]("card") <= lcbLimit)
       .groupBy(_.getAs[String]("attribute")).view.mapValues(rankedRows).toMap
 
-    // patterns: collapse raw values to palette patterns for ALL attributes
-    // (values reduce to a handful of patterns, so map-side partial
-    // aggregation absorbs the melt amplification before the shuffle);
-    // deterministic example (min value) instead of the reference's random
-    // pick
-    val patternCounts = melt(fields).groupBy(col("attribute"),
+    // patterns: collapse values to palette patterns for ALL attributes.
+    // r19 (guide §2.4 — remove passes outright): exact-gated attributes
+    // derive their patterns FROM the persisted per-value counts (patternOf
+    // runs once per DISTINCT value, weighted by cnt — sum(cnt)/min(value)
+    // over distinct values equal count/min over raw rows by definition),
+    // so the raw table is NOT melted a second time for them; only
+    // attributes past exactCardLimit still pay a raw melt (values reduce
+    // to a handful of patterns, so map-side partial aggregation absorbs
+    // that melt's amplification before the shuffle). Deterministic example
+    // (min value) instead of the reference's random pick.
+    val nonExactFields = fields.filterNot(f => acd(f.name) <= exactCardLimit)
+    val fromCounts = counts.groupBy(col("attribute"),
+        patternOf(col("value"), maxPatternLen).as("data_pattern"))
+      .agg(sum(col("cnt")).as("cnt"), min(col("value")).as("example"))
+    lazy val fromRaw = melt(nonExactFields).groupBy(col("attribute"),
         patternOf(col("value"), maxPatternLen).as("data_pattern"))
       .agg(count(lit(1)).as("cnt"), min(col("value")).as("example"))
+    val patternCounts =
+      if (nonExactFields.isEmpty) fromCounts
+      else if (exactFields.isEmpty) fromRaw
+      else fromCounts.unionAll(fromRaw)
     // both pattern ranks ride ONE job: two row_numbers over the same
     // attribute partitioning, one collect
     val popW = Window.partitionBy("attribute")
@@ -232,6 +249,7 @@ object DataPatterns {
       .withColumn("rn_rare", row_number().over(rareW))
       .filter(col("rn_pop") <= maxPatterns || col("rn_rare") <= maxPatterns)
       .collect()
+    counts.unpersist(false) // both consumers have collected
     // rank-ordered (data_pattern, cnt, example) rows per attribute
     def topPatterns(rnField: String): Map[String, Seq[Row]] =
       ranked.filter(_.getAs[Int](rnField) <= maxPatterns)

@@ -45,19 +45,54 @@ object FuzzyJoin {
     array_distinct(all)
   }
 
+  /** Signature rows (nm, sig). radius=1 takes a codegen path: the nested
+    * `transform`/`array_distinct` lambda pipeline is a CodegenFallback in
+    * Spark (interpreted per row, allocating the variant array), measured
+    * ~1 s of the q217 stage at sf0.1 — `explode(sequence)` + substr/concat
+    * stays inside WholeStageCodegen. Position 0 emits the string itself;
+    * deleting any char of a run of equal chars yields the same variant, so
+    * only the run head (`c[i] != c[i-1]`) is kept — the same distinct set
+    * `array_distinct` produced (and duplicates would only add candidate
+    * rows that the final distinct kills, never change the result).
+    */
+  private def signatureRows(names: DataFrame, radius: Int): DataFrame =
+    if (radius == 1)
+      names
+        .select(col("nm"), explode(sequence(lit(0), length(col("nm")))).as("i"))
+        .filter(col("i") <= 1 ||
+          expr("substr(nm, i, 1) <> substr(nm, i-1, 1)"))
+        .select(col("nm"),
+          when(col("i") === 0, col("nm"))
+            .otherwise(concat(expr("substr(nm, 1, i-1)"),
+              expr("substr(nm, i+1, length(nm))"))).as("sig"))
+    else
+      names.select(col("nm"),
+        explode(deletionVariants(col("nm"), radius)).as("sig"))
+
   /** Distinct values of `name` paired within edit distance ≤ `radius`:
     * (a, b, dist), a < b lexicographically.
+    *
+    * Candidates join on `xxhash64(sig)` — 8 bytes per row through the
+    * exchange instead of the variant string (guide §2.3 narrower types);
+    * a hash collision can only ADD candidate pairs, and any added pair
+    * either truly has ed ≤ radius (a correct output row regardless of
+    * which signature produced it) or dies in the exact refine — results
+    * are unchanged. The signature frame feeds both join sides, so it is
+    * persisted (TAKsplit, as in TextOps.lshJaccardPairs); the refine uses
+    * the threshold form of `levenshtein`, whose banded DP early-exits
+    * instead of filling the full matrix.
     */
   def editDistanceSelfJoin(df: DataFrame, name: Column, radius: Int): DataFrame = {
     val names = df.select(name.cast("string").as("nm"))
       .filter(col("nm").isNotNull).distinct()
-    val sigs = names.select(col("nm"),
-      explode(deletionVariants(col("nm"), radius)).as("sig"))
+    val sigs = signatureRows(names, radius)
+      .select(col("nm"), xxhash64(col("sig")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.select(col("nm").as("a"), col("sig"))
       .join(sigs.select(col("nm").as("b"), col("sig")), Seq("sig"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-      .withColumn("dist", levenshtein(col("a"), col("b")))
-      .filter(col("dist") <= radius)
+      .withColumn("dist", levenshtein(col("a"), col("b"), radius))
+      .filter(col("dist") >= 0 && col("dist") <= radius)
   }
 }
