@@ -153,16 +153,20 @@ object Olap2Queries {
       (s, dir) =>
       val reds = Tables.part(s, dir)
         .filter(col("p_name").like("%red%")).select(col("p_partkey"))
-      val li = Tables.lineitem(s, dir)
+      // TAKsplit (r19, guide §2.4): the red-narrowed fact feeds BOTH the
+      // profit rows and the per-(part,supp) cost aggregate — previously
+      // two full lineitem scans + two broadcast semi-joins; one persisted
+      // materialization of the ~5% red slice replaces the second scan.
+      val li = graft.ops.Shape.split(Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(reds), col("l_partkey") === col("p_partkey"), "left_semi")
-      // Derived supply cost must aggregate the FULL fact (the oracle's
-      // costs view is unfiltered), then narrows to the red parts.
-      val costs = Tables.lineitem(s, dir)
+        .join(broadcast(reds), col("l_partkey") === col("p_partkey"), "left_semi"))
+      // Derived supply cost aggregates the oracle's unfiltered costs view
+      // narrowed to red parts — the (part,supp) group min is identical
+      // computed over the red slice, since the narrowing key is a group key.
+      val costs = li
         .select(col("l_partkey").as("ck_part"), col("l_suppkey").as("ck_supp"),
           (col("l_extendedprice") / col("l_quantity")).as("unit"))
-        .join(broadcast(reds), col("ck_part") === col("p_partkey"), "left_semi")
         .groupBy(col("ck_part"), col("ck_supp"))
         // Truncate the cost to whole cents via FLOOR, not ROUND: floor of
         // a double is a pure binary operation (no decimal-string tie

@@ -58,11 +58,18 @@ object OlapQueries {
       val o = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= ts("1997-01-01") &&
           col("o_orderdate") < ts("1997-04-01"))
-      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
-      o.join(l,
-          o("o_orderkey") === l("l_orderkey") &&
-            l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_semi")
+      // r19 (guide §2.3 — aggregate before you shuffle): EXISTS(line with
+      // l_shipdate > o_orderdate + 60) ≡ per-order MAX(l_shipdate) >
+      // o_orderdate + 60, because o_orderdate is constant within the
+      // order. The previous left-semi streamed every fact line into the
+      // orderkey exchange; the max pre-aggregate collapses ~4 lines/order
+      // map-side, cutting the fact-side shuffle rows ~4× at every SF.
+      val lmax = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      o.join(lmax, o("o_orderkey") === lmax("l_orderkey") &&
+          col("max_ship") > o("o_orderdate") + expr("INTERVAL 60 DAYS"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))

@@ -95,7 +95,12 @@ object ParseQueries {
         .select(col("o_orderkey"),
           concat(lit("v="), url_encode(col("o_orderpriority"))).as("payload"))
         .coalesce(1)
-      Soapcall.callPerRow(in, Soapcall.Config(url, parallelism = 8),
+      // parallelism 16 (r19): the loopback serving pool is a cached
+      // thread pool, so the client window was the binding constraint —
+      // 2000 sequential-ish round trips at 8-in-flight measured ~2.2 s
+      // warm; 16 halves the depth/latency product without changing
+      // per-row call semantics (SOAPCALL PARALLEL knob).
+      Soapcall.callPerRow(in, Soapcall.Config(url, parallelism = 16),
         "payload", "raw")(Soapcall.httpTransport())
         .select(col("o_orderkey"),
           get_json_object(col("raw"), "$.echoResponse.Results.rows[0].r")
