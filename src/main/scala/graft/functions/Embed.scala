@@ -58,7 +58,14 @@ object Embed {
     // non-ASCII UTF-16 unit to \uXXXX (valid JSON, surrogate pairs
     // included); python's json.dumps already emits \uXXXX (ensure_ascii
     // is its default), so the return path is ASCII by construction.
-    val lines = df.toJSON.rdd.map(asciiJson)
+    // to_json with ignoreNullFields=false (not df.toJSON, which drops
+    // null-valued fields): the documented contract says rows arrive as a
+    // dict keyed by EVERY column name, so a transform doing row["col"] on
+    // nullable data must see None, not raise KeyError.
+    val jsonCol = org.apache.spark.sql.functions.to_json(
+      org.apache.spark.sql.functions.struct(df.columns.map(df.col).toSeq: _*),
+      java.util.Collections.singletonMap("ignoreNullFields", "false"))
+    val lines = df.select(jsonCol.as("j")).as[String].rdd.map(asciiJson)
       // Seq-form pipe: no shell, no quoting hazards on the inline source
       .pipe(Seq("python3", "-c", harness))
     df.sparkSession.read.schema(out).json(lines.toDS())

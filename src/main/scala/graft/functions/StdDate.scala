@@ -587,7 +587,11 @@ object StdDate {
     val SentMilli = "\u0002"
     val fmt2 = fmt.replace("%@", SentMicro).replace("%#", SentMilli)
     val base = secondsToString(floor(micros / 1000000).cast("long"), fmt2)
-    val frac6 = lpad((micros % 1000000).cast("string"), 6, "0")
+    // pmod, not %: for pre-epoch (negative) micros Spark's % keeps the
+    // dividend's sign, which would mangle the zero-padded fraction and
+    // disagree with the floored seconds on the boundary; floor + pmod
+    // decompose micros consistently (micros = floorSec*1e6 + pmod).
+    val frac6 = lpad(pmod(micros, lit(1000000L)).cast("string"), 6, "0")
     replace(replace(base, lit(SentMicro), frac6),
       lit(SentMilli), substring(frac6, 1, 3))
   }

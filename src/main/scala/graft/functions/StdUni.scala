@@ -274,7 +274,13 @@ object StdUni {
   // plan, already codegen'd. Only the collator paths above need ICU.
   // Astral-plane caveat: Filter/FilterOut/Translate build per-char maps;
   // chars outside the BMP pass through unmapped (the reference's UChar
-  // tables share the UTF-16-unit granularity).
+  // tables share the UTF-16-unit granularity). The same caveat applies to
+  // the POSITION-returning delegations (find/findCount/extract/
+  // findReplace/editDistance): Spark's locate/substring/levenshtein count
+  // CODEPOINTS while the reference unicodelib counts UTF-16 units, so for
+  // strings containing astral-plane characters the returned positions/
+  // distances diverge from the reference by the number of surrogate
+  // pairs preceding the match.
 
   /** Uni.LocaleFind (Uni.ecl:97): default-collator search = strength 3
     * (`usearch_open(..., localename, 0)` uses the locale's tertiary

@@ -54,7 +54,7 @@ else
 fi
 
 declare -A RESULT
-PASS_N=0; FAIL_N=0; ERR_N=0
+PASS_N=0; FAIL_N=0; ERR_N=0; SKIP_N=0
 # VERIFY_ONLY=q87_jaccard,q92_... re-oracles a subset against the reused
 # dump (resume after an interrupted sweep); cells not in the subset are
 # carried from VERIFY_PRIOR (a prior VERIFY_sf10.json) when given
@@ -69,7 +69,8 @@ except Exception: print('SKIP')" 2>/dev/null)
     case "${RESULT[$q]}" in
       PASS) PASS_N=$((PASS_N+1));;
       FAIL) FAIL_N=$((FAIL_N+1));;
-      *) [ "${RESULT[$q]}" = "SKIP" ] || ERR_N=$((ERR_N+1));;
+      SKIP) SKIP_N=$((SKIP_N+1));;
+      *) ERR_N=$((ERR_N+1));;
     esac
     continue
   fi
@@ -107,7 +108,7 @@ except Exception: print('SKIP')" 2>/dev/null)
 done
 
 {
-  echo -n '{"sf":"'"$SF10"'","pass":'"$PASS_N"',"fail":'"$FAIL_N"',"err":'"$ERR_N"',"results":{'
+  echo -n '{"sf":"'"$SF10"'","pass":'"$PASS_N"',"fail":'"$FAIL_N"',"err":'"$ERR_N"',"skip":'"$SKIP_N"',"results":{'
   first=1
   for q in "${QUERIES[@]}"; do
     [ $first -eq 0 ] && echo -n ','
@@ -116,5 +117,7 @@ done
   done
   echo '}}'
 } > "$REPO/VERIFY_sf10.json"
-echo "[verify_sf10] wrote VERIFY_sf10.json: $PASS_N pass, $FAIL_N fail, $ERR_N err"
-[ $((FAIL_N + ERR_N)) -eq 0 ] || exit 1
+echo "[verify_sf10] wrote VERIFY_sf10.json: $PASS_N pass, $FAIL_N fail, $ERR_N err, $SKIP_N skip"
+# SKIP cells (unlisted under VERIFY_ONLY with no/invalid prior) are a
+# non-green gate too: a partial sweep must not read as passing.
+[ $((FAIL_N + ERR_N + SKIP_N)) -eq 0 ] || exit 1
