@@ -59,10 +59,20 @@ object Validate {
           .agg(coalesce(sum(col("__c") - 1), lit(0L)).as("n_violations"))
           .select(lit(name).as("rule"), col("n_violations"))
       case RefIntegrity(name, fk, dim, dimKey) =>
+        // r19 (guide §3.1): the dim key set is NOT necessarily small —
+        // q222 references orders, which scales with the fact — so the
+        // previous forced broadcast built a fact-scaled hash relation
+        // (a 100 TB scale-killer). Shape now: per-key row counts first
+        // (partial agg collapses the fact ~4× before its one exchange,
+        // and the agg output is already hash-partitioned on fk, so the
+        // anti join reuses that side's partitioning); strategy is left
+        // to the planner/AQE, which still broadcasts genuinely small
+        // dims at runtime.
         df.select(col(fk)).filter(col(fk).isNotNull)
-          .join(broadcast(dim.select(col(dimKey)).distinct()),
+          .groupBy(col(fk)).agg(count(lit(1)).as("__n"))
+          .join(dim.select(col(dimKey)).distinct(),
             col(fk) === col(dimKey), "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
+          .agg(coalesce(sum(col("__n")), lit(0L)).as("n_violations"))
           .select(lit(name).as("rule"), col("n_violations"))
     }
     (predReport.toSeq ++ others)

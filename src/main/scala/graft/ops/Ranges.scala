@@ -82,6 +82,74 @@ object Ranges {
       .drop("__rj_b", "__rj_bb")
   }
 
+  /** Per-key overlap COUNTS — the aggregate form of [[intervalOverlap]]
+    * for callers that only need `COUNT(*) GROUP BY a-key` (zero-count keys
+    * dropped, matching the inner join). r19, guide §1.1 first-principles:
+    * counting overlaps never needs the pair product. With half-open
+    * overlap (aStart < bEnd AND bStart < aEnd) and per-row constants,
+    *
+    *   n(a) = #{b : bStart < aEnd} − #{b : bEnd <= aStart}
+    *
+    * (the two excluded sets partition the non-overlapping b's, disjoint
+    * because aStart < aEnd). Both ranks come from ONE range-sorted
+    * boundary sweep over 2|A|+2|B| narrow rows (Positions.scanSorted —
+    * the same two-pass offsets machinery as the positional operators),
+    * so cost is O((A+B) log) regardless of how dense the overlaps are,
+    * where the bucketed pair join materializes every overlapping pair
+    * (quadratic in per-bucket density). Tie order is pinned by the typ
+    * ordering: at equal t, start-count queries (0) precede b-ends (1),
+    * which precede b-starts (2), which precede end-count queries (3) —
+    * exactly the strict/inclusive mix the two ranks need.
+    *
+    * Rows with null bounds produce no counts (and no output), matching
+    * the bucketed join, whose null bucket sequences explode to nothing.
+    */
+  def intervalOverlapCounts(
+      a: DataFrame, keys: Seq[String],
+      aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String,
+      as: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyFields = keys.map(k => a.schema(a.schema.fieldIndex(k)))
+    val t = "__io_t"; val typ = "__io_typ"; val delta = "__io_delta"
+    def pts(df: DataFrame, ts: Column, typV: Int, withKeys: Boolean): DataFrame = {
+      val kCols =
+        if (withKeys) keys.map(col)
+        else keyFields.map(f => lit(null).cast(f.dataType).as(f.name))
+      df.select(unix_micros(ts).as(t) +: lit(typV).as(typ) +: kCols: _*)
+    }
+    val aq = a.filter(col(aStart).isNotNull && col(aEnd).isNotNull)
+    val bq = b.filter(col(bStart).isNotNull && col(bEnd).isNotNull)
+    val points =
+      pts(aq, col(aEnd), 0, withKeys = true)
+        .unionAll(pts(bq, col(bEnd), 1, withKeys = false))
+        .unionAll(pts(bq, col(bStart), 2, withKeys = false))
+        .unionAll(pts(aq, col(aStart), 3, withKeys = true))
+    val outSchema = StructType(keyFields.toArray :+
+      StructField(delta, LongType, nullable = false))
+    val swept = Positions.scanSorted[(Long, Long), (Long, Long)](
+      points, Seq(col(t), col(typ)), outSchema)(
+      { it =>
+        var s = 0L; var e = 0L
+        while (it.hasNext) it.next().getInt(1) match {
+          case 1 => e += 1; case 2 => s += 1; case _ => ()
+        }
+        (s, e)
+      })((0L, 0L))((st, p) => (st._1 + p._1, st._2 + p._2)) { (init, rows) =>
+      var s = init._1; var e = init._2
+      rows.flatMap { r =>
+        r.getInt(1) match {
+          case 1 => e += 1; None
+          case 2 => s += 1; None
+          case 0 => Some(org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2) :+ s))
+          case _ => Some(org.apache.spark.sql.Row.fromSeq(r.toSeq.drop(2) :+ -e))
+        }
+      }
+    }
+    swept.groupBy(keys.map(col): _*).agg(sum(col(delta)).as(as))
+      .filter(col(as) > 0)
+  }
+
   /** Median-ish interval length (seconds) — the bucket-width heuristic for
     * callers that don't know their span distribution. One aggregate, one
     * scalar to the driver (bounded).

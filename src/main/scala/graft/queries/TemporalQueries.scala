@@ -216,8 +216,13 @@ object TemporalQueries {
       val b = ev.filter(col("event_type") === "signup")
         .select(col("ts").as("b_start"),
           (col("ts") + expr("INTERVAL 60 MINUTES")).as("b_end"))
-      Ranges.intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end", 1800L)
-        .groupBy(col("a_id")).agg(count(lit(1)).as("n_overlaps"))
+      // r19: the grouped count never needs the overlapping-pair product —
+      // the boundary-sweep form shuffles 2|a|+2|b| narrow rows instead of
+      // materializing every pair (pair density grows quadratically with
+      // SF here: both interval sets share the fixed time range, so each
+      // 10× SF bump makes ~100× pairs; the sweep stays linear).
+      Ranges.intervalOverlapCounts(a, Seq("a_id"), "a_start", "a_end",
+          b, "b_start", "b_end", "n_overlaps")
         .orderBy(col("a_id"))
     }
   )

@@ -72,6 +72,24 @@ class RangesSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), s"interval explode missing:\n$plan")
   }
 
+  test("overlap counts (boundary sweep) == naive inequality-join counts, " +
+      "including boundary ties, duplicate keys, and zero-count drop") {
+    // adversarial layout: touching ends, identical intervals, duplicate
+    // a-keys (counts must SUM), an a with no overlaps (must be absent),
+    // equal start/end collisions across sides
+    val a = ivs((1, 0L, 100L), (2, 100L, 200L), (2, 50L, 60L),
+      (3, 500L, 600L), (4, 150L, 150L)).toDF("a_id", "as", "ae")
+    val b = ivs((7, 50L, 150L), (8, 200L, 300L), (9, 50L, 150L),
+      (10, 60L, 100L), (11, 100L, 101L)).toDF("b_id", "bs", "be")
+    val naive = a.join(b, col("as") < col("be") && col("bs") < col("ae"))
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val swept = Ranges.intervalOverlapCounts(
+        a, Seq("a_id"), "as", "ae", b, "bs", "be", "n")
+      .as[(Int, Long)].collect().toMap
+    assert(swept == naive)
+  }
+
   test("suggestBucketSec tracks the p75 interval length") {
     val iv = ivs((1, 0L, 10L), (2, 0L, 20L), (3, 0L, 30L), (4, 0L, 1000L))
     val w = Ranges.suggestBucketSec(iv, "s", "e")
