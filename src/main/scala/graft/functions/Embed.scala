@@ -65,7 +65,15 @@ object Embed {
     val jsonCol = org.apache.spark.sql.functions.to_json(
       org.apache.spark.sql.functions.struct(df.columns.map(df.col).toSeq: _*),
       java.util.Collections.singletonMap("ignoreNullFields", "false"))
-    val lines = df.select(jsonCol.as("j")).as[String].rdd.map(asciiJson)
+    // one python worker per PARTITION: a small input (one parquet split)
+    // would otherwise stream every row through a single worker while the
+    // other cores idle — fan out to the session's parallelism first when
+    // the scan is under-parallel (row-to-worker assignment is irrelevant
+    // to the per-row transform, so results are unchanged). Scale-adaptive:
+    // inputs already at/above core count keep their partitioning.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val dfp = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val lines = dfp.select(jsonCol.as("j")).as[String].rdd.map(asciiJson)
       // Seq-form pipe: no shell, no quoting hazards on the inline source
       .pipe(Seq("python3", "-c", harness))
     df.sparkSession.read.schema(out).json(lines.toDS())
