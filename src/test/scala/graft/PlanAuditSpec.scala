@@ -638,11 +638,18 @@ class PlanAuditSpec extends SparkSpec {
       s"only the final sort may exchange:\n$plan")
   }
 
-  test("TPC-H Q4 shape (q180): EXISTS lowers to a semi join, never a count") {
+  test("TPC-H Q4 shape (q180): EXISTS folds to a per-order MAX pre-aggregate " +
+      "— the fact collapses map-side before its one exchange (r19)") {
     val df = graft.SparkEntry.queries("q180_exists_priority")(spark, sf)
     val plan = executed(df)
-    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    // EXISTS(line with shipdate > orderdate+60) ≡ per-order max(l_shipdate)
+    // compared against the order's own date: the fact side must aggregate
+    // BEFORE the join (partial max absorbs ~4 lines/order map-side), and
+    // the plan must never degenerate to a product
+    assert(plan.contains("max(l_shipdate"),
+      s"fact must pre-aggregate max(l_shipdate) before the join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), s"plan:\n$plan")
     // the date window reaches the orders scan
     assert(formatted(df).contains("PushedFilters: [IsNotNull(o_orderdate)"),
       s"date filter not pushed:\n${formatted(df)}")
