@@ -67,7 +67,22 @@ object IndexedTable {
       keyPred: Column): DataFrame = {
     val pos = spark.read.parquet(indexPath).filter(keyPred)
       .select(col("__filepos"))
-    spark.read.parquet(basePath)
-      .join(pos, "__filepos")
+    // r19 (guide §6 — make pushdown reach the scan): FETCH is a
+    // positional SEEK, but a bare join gives the base scan no pushable
+    // predicate, so every base row group was read just to probe a tiny
+    // position set. Bound the scan with the probe's [min, max] filepos
+    // first — two longs to the driver (O(1), the same driver-by-contract
+    // class as Sorting.quantile's count) — turned into LITERAL pushed
+    // filters; the base was written range-sorted by key, so its row-group
+    // filepos stats are tight and skipping is near-exact. The join then
+    // keeps only the exact positions; results are unchanged (between is a
+    // superset of the joined positions, and an empty probe short-circuits
+    // to an empty scan).
+    val base = spark.read.parquet(basePath)
+    val r = pos.agg(min(col("__filepos")), max(col("__filepos"))).head()
+    val bounded =
+      if (r.isNullAt(0)) base.filter(lit(false))
+      else base.filter(col("__filepos").between(r.getLong(0), r.getLong(1)))
+    bounded.join(pos, "__filepos")
   }
 }
