@@ -112,19 +112,25 @@ object Ranges {
     import org.apache.spark.sql.types._
     val keyFields = keys.map(k => a.schema(a.schema.fieldIndex(k)))
     val t = "__io_t"; val typ = "__io_typ"; val delta = "__io_delta"
-    def pts(df: DataFrame, ts: Column, typV: Int, withKeys: Boolean): DataFrame = {
+    // each side emits BOTH its boundary points from one scan (explode of a
+    // 2-element array) rather than two scans per side
+    def pts(df: DataFrame, ts1: Column, typ1: Int, ts2: Column, typ2: Int,
+        withKeys: Boolean): DataFrame = {
       val kCols =
         if (withKeys) keys.map(col)
         else keyFields.map(f => lit(null).cast(f.dataType).as(f.name))
-      df.select(unix_micros(ts).as(t) +: lit(typV).as(typ) +: kCols: _*)
+      df.select(explode(array(
+          struct(unix_micros(ts1).as(t), lit(typ1).as(typ)),
+          struct(unix_micros(ts2).as(t), lit(typ2).as(typ)))).as("__io_p") +:
+          kCols: _*)
+        .select(col(s"__io_p.$t").as(t) +: col(s"__io_p.$typ").as(typ) +:
+          kCols.indices.map(i => col(keyFields(i).name)): _*)
     }
     val aq = a.filter(col(aStart).isNotNull && col(aEnd).isNotNull)
     val bq = b.filter(col(bStart).isNotNull && col(bEnd).isNotNull)
     val points =
-      pts(aq, col(aEnd), 0, withKeys = true)
-        .unionAll(pts(bq, col(bEnd), 1, withKeys = false))
-        .unionAll(pts(bq, col(bStart), 2, withKeys = false))
-        .unionAll(pts(aq, col(aStart), 3, withKeys = true))
+      pts(aq, col(aEnd), 0, col(aStart), 3, withKeys = true)
+        .unionAll(pts(bq, col(bEnd), 1, col(bStart), 2, withKeys = false))
     val outSchema = StructType(keyFields.toArray :+
       StructField(delta, LongType, nullable = false))
     val swept = Positions.scanSorted[(Long, Long), (Long, Long)](
