@@ -150,9 +150,15 @@ object Bench {
     (name, tMin, tMed, err)
   }
 
-  /** The one machine-read JSON line. 3-decimal times keep the whole JSON
-    * inside the driver's log-tail window — nothing may print after it
-    * (build.sbt sets showSuccess := false for sbt). Locale.ROOT: the
+  /** The full machine-read JSON line (complete per-query map). Since ~r06
+    * this line outgrew the driver's ~2000-char output tail (218 queries ≈
+    * 11 KB), so the driver's `BENCH_r*.json` captured it clipped mid-JSON
+    * and `parsed` has been null for every round since (r19 verdict,
+    * "What's wrong" #1). The full line is still printed (it IS the
+    * contract's per-query record and `BENCH_LAST.json` persists it), and a
+    * compact <1.5 KB summary line — [[renderSummaryLine]] — now prints
+    * AFTER it as the final stdout line, so a tail-window parser recovers a
+    * complete JSON object with the headline totals. Locale.ROOT: the
     * f-interpolator uses the default locale, which in comma-decimal
     * locales would emit invalid JSON ("q01":1,234). "queries" stays the
     * headline estimator (per-query MIN over the repetitions) for
@@ -205,6 +211,37 @@ object Bench {
       else (phaseSums(phaseSums.size / 2 - 1) + phaseSums(phaseSums.size / 2)) / 2.0
     val norm = if (calibTotal > 0) total / calibTotal else 0.0
     s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"contrast_total":${d3(cTotal)},"calib":$calibJson,"calib_total":${d3(calibTotal)},"value_norm":${d3(norm)},"calib_version":"$CalibVersion","error_count":$errCount,"errors":$errs,"queries":$qs,"queries_median":$qMed,"sf":"$sfDir"}"""
+  }
+
+  /** Compact summary line (< 1.5 KB — r19 verdict "Next round" #1): the
+    * same headline fields as [[renderLine]] minus the per-query maps and
+    * per-query errors, so the WHOLE object fits inside the driver's
+    * ~2000-char output tail and parses. Printed as the FINAL stdout line.
+    * The per-query map is NOT dropped from the contract: the full line
+    * still prints immediately before this one and is persisted verbatim in
+    * `BENCH_LAST.json` (committed per sweep as `BENCH_<sf>_r<N>*.json`).
+    * Deliberately carries NO "queries" key: a partial map in a clipped
+    * window must never be readable as "queries dropped from the bench".
+    */
+  private[graft] def renderSummaryLine(
+      results: Seq[(String, Double, Double, Option[String])],
+      repeat: Int, sfDir: String, cpus: String,
+      calib: Seq[(String, Seq[(String, Double)])]): String = {
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val errCount = results.count(_._4.isDefined)
+    val (contrast, main) =
+      results.filter(_._4.isEmpty).partition(r => Contrast(r._1))
+    val total = main.map(_._2).sum
+    val cTotal = contrast.map(_._2).sum
+    val medTotal = main.map(_._3).sum
+    val phaseSums = calib.map(_._2.map(_._2).sum).sorted
+    val calibTotal =
+      if (phaseSums.isEmpty) 0.0
+      else if (phaseSums.size % 2 == 1) phaseSums(phaseSums.size / 2)
+      else (phaseSums(phaseSums.size / 2 - 1) + phaseSums(phaseSums.size / 2)) / 2.0
+    val norm = if (calibTotal > 0) total / calibTotal else 0.0
+    s"""{"metric":"total","value":${d3(total)},"unit":"sec","median_total":${d3(medTotal)},"repeat":$repeat,"n_queries":${results.size},"contrast_total":${d3(cTotal)},"calib_total":${d3(calibTotal)},"value_norm":${d3(norm)},"calib_version":"$CalibVersion","error_count":$errCount,"cpus":"$cpus","sf":"$sfDir","per_query_in":"BENCH_LAST.json"}"""
   }
 
   private def warmup(spark: SparkSession, sfDir: String): Unit = {
@@ -304,9 +341,15 @@ object Bench {
       r
     }
     val calibEnd = calibPhase("end")
-    val line = renderLine(results, repeat, sfDir,
-      Seq(calibStart) ++ calibMid.toSeq ++ Seq(calibEnd))
+    val calibAll = Seq(calibStart) ++ calibMid.toSeq ++ Seq(calibEnd)
+    val line = renderLine(results, repeat, sfDir, calibAll)
     println(line)
+    // compact summary LAST: the full line above exceeds the driver's
+    // ~2000-char tail window (per-query map alone is ~5.4 KB for 218
+    // queries), so the final printed line is a <1.5 KB object with the
+    // headline totals that a tail parser can recover whole. The full
+    // per-query record is the line above plus BENCH_LAST.json below.
+    println(renderSummaryLine(results, repeat, sfDir, cpus, calibAll))
     // ALSO persist the full record: the driver's BENCH_r*.json tail
     // truncates at 2000 chars (r12 verdict "what's wrong" #4), so the
     // committed file — not the driver's clipped capture — is the

@@ -81,17 +81,44 @@ object FuzzyJoin {
     * persisted (TAKsplit, as in TextOps.lshJaccardPairs); the refine uses
     * the threshold form of `levenshtein`, whose banded DP early-exits
     * instead of filling the full matrix.
+    *
+    * Persist hygiene (r19 verdict #8): the candidate pair set — tiny next
+    * to the signature frame (it survives the a<b + distinct collapse) — is
+    * materialized EAGERLY via localCheckpoint, which lets the signature
+    * persist be released before returning instead of accumulating one
+    * CacheManager entry per invocation until LRU eviction (at cluster
+    * scale, somebody else's memory). The call is therefore eager by
+    * contract; the exact levenshtein refine still runs lazily on top of
+    * the checkpointed candidates. Checkpoint blocks are freed by the
+    * ContextCleaner once the result is unreachable.
     */
-  def editDistanceSelfJoin(df: DataFrame, name: Column, radius: Int): DataFrame = {
+  /** Hashed signature frame for `name` at `radius` (nm, sig=xxhash64). */
+  private[graft] def signatures(df: DataFrame, name: Column,
+      radius: Int): DataFrame = {
     val names = df.select(name.cast("string").as("nm"))
       .filter(col("nm").isNotNull).distinct()
-    val sigs = signatureRows(names, radius)
+    signatureRows(names, radius)
       .select(col("nm"), xxhash64(col("sig")).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate (a, b) pairs from the signature equi-join, a < b,
+    * distinct. Exposed for the plan-contract spec (the public operator
+    * materializes this eagerly, so its own executed plan no longer shows
+    * the join).
+    */
+  private[graft] def candidateJoin(sigs: DataFrame): DataFrame =
     sigs.select(col("nm").as("a"), col("sig"))
       .join(sigs.select(col("nm").as("b"), col("sig")), Seq("sig"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+
+  def editDistanceSelfJoin(df: DataFrame, name: Column, radius: Int): DataFrame = {
+    val sigs = signatures(df, name, radius)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      try candidateJoin(sigs).localCheckpoint(true)
+      finally sigs.unpersist(blocking = false)
+    pairs
       .withColumn("dist", levenshtein(col("a"), col("b"), radius))
       .filter(col("dist") >= 0 && col("dist") <= radius)
   }

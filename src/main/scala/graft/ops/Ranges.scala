@@ -103,6 +103,20 @@ object Ranges {
     *
     * Rows with null bounds produce no counts (and no output), matching
     * the bucketed join, whose null bucket sequences explode to nothing.
+    *
+    * PRECONDITION (r19 advice): intervals must be well-formed — aStart ≤
+    * aEnd and bStart < bEnd (STRICT on the b side). The rank identity
+    * needs {b : bEnd ≤ aStart} ⊆ {b : bStart < aEnd}; with bStart < bEnd,
+    * bEnd ≤ aStart ≤ aEnd gives bStart < aEnd, so the identity holds even
+    * for zero-width a (for which the formula still counts exactly the
+    * half-open overlaps — RangesSpec pins one). A zero-width b coinciding
+    * with an a boundary, or an inverted interval on either side, breaks
+    * the containment and yields negative deltas that silently undercount
+    * (zero-width a meeting zero-width b at the same instant reads
+    * n(a) = −1 where the join form yields no pair). Degenerate rows
+    * therefore FAIL LOUDLY here (raise_error, one codegen'd comparison
+    * per row) instead of returning wrong counts; callers with zero-width
+    * b data should use the pair-producing [[intervalOverlap]].
     */
   def intervalOverlapCounts(
       a: DataFrame, keys: Seq[String],
@@ -126,8 +140,26 @@ object Ranges {
         .select(col(s"__io_p.$t").as(t) +: col(s"__io_p.$typ").as(typ) +:
           kCols.indices.map(i => col(keyFields(i).name)): _*)
     }
-    val aq = a.filter(col(aStart).isNotNull && col(aEnd).isNotNull)
-    val bq = b.filter(col(bStart).isNotNull && col(bEnd).isNotNull)
+    // well-formedness gate: null bounds drop (matching the join form);
+    // non-null degenerate bounds raise instead of silently undercounting
+    // the guard is null-safe on its own (not via conjunct order, which
+    // Catalyst may rewrite): null bounds pass the guard and die in the
+    // null filter; only NON-NULL degenerate bounds raise. a side allows
+    // zero width (the identity stays exact — see scaladoc), b side is
+    // strict.
+    def wellFormed(df: DataFrame, s: String, e: String, strict: Boolean,
+        side: String) = {
+      val ok = if (strict) col(s) < col(e) else col(s) <= col(e)
+      val req = if (strict) "<" else "<="
+      df.filter(col(s).isNotNull && col(e).isNotNull)
+        .filter(when(col(s).isNull || col(e).isNull || ok,
+          lit(true)).otherwise(raise_error(
+          concat(lit(s"intervalOverlapCounts: degenerate $side interval " +
+            s"(requires $s $req $e): start="), col(s).cast("string"),
+            lit(" end="), col(e).cast("string")))))
+    }
+    val aq = wellFormed(a, aStart, aEnd, strict = false, "a")
+    val bq = wellFormed(b, bStart, bEnd, strict = true, "b")
     val points =
       pts(aq, col(aEnd), 0, col(aStart), 3, withKeys = true)
         .unionAll(pts(bq, col(bEnd), 1, col(bStart), 2, withKeys = false))

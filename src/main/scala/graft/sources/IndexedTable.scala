@@ -62,6 +62,15 @@ object IndexedTable {
 
   /** FETCH (TAKfetch :926): full-keyed pattern — probe the index for
     * filepos, then retrieve base records by position.
+    *
+    * EAGER BY CONTRACT since r19 (advice note): the [min,max] filepos
+    * bound runs a blocking driver job at construction time — that is the
+    * point of the change (only a literal known at planning time reaches
+    * the parquet scan as a pushed filter; a scalar subquery evaluates
+    * per-row after the scan). The probe side is consequently scanned
+    * twice (bounds aggregate + join), both times pushdown-pruned by
+    * `keyPred` — O(probe), never O(base). Callers composing FETCH lazily
+    * should call it at execution time, not plan-build time.
     */
   def fetch(spark: SparkSession, basePath: String, indexPath: String,
       keyPred: Column): DataFrame = {

@@ -63,6 +63,47 @@ class BenchSpec extends SparkSpec {
     assert(bare.contains(""""value_norm":0.000"""), bare)
   }
 
+  // r19 verdict "Next round" #1: the driver keeps only the last ~2000
+  // chars of bench output, and the full line's per-query map alone is
+  // ~5.4 KB at 218 queries — so the FINAL printed line must be a compact
+  // summary that fits the tail whole. The full line (with the map) still
+  // prints before it and persists in BENCH_LAST.json.
+  test("summary line stays under the driver's tail window at 218 queries") {
+    val results = (1 to 218).map { i =>
+      (f"q$i%03d_some_realistic_query_name", 1.234, 1.345,
+        Option.empty[String])
+    }
+    val calib = Seq(
+      "start" -> Seq("cpu" -> 1.0, "shuffle" -> 1.0, "sort" -> 1.0, "io" -> 1.0),
+      "mid" -> Seq("cpu" -> 2.0, "shuffle" -> 2.0, "sort" -> 2.0, "io" -> 2.0),
+      "end" -> Seq("cpu" -> 1.0, "shuffle" -> 1.5, "sort" -> 1.5, "io" -> 1.0))
+    val line = Bench.renderSummaryLine(results, 2,
+      "/root/testdata/sf0.1", "32", calib)
+    assert(line.length < 1500, s"len=${line.length}: $line")
+    assert(!line.contains("\n"))
+    // same headline estimators as the full line
+    val full = Bench.renderLine(results, 2, "/root/testdata/sf0.1", calib)
+    def field(l: String, k: String): String =
+      (s""""$k":([0-9.]+)""").r.findFirstMatchIn(l).get.group(1)
+    for (k <- Seq("value", "median_total", "contrast_total", "calib_total",
+        "value_norm"))
+      assert(field(line, k) == field(full, k), k)
+    assert(line.contains(""""n_queries":218"""), line)
+    assert(line.contains(""""cpus":"32""""), line)
+    // deliberately NO per-query map: a clipped partial map must never be
+    // readable as dropped queries
+    assert(!line.contains(""""queries""""), line)
+  }
+
+  test("summary line excludes errored queries from the headline total") {
+    val good = Bench.measure(spark, sf, "q_good", ok, 1)
+    val bad = Bench.measure(spark, sf, "q_bad", poisoned, 1)
+    val line = Bench.renderSummaryLine(Seq(good, bad), 1, sf, "4", Nil)
+    assert(line.contains(""""error_count":1"""), line)
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line).get.group(1)
+    assert(math.abs(total.toDouble - good._2) < 0.002, line)
+  }
+
   test("the basket itself runs: four positive SF-independent phases") {
     val ts = Bench.calibBasket(spark)
     assert(ts.map(_._1) == Seq("cpu", "shuffle", "sort", "io"))

@@ -90,6 +90,36 @@ class RangesSpec extends SparkSpec {
     assert(swept == naive)
   }
 
+  test("overlap counts fail loudly on degenerate intervals (r19 advice): " +
+      "zero-width b and inverted a raise; zero-width a stays exact") {
+    val a = ivs((1, 0L, 100L)).toDF("a_id", "as", "ae")
+    val zeroB = ivs((7, 50L, 50L)).toDF("b_id", "bs", "be")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(e => s"${e.getClass.getName}: ${e.getMessage}").mkString(" <- ")
+    val ex1 = intercept[Exception] {
+      Ranges.intervalOverlapCounts(
+        a, Seq("a_id"), "as", "ae", zeroB, "bs", "be", "n").collect()
+    }
+    assert(chain(ex1).contains("degenerate"), chain(ex1))
+    val invA = ivs((1, 100L, 0L)).toDF("a_id", "as", "ae")
+    val b = ivs((7, 10L, 20L)).toDF("b_id", "bs", "be")
+    val ex2 = intercept[Exception] {
+      Ranges.intervalOverlapCounts(
+        invA, Seq("a_id"), "as", "ae", b, "bs", "be", "n").collect()
+    }
+    assert(chain(ex2).contains("degenerate"), chain(ex2))
+    // zero-width a is WITHIN the precondition and must match the join form
+    val zeroA = ivs((1, 50L, 50L), (2, 5L, 15L)).toDF("a_id", "as", "ae")
+    val naive = zeroA.join(b, col("as") < col("be") && col("bs") < col("ae"))
+      .groupBy(col("a_id")).agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap
+    val swept = Ranges.intervalOverlapCounts(
+        zeroA, Seq("a_id"), "as", "ae", b, "bs", "be", "n")
+      .as[(Int, Long)].collect().toMap
+    assert(swept == naive, s"swept=$swept naive=$naive")
+  }
+
   test("suggestBucketSec tracks the p75 interval length") {
     val iv = ivs((1, 0L, 10L), (2, 0L, 20L), (3, 0L, 30L), (4, 0L, 1000L))
     val w = Ranges.suggestBucketSec(iv, "s", "e")
