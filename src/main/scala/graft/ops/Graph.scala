@@ -177,21 +177,34 @@ object Graph {
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
+    def checkpointLazy(df: DataFrame) =
+      graft.workflow.Workflow.checkpointLazy(df, ckLevel)
     // contract BEFORE the distinct(): the first shuffle then carries the
     // per-partition star forests (≤ raw edge count, far less on the dense
-    // clusters near-dup graphs produce) instead of the raw pair stream
-    var e = checkpointEager(
+    // clusters near-dup graphs produce) instead of the raw pair stream.
+    // Lazy checkpoint + count fuses materialization with the convergence
+    // count into ONE job (r20, verdict #4: the fixpoint loop's cost at
+    // small SF is fixed jobs per round — eager localCheckpoint runs an
+    // internal count whose result is discarded, and we then counted again)
+    // rdd-level count: ONE plain job that both materializes the lazy
+    // checkpoint's blocks and returns the row count — a Dataset count
+    // plans an exchange that AQE materializes as a separate job
+    def countMaterializing(ck: graft.workflow.Workflow.Checkpointed): Long =
+      ck.df.queryExecution.toRdd.count()
+    var e = checkpointLazy(
       (if (localContraction) localContract(oriented) else oriented).distinct())
-    var eCount = e.df.count()
+    var eCount = countMaterializing(e)
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      // checkpoint between the stars: smallStar consumes its input twice
-      // (groupBy + join) and Catalyst does not CSE across the self-join —
-      // without this the large-star shuffle chain runs twice per round
+      // checkpoint between the stars stays EAGER: smallStar consumes its
+      // input twice (groupBy + join) and Catalyst does not CSE across the
+      // self-join — without this the large-star shuffle chain runs twice
+      // per round. The round's OUTPUT is lazy: its materialization fuses
+      // with the convergence count (2 jobs/round instead of 3).
       val ls = checkpointEager(largeStar(e.df))
-      val next = checkpointEager(smallStar(ls.df))
-      val nextCount = next.df.count()
+      val next = checkpointLazy(smallStar(ls.df))
+      val nextCount = countMaterializing(next)
       ls.release()
       converged = sameEdges(e.df, next.df, eCount, nextCount)
       e.release() // next is materialized and the fixpoint test is done

@@ -65,6 +65,68 @@ object Joins {
       typ: String = Inner): DataFrame =
     l.join(broadcast(r), cond, typ)
 
+  /** Bloom-filter pre-filter for an equi-join's big side (guide §3.2,
+    * r19 verdict #3): build a Bloom filter over `smallKey`'s values and
+    * drop definitely-non-matching rows from `big` BEFORE the join shuffles
+    * it. False positives only cost a little extra shuffle; false negatives
+    * cannot exist, so an INNER or SEMI join on the same key returns
+    * identical rows — do NOT use it under an outer join (dropped big rows
+    * would lose their null-extended outputs).
+    *
+    * Why not Spark's automatic runtime filter: its creation-side cap (10 MB
+    * estimated) and application-side floor (10 GB scanned) never both hold
+    * at bench SFs, and at 100 TB the creation side outgrows the cap — the
+    * manual form keys the decision on OUR size knowledge and controls the
+    * sizing. The probe is the native `BloomFilterMightContain` expression
+    * over `xxhash64(bigKey)` (codegen'd, no UDF); the build side hashes
+    * with the same seed-42 xxhash64, so stored and probed values agree.
+    *
+    * Shape: exactly what Spark's InjectRuntimeFilter would build —
+    * `might_contain(scalar-subquery(bloom_filter_agg(xxhash64(k))),
+    * xxhash64(bigKey))`. The subquery evaluates lazily at execution (no
+    * eager driver jobs, FETCH-style, at construction), its one-row result
+    * ships once per stage in the task binary, and the plan dump stays
+    * readable (an inline binary literal of the filter rendered multi-MB
+    * explain output). An EMPTY small side needs no special case:
+    * `bloom_filter_agg` over zero rows yields a null filter, might_contain
+    * returns null, and the filter drops every row — the inner/semi-join
+    * contract.
+    *
+    * Costs and the gate: the small side is scanned once extra (the filter
+    * aggregate), so the filter only pays when the avoided shuffle is
+    * large. Gate: the big side's optimizer size estimate must reach
+    * `spark.graft.bloom.minBigBytes` (default 256 MB — roughly where one
+    * fact shuffle outweighs a dimension-slice scan; at 100 TB any fact
+    * scan clears it, at sf0.1/sf1 the gate stays closed and plans are
+    * byte-identical to the ungated form). Sizing comes from
+    * `spark.graft.bloom.expectedItems` (default 4 M, Spark's own
+    * maxExpectedNumItems default) at ~1% fpp (10 bits/item ≈ 5 MB);
+    * creation sides beyond it degrade the fpp gracefully, never the
+    * results.
+    */
+  def bloomSemiPrefilter(big: DataFrame, bigKey: Column,
+      small: DataFrame, smallKey: Column): DataFrame = {
+    val spark = big.sparkSession
+    def confL(k: String, dflt: Long): Long =
+      spark.conf.getOption(k).map(_.toLong).getOrElse(dflt)
+    val minBigBytes = confL("spark.graft.bloom.minBigBytes", 256L << 20)
+    val items = confL("spark.graft.bloom.expectedItems", 4L << 20)
+    val bigBytes = big.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bigBytes < minBigBytes) return big
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloom = small
+      .agg(GraftBridge.column(new BloomFilterAggregate(
+          GraftBridge.resolvedExpression(xxhash64(smallKey)),
+          Literal(items), Literal(items * 10L)) // ~1% fpp at `items` keys
+        .toAggregateExpression()).as("__bf"))
+    big.filter(GraftBridge.column(
+      BloomFilterMightContain(
+        ScalarSubquery(bloom.queryExecution.analyzed),
+        GraftBridge.resolvedExpression(xxhash64(bigKey)))))
+  }
+
   /** KEEP(n) (`getKeepLimit` :1771): at most n matches kept per LEFT row.
     * `pick` orders the RHS matches deterministically; the first n survive.
     * Implemented as a post-join window over the left row's identity.

@@ -93,17 +93,26 @@ object Olap2Queries {
         Tables.supplier(s, dir), natR,
         col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
-      val ord = Tables.orders(s, dir)
+      val ordDated = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= ts("1996-01-01") &&
           col("o_orderdate") < ts("1997-01-01"))
         .select(col("o_orderkey"), col("o_custkey"))
+      val ord = ordDated
         .join(Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_suppkey"),
-          revenueDec.as("volume"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // r20 (guide §3.2): the date filter keeps ~1/7 of orders, so most
+      // fact rows have no match — a Bloom over the dated orderkeys (a
+      // SUPERSET of ord's keys: the customer join drops nothing) drops
+      // them before the fact is shuffled. Size-gated: no-op below
+      // spark.graft.bloom.minBigBytes, a row-cut on the fact exchange
+      // above it; inner-join semantics unchanged either way.
+      val li = Joins.bloomSemiPrefilter(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            revenueDec.as("volume")),
+        col("l_orderkey"), ordDated, col("o_orderkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .filter(col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))

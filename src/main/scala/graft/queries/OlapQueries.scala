@@ -404,13 +404,21 @@ object OlapQueries {
         .select(col("c_custkey"), col("cust_nation"))
       val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-      Tables.lineitem(s, dir)
-        .filter(col("l_shipdate") >= ts("1996-01-01") &&
-          col("l_shipdate") < ts("1998-01-01"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          year(col("l_shipdate")).cast("long").as("l_year"),
-          revenueDec.as("volume"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // r20 (guide §3.2): only ~2/25 nations' customers survive, so ~92%
+      // of fact rows have no matching order — a Bloom over ord's own
+      // orderkeys (exact creation side; the orders⨝cust slice is
+      // dimension-cheap next to the fact shuffle it prunes) drops them
+      // before the exchange. Size-gated no-op below
+      // spark.graft.bloom.minBigBytes; inner-join semantics unchanged.
+      val li = Joins.bloomSemiPrefilter(
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+            col("l_shipdate") < ts("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("l_year"),
+            revenueDec.as("volume")),
+        col("l_orderkey"), ord, col("o_orderkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))

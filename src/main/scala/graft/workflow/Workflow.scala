@@ -87,6 +87,30 @@ object Workflow {
     Checkpointed(ck, () => rdds.foreach(_.unpersist(blocking = false)))
   }
 
+  /** LAZY localCheckpoint: the caller's FIRST action over the returned
+    * frame materializes the blocks as a side effect (RDD persistence
+    * populates on first compute). Eager checkpoints run one job just to
+    * materialize (`Dataset.localCheckpoint(true)` counts the RDD and
+    * throws the number away) — when the caller's next step is itself a
+    * whole-frame action (a convergence count, an aggregate), fusing the
+    * two halves the per-iteration job count of a fixpoint loop (r19
+    * verdict #4/#5: the CC and LOOP paths' cost at small SF is fixed jobs
+    * per round, not data). ONLY safe when exactly one action runs before
+    * any multi-consumer fan-out: two concurrent first consumers may both
+    * compute a partition before either caches it (wasted work, not
+    * wrongness) — for frames consumed twice structurally (e.g. smallStar's
+    * groupBy+join input), keep [[checkpointEager]].
+    */
+  private[graft] def checkpointLazy(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Checkpointed = {
+    val ck = df.localCheckpoint(false, level)
+    val rdds = ck.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    Checkpointed(ck, () => rdds.foreach(_.unpersist(blocking = false)))
+  }
+
   def loopN(df: DataFrame, n: Int, checkpointEvery: Int = 4)(
       body: (DataFrame, Int) => DataFrame): DataFrame = {
     var cur = df
@@ -158,12 +182,31 @@ object Workflow {
     // ≤ |exits so far| + |current looping set| ≈ |df|, instead of the sum
     // of every iteration's (shrinking but large) looping copy — the
     // previous shape pinned ~3–4× |df| and evicted.
-    var cur = checkpointEager(df)
+    //
+    // Job contract (r20, guide §1.2/§5 — at small SF this loop's cost is
+    // jobs per iteration, not data): each iteration runs exactly TWO jobs —
+    // the exit-slice checkpoint, and ONE fused job that materializes the
+    // looped frame AND counts its still-matching rows (lazy checkpoint +
+    // aggregate; RDD persistence populates on first compute). The previous
+    // shape ran three (a limit(1) existence probe, the exit checkpoint,
+    // and an eager checkpoint whose internal count is discarded). The
+    // matching-row count drives the loop exactly like the probe did: the
+    // body still only runs against non-empty looping sets.
+    // the fused job counts at the RDD level: a Dataset count/agg plans an
+    // exchange, which AQE materializes as its own job (2 jobs again);
+    // toRdd.count() over the filtered plan is ONE plain job that computes
+    // (and therefore caches) every checkpoint partition and sums
+    // per-partition counts on the driver
+    def matchingCount(ck: Checkpointed): Long =
+      ck.df.filter(cond).queryExecution.toRdd.count()
+    var cur = checkpointLazy(df)
+    var matching = matchingCount(cur)
     var exits = List.empty[DataFrame]
     var i = 1
-    while (i <= maxIter && cur.df.filter(cond).limit(1).count() > 0) {
+    while (i <= maxIter && matching > 0) {
       exits = cur.df.filter(!cond).localCheckpoint() :: exits
-      val next = checkpointEager(body(cur.df.filter(cond), i))
+      val next = checkpointLazy(body(cur.df.filter(cond), i))
+      matching = matchingCount(next)
       cur.release() // exits + next are materialized; nothing reads cur now
       cur = next
       i += 1

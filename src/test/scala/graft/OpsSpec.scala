@@ -12,6 +12,43 @@ import org.apache.spark.sql.types._
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  // guide §3.2 / r19 verdict #3: the Bloom pre-filter may only REMOVE
+  // definitely-non-matching big-side rows — the inner join's result must
+  // be identical with and without it, at any fpp, and the size gate must
+  // make it a no-op below the threshold.
+  test("bloomSemiPrefilter: inner join results identical; gate no-op; " +
+      "empty small side short-circuits") {
+    // range-based big side: a local Seq would fold the whole filter into a
+    // LocalTableScan at planning time and hide the probe from the plan
+    val big = spark.range(1, 1001)
+      .select(col("id").as("bk"), concat(lit("v"), col("id")).as("bv"))
+    val small = Seq(3L, 500L, 999L, 1000L, 7L).toDF("sk")
+    val expected = big.join(small, col("bk") === col("sk"))
+      .select("bk", "bv").as[(Long, String)].collect().toSet
+    spark.conf.set("spark.graft.bloom.minBigBytes", "0") // force the filter on
+    try {
+      val filtered = Joins.bloomSemiPrefilter(big, col("bk"), small, col("sk"))
+      // the filter is a superset of the matching rows (no false negatives)
+      val fRows = filtered.as[(Long, String)].collect().toMap
+      assert(expected.forall { case (k, v) => fRows.get(k).contains(v) })
+      val joined = filtered.join(small, col("bk") === col("sk"))
+        .select("bk", "bv").as[(Long, String)].collect().toSet
+      assert(joined == expected)
+      // the probe is the native might_contain expression, not a UDF
+      val plan = filtered.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"plan:\n$plan")
+      assert(!plan.toLowerCase.contains("batchevalscala") &&
+        !plan.contains("UDF"), s"plan:\n$plan")
+      // empty small side: inner-join contract → empty big side
+      val none = Joins.bloomSemiPrefilter(big, col("bk"),
+        small.filter(lit(false)), col("sk"))
+      assert(none.count() == 0)
+    } finally spark.conf.unset("spark.graft.bloom.minBigBytes")
+    // default gate (256 MB) stays closed for a tiny frame: same plan object
+    val ungated = Joins.bloomSemiPrefilter(big, col("bk"), small, col("sk"))
+    assert(ungated eq big, "gate should return the big side untouched")
+  }
+
   test("ATMOST drops ALL matches for keys over the limit — not a truncate") {
     val r = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
     val kept = Joins.atmostRhs(r, Seq("k"), 1)
