@@ -139,14 +139,6 @@ object DataPatterns {
           max(n).as(s"nmax__${f.name}"),
           avg(n).as(s"nmean__${f.name}"),
           stddev_pop(n).as(s"nsd__${f.name}"),
-          // documented-approximate quartiles; accuracy 1000 keeps the
-          // per-partition sketch small — at 10000 the sketch merge was the
-          // single biggest slice of the profile's first pass
-          percentile_approx(n, array(lit(0.25), lit(0.5), lit(0.75)),
-            lit(1000)).as(s"nq__${f.name}"),
-          // scale guard: decides whether this attribute may enter the exact
-          // per-value counting pass at all
-          approx_count_distinct(v).as(s"acd__${f.name}"),
           // best-type evidence — min/max predicates give the same answer
           // over raw rows as over distinct values, so they ride pass 1
           min(v.rlike(intRe)).as(s"allint__${f.name}"),
@@ -156,14 +148,43 @@ object DataPatterns {
           min(when(v.isNotNull, v.try_cast(DoubleType).isNotNull))
             .as(s"allnum__${f.name}"),
           min(lower(v).isin("true", "false")).as(s"allbool__${f.name}"),
+          // digit count of an int-shaped value = length minus its sign —
+          // same value as the previous regexp_replace("^-") form without a
+          // second regex per row
           max(when(v.rlike(intRe),
-            length(regexp_replace(v, "^-", "")))).as(s"maxdig__${f.name}"),
+            length(v) - when(v.startsWith("-"), 1).otherwise(0)))
+            .as(s"maxdig__${f.name}"),
           max(v.startsWith("-")).as(s"anyneg__${f.name}"))
       } ++
       numericPairs.map { case (a, b) =>
         corr(col(a).cast("double"), col(b).cast("double")).as(s"corr__${a}__$b")
       }
-    val wide = df.agg(wideAggs.head, wideAggs.tail: _*).head()
+    // r20 (guide §4 — keep the hot path in codegen): percentile_approx and
+    // approx_count_distinct are TypedImperative aggregates, and ONE of them
+    // in an Aggregate forces the whole operator onto ObjectHashAggregate —
+    // no whole-stage codegen, so every declarative agg AND the per-row
+    // rlike/cast machinery above ran interpreted (measured 1.15 s warm for
+    // a 5-field profile over 20k rows — 57 µs/row). Splitting pass 1 into
+    // a declarative-only aggregate (WholeStageCodegen) plus a small
+    // object-aggregate pass (sketches only) computes identical values; the
+    // second scan is the cheaper trade at every SF because the codegen'd
+    // pass is the one carrying the regex/cast work per row.
+    val objAggs: Seq[Column] = fields.flatMap { f =>
+      val v = valueStr(f)
+      val n = v.try_cast(DoubleType)
+      Seq(
+        // documented-approximate quartiles; accuracy 1000 keeps the
+        // per-partition sketch small — at 10000 the sketch merge was the
+        // single biggest slice of the profile's first pass
+        percentile_approx(n, array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(1000)).as(s"nq__${f.name}"),
+        // scale guard: decides whether this attribute may enter the exact
+        // per-value counting pass at all
+        approx_count_distinct(v).as(s"acd__${f.name}"))
+    }
+    val wide = df.agg(wideAggs.head, wideAggs.tail: _*)
+      .crossJoin(df.agg(objAggs.head, objAggs.tail: _*))
+      .head()
     val recCount = wide.getAs[Long]("rec_count")
     val acd: Map[String, Long] =
       fields.map(f => f.name -> wide.getAs[Long](s"acd__${f.name}")).toMap

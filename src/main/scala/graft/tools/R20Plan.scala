@@ -24,7 +24,11 @@ object R20Plan {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // bench default 64 MiB; SPARK_GRAFT_BROADCAST_MB overrides so plans
+      // can also be captured at Spark's production default (10 MiB) where
+      // join strategies flip earlier (r19 audit point 4)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        (sys.env.getOrElse("SPARK_GRAFT_BROADCAST_MB", "64").toLong << 20).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = java.nio.file.Paths.get("plans/r20")

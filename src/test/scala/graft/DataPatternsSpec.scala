@@ -59,6 +59,56 @@ class DataPatternsSpec extends SparkSpec {
   private lazy val prof = DataPatterns.profile(df).collect()
     .map(r => r.getAs[String]("attribute") -> r).toMap
 
+  test("profile pass 1 keeps the declarative aggregate in codegen: the " +
+      "regex/cast work runs in HashAggregate, ObjectHashAggregate carries " +
+      "only the percentile/HLL sketches (r20, guide §4)") {
+    val plans =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      DataPatterns.profile(df).count()
+      // execution-listener events post asynchronously; wait for the pass-1
+      // action (the one carrying the best-type evidence columns) to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def pass1: Option[String] = {
+        val it = plans.iterator()
+        var found: Option[String] = None
+        while (it.hasNext && found.isEmpty) {
+          val p = it.next()
+          if (p.contains("allint__")) found = Some(p)
+        }
+        found
+      }
+      var p1 = pass1
+      while (p1.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); p1 = pass1
+      }
+      assert(p1.nonEmpty, "no executed plan contains the pass-1 aggregate")
+      val plan = p1.get
+      // ONE TypedImperative agg forces the whole operator onto interpreted
+      // ObjectHashAggregate, so the split is load-bearing: the declarative
+      // side (rlike/try_cast per input row) must be a codegen'd
+      // HashAggregate...
+      assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).nonEmpty,
+        s"pass-1 declarative aggregate not codegen'd:\n$plan")
+      // ...and no ObjectHashAggregate node may carry the per-row regex work
+      // (sketches only — percentile_approx / approx_count_distinct)
+      val objLines = plan.linesIterator
+        .filter(_.contains("ObjectHashAggregate")).toSeq
+      assert(objLines.nonEmpty, s"sketch aggregate missing:\n$plan")
+      assert(!objLines.exists(_.contains("allint__")),
+        s"regex work leaked into ObjectHashAggregate:\n${objLines.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("fill contract: empty string and zero are nil, booleans always filled") {
     assert(prof("id").getAs[Long]("fill_count") == 5)
     assert(prof("name").getAs[Long]("fill_count") == 4)
