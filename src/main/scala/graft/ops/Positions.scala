@@ -81,6 +81,71 @@ object Positions {
     }
   }
 
+  /** QUANTILE fused into the two-pass scan (r20, guide §2.4 — remove a
+    * pass): the former lowering ran a SEPARATE `df.count()` — one full
+    * input scan whose only product was the total — before the range sort,
+    * then joined the positioned rows against a broadcast boundary table.
+    * But pass 1's per-partition summaries already yield the total, so the
+    * driver can compute the n−1 boundary positions between the passes and
+    * pass 2 can emit ONLY boundary rows: partitions holding no boundary
+    * return without consuming their shuffle input, and a partition stops
+    * pulling rows once its last boundary is emitted. One shuffle, no extra
+    * input scan, no join.
+    *
+    * Contract (same as the join shape it replaces): rows at position
+    * ceil(q·total/n), q = 1..n−1, each emitted once PER quantile index
+    * that lands on it (total < n puts several indices on one row); a
+    * pre-existing `quantileCol` column participates in `order` but is
+    * replaced in the output; output columns = df's (minus `quantileCol`)
+    * in order, then `quantileCol`.
+    */
+  private[ops] def quantileRows(df: DataFrame, n: Int, order: Seq[Column],
+      quantileCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = sortedByRange(df, order).rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, { var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c })))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    // boundary positions, ascending; (q·total + n − 1) div n is exact
+    // integer ceil(q·total/n) for any total below 2^63/n
+    val qp: Array[(Long, Int)] =
+      (1 until n).map(q => ((q.toLong * total + n - 1) / n, q)).toArray
+    val dropIdx: Int =
+      df.schema.fields.indexWhere(_.name == quantileCol) // -1 if absent
+    val outSchema = StructType(
+      df.schema.fields.filterNot(_.name == quantileCol) :+
+        StructField(quantileCol, org.apache.spark.sql.types.IntegerType,
+          nullable = false))
+    val bc = spark.sparkContext.broadcast((offsets, qp))
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (offs, qps) = bc.value
+      val lo = offs(i); val hi = offs(i + 1)
+      // boundaries inside (lo, hi] — this partition's 1-based global ranks
+      var j = qps.indexWhere(_._1 > lo)
+      val end = { val k = qps.indexWhere(_._1 > hi); if (k < 0) qps.length else k }
+      if (j < 0 || j >= end) Iterator.empty
+      else {
+        var p = lo
+        it.takeWhile(_ => j < end).flatMap { r =>
+          p += 1
+          if (j < end && qps(j)._1 == p) {
+            val s = r.toSeq
+            val base = if (dropIdx >= 0) s.patch(dropIdx, Nil, 1) else s
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+            while (j < end && qps(j)._1 == p) {
+              rows += Row.fromSeq(base :+ qps(j)._2); j += 1
+            }
+            rows
+          } else Nil
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Scale-safe global running sum (ungrouped ITERATE/PROCESS with an
     * associative accumulator): the two-pass scan replaces the
     * `sum().over(Window.orderBy(...))` lowering, which moves the whole

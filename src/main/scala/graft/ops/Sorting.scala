@@ -141,29 +141,14 @@ object Sorting {
     * helper `getNumDivisions` eclhelper.hpp:1399). Emits a `quantile` column
     * with the division index.
     */
-  def quantile(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
-    // total count is a cheap partial-agg job on the unsorted input; the
-    // n-1 boundary positions are then KNOWN before the scan, so the
-    // selection is a broadcast join against an (n-1)-row position table —
-    // no per-row explode (the former shape amplified every row n-1×
-    // before filtering), no whole-dataset count window, no
-    // single-partition sort. (q·total + n − 1) div n is exact-integer
-    // ceil(q·total/n), so positions match the oracle's double CEIL for
-    // any total below 2^53.
-    val total = df.count()
-    val spark = df.sparkSession
-    import spark.implicits._
-    // helper columns carry the same collision-resistant __q prefix
-    // convention as __qk: a caller's own __rn/__c must survive untouched
-    val bounds = (1 until n)
-      .map(q => (q, (q.toLong * total + n - 1) / n)).toDF("quantile", "__q_rn")
-    // drop a pre-existing "quantile" column AFTER positions are assigned
-    // (sort keys may reference it) — the former withColumn overwrote it
-    Positions.withGlobalPosition(df, keys, "__q_rn")
-      .drop("quantile")
-      .join(broadcast(bounds), "__q_rn")
-      .drop("__q_rn")
-  }
+  def quantile(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame =
+    // r20: the total now comes from pass 1 of the positioning scan itself
+    // (one per-partition-count row per partition to the driver) instead of
+    // a SEPARATE df.count() — that count was a full input scan at every SF
+    // — and pass 2 emits only the boundary rows, replacing the broadcast
+    // position join. Same output contract, including the pre-existing
+    // `quantile` column replacement (it still participates in `keys`).
+    Positions.quantileRows(df, n, keys, "quantile")
 
   /** Grouped QUANTILE (TAKquantile on a GROUPED dataset — per-group
     * boundary rows; `testing/regress/ecl/quantile1.ecl:46-58` shows the

@@ -104,6 +104,27 @@ class OpsSpec extends SparkSpec {
     assert(q == Set((1, 25), (2, 50), (3, 75)))
   }
 
+  test("quantile: total < n lands several indices on one row; empty input " +
+      "emits nothing; a pre-existing quantile column sorts but is replaced " +
+      "(r20 fused-count lowering keeps the join shape's contract)") {
+    // total=2, n=4: ceil(q*2/4) = 1,1,2 — indices 1 and 2 share the first row
+    val two = Seq(10, 20).toDF("x")
+    val q2 = Sorting.quantile(two, 4, Seq(col("x")))
+      .select(col("quantile"), col("x")).as[(Int, Int)].collect().toSet
+    assert(q2 == Set((1, 10), (2, 10), (3, 20)))
+    // empty input: no boundary rows at all
+    assert(Sorting.quantile(two.limit(0), 4, Seq(col("x"))).count() == 0)
+    // a caller column named `quantile` may drive the sort and must be
+    // replaced in the output, not duplicated
+    val named = Seq((1, 9), (2, 8), (3, 7), (4, 6)).toDF("x", "quantile")
+    val qn = Sorting.quantile(named, 2, Seq(col("quantile")))
+    assert(qn.columns.toSeq == Seq("x", "quantile"))
+    // sort by the OLD quantile column (descending values 9..6): position 2
+    // of that order is (x=3, quantile=7) → emitted with new index 1
+    assert(qn.select(col("x"), col("quantile")).as[(Int, Int)]
+      .collect().toSet == Set((3, 1)))
+  }
+
   test("quantileGrouped n=1 without FIRST/LAST emits no rows (no interior " +
       "boundaries; sequence(1,0) would be the descending [1,0] trap)") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "x")
