@@ -146,6 +146,145 @@ object Positions {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Grouped QUANTILE fused into the ordered scan (r20, guide §2.1/§2.4):
+    * the former lowering positioned rows, aggregated per-group (start,
+    * count) stats, and JOINED them back — at many-group scale that join is
+    * a second input-sized exchange (the positioned rows leave the scan as
+    * an ExistingRDD with no recognized ordering, so a sort-merge join
+    * re-shuffles everything), plus one extra post-shuffle scan to feed the
+    * stats aggregate. Groups are CONTIGUOUS under the (groupKeys ++ order)
+    * range sort, so per-row group stats need only (a) each partition's
+    * local run lengths and (b) how its first/last runs continue into
+    * neighboring partitions. Pass 1 collects an O(1)-per-partition summary
+    * (count, first/last key, first/last run length); the driver stitches
+    * boundary runs into carry-in/tail-carry row counts; pass 2 zips the
+    * sorted partition with itself — one keys-only iterator records the
+    * local run lengths (8 bytes per local group, the only per-task state),
+    * the other emits boundary rows. No aggregate exchange, no join, no
+    * second input-sized shuffle.
+    *
+    * Output contract (same as the join shape): per group of c rows the row
+    * at rank ceil(q·c/n) for q = 1..n−1 (one output row PER index when
+    * several land on one row), plus rank 1 as 0 under `first` and rank c
+    * as n under `last`; a pre-existing `quantileCol` is replaced in place,
+    * otherwise the column is appended. Rows tied under (groupKeys ++
+    * order) may settle differently between the passes — pass 1 and the
+    * keys-only iterator read nothing beyond the keys, so summaries and run
+    * lengths are unaffected (the same contract every key-scan here has).
+    */
+  private[ops] def quantileRowsGrouped(df: DataFrame, n: Int,
+      groupKeys: Seq[Column], order: Seq[Column], first: Boolean,
+      last: Boolean, quantileCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val (proj, keyNames) = withKeyCols(df, groupKeys, "__qk")
+    val keyIdx: Seq[Int] = keyNames.map(proj.schema.fieldIndex)
+    val rdd = sortedByRange(proj,
+      keyNames.map(org.apache.spark.sql.functions.col) ++ order).rdd
+    // pass 1: O(1)-per-partition boundary summary
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var c = 0L
+      var fk: Seq[Any] = null; var fr = 0L
+      var lk: Seq[Any] = null; var lr = 0L
+      while (it.hasNext) {
+        val r = it.next(); val k = keyOf(r, keyIdx); c += 1
+        if (fk == null) { fk = k; lk = k }
+        if (k != lk) { lk = k; lr = 0L }
+        if (lk == fk) fr += 1 // sorted ⇒ fk can only be the leading run
+        lr += 1
+      }
+      Iterator((i, (c, fk, fr, lk, lr)))
+    }.collect().sortBy(_._1).map(_._2)
+    // driver stitch: carryIn(i) = rows of partition i's FIRST group lying
+    // in earlier partitions; tailCarry(i) = rows of its LAST group lying in
+    // later partitions. Sorted order ⇒ firstKey == lastKey iff the whole
+    // partition is one run; empty partitions are transparent.
+    val offsets = sums.map(_._1).scanLeft(0L)(_ + _)
+    val carryIn = new Array[Long](sums.length)
+    val tailCarry = new Array[Long](sums.length)
+    var runKey: Seq[Any] = null; var runLen = 0L
+    for (i <- sums.indices) {
+      val (c, fk, _, lk, lr) = sums(i)
+      if (c > 0L) {
+        carryIn(i) = if (runKey != null && fk == runKey) runLen else 0L
+        if (fk == lk) {
+          if (runKey != null && fk == runKey) runLen += c
+          else { runKey = lk; runLen = c }
+        } else { runKey = lk; runLen = lr }
+      }
+    }
+    runKey = null; runLen = 0L
+    for (i <- sums.indices.reverse) {
+      val (c, fk, fr, lk, _) = sums(i)
+      if (c > 0L) {
+        tailCarry(i) = if (runKey != null && lk == runKey) runLen else 0L
+        if (fk == lk) {
+          if (runKey != null && lk == runKey) runLen += c
+          else { runKey = fk; runLen = c }
+        } else { runKey = fk; runLen = fr }
+      }
+    }
+    // output: proj minus the key temp columns, quantileCol replaced in
+    // place when the caller already has one, appended otherwise
+    val dropIdx: Set[Int] = keyIdx.toSet
+    val kept = proj.schema.fields.zipWithIndex
+      .filterNot { case (_, i) => dropIdx(i) }
+    val qField = StructField(quantileCol,
+      org.apache.spark.sql.types.IntegerType, nullable = false)
+    val existingQ = kept.indexWhere(_._1.name == quantileCol)
+    val outSchema = StructType(
+      if (existingQ >= 0) kept.map(_._1).updated(existingQ, qField)
+      else kept.map(_._1) :+ qField)
+    val keptIdx = kept.map(_._2)
+    val nL = n.toLong
+    val bc = spark.sparkContext.broadcast((carryIn, tailCarry))
+    val out = rdd.zipPartitions(rdd) { (keysIt, rowsIt) =>
+      // iterator A (keys only): local run lengths, in run order
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var lk: Seq[Any] = null
+      while (keysIt.hasNext) {
+        val k = keyOf(keysIt.next(), keyIdx)
+        if (lk == null || k != lk) { runs += 0L; lk = k }
+        runs(runs.length - 1) += 1L
+      }
+      if (runs.isEmpty) Iterator.empty
+      else {
+        // partition index is not passed by zipPartitions; recover carries
+        // via TaskContext (same task = same partition for both parents)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val (cins, tcs) = bc.value
+        val ci = cins(pid); val tc = tcs(pid)
+        val lastRun = runs.length - 1
+        var run = 0; var emitted = 0L // rows consumed of the current run
+        var rank = ci // global rank within the current group, pre-increment
+        rowsIt.flatMap { r =>
+          if (emitted == runs(run)) { run += 1; emitted = 0L; rank = 0L }
+          emitted += 1L; rank += 1L
+          val c = runs(run) +
+            (if (run == 0) ci else 0L) + (if (run == lastRun) tc else 0L)
+          val qlo = nL * (rank - 1L) / c + 1L
+          val qhi = math.min(nL - 1L, nL * rank / c)
+          val nOut = (if (first && rank == 1L) 1 else 0) +
+            (if (qhi >= qlo) (qhi - qlo + 1L).toInt else 0) +
+            (if (last && rank == c) 1 else 0)
+          if (nOut == 0) Nil
+          else {
+            val s = r.toSeq
+            val base = keptIdx.map(s)
+            def mk(q: Int): Row = Row.fromSeq(
+              if (existingQ >= 0) base.updated(existingQ, q) else base :+ q)
+            val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+            if (first && rank == 1L) rows += mk(0)
+            var q = qlo
+            while (q <= qhi) { rows += mk(q.toInt); q += 1L }
+            if (last && rank == c) rows += mk(n)
+            rows
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Scale-safe global running sum (ungrouped ITERATE/PROCESS with an
     * associative accumulator): the two-pass scan replaces the
     * `sum().over(Window.orderBy(...))` lowering, which moves the whole

@@ -167,49 +167,22 @@ object Sorting {
     */
   def quantileGrouped(df: DataFrame, n: Int, groupKeys: Seq[Column],
       order: Seq[Column], first: Boolean = false,
-      last: Boolean = false): DataFrame = {
+      last: Boolean = false): DataFrame =
     // Inverse mapping, no amplification: row p of a group of c rows is the
     // boundary for EXACTLY the integer quantiles q with ceil(q·c/n) = p,
     // i.e. q ∈ (n(p−1)/c, np/c] — an interval computable per row with
-    // exact integer div (no double CEIL at 100 TB row counts). Each row
-    // explodes only its own (usually empty) quantile list, so the scan
-    // stays O(N + output) instead of the former explode-all O(n·N).
-    // n=1 without FIRST/LAST: the interior clamp n−1 = 0 < qlo makes every
-    // interval empty (the old sequence(1,0) descending-array trap).
-    // helper columns use the same collision-resistant __qg prefix
-    // convention as __qk — a caller DataFrame with its own __c/__rn/__gp
-    // columns must neither break analysis nor be silently overwritten
-    val empty = typedLit(Seq.empty[Int])
-    val qlo = expr(s"(${n}L * (__qg_rn - 1)) div __qg_c") + 1L
-    val qhi = least(lit((n - 1).toLong), expr(s"(${n}L * __qg_rn) div __qg_c"))
-    val interior = when(qhi >= qlo,
-      sequence(qlo.cast("int"), qhi.cast("int"))).otherwise(empty)
-    val firstArr = if (first)
-      when(col("__qg_rn") === 1, array(lit(0))).otherwise(empty) else empty
-    val lastArr = if (last)
-      when(col("__qg_rn") === col("__qg_c"), array(lit(n))).otherwise(empty)
-    else empty
-    val (proj, keyCols) = Positions.withKeyCols(df, groupKeys, "__qk")
-    val pos = Positions.withGlobalPosition(proj,
-      keyCols.map(col) ++ order, "__qg_p")
-    // null-safe key equality: a null group key is a group of its own,
-    // exactly as groupBy (and the window lowering) treats it. Empty
-    // groupKeys = one global group (the degenerate single-window call):
-    // broadcast the one (start, count) row with a literal-true join.
-    val statKeys = keyCols.map(k => s"__qg_s$k")
-    val stats = pos.groupBy(keyCols.map(col): _*)
-      .agg(min(col("__qg_p")).as("__qg_gs"), count(lit(1)).as("__qg_c"))
-      .select(keyCols.zip(statKeys).map { case (k, s) => col(k).as(s) } ++
-        Seq(col("__qg_gs"), col("__qg_c")): _*)
-    val joinCond = keyCols.zip(statKeys)
-      .map { case (k, s) => col(k) <=> col(s) }
-      .foldLeft(lit(true))(_ && _)
-    pos.join(if (keyCols.isEmpty) broadcast(stats) else stats, joinCond)
-      .withColumn("__qg_rn", col("__qg_p") - col("__qg_gs") + 1L)
-      .withColumn("quantile", explode(concat(firstArr, interior, lastArr)))
-      .drop("__qg_p" :: "__qg_gs" :: "__qg_rn" :: "__qg_c" ::
-        keyCols.toList ::: statKeys.toList: _*)
-  }
+    // exact integer div (no double CEIL at 100 TB row counts), so each row
+    // emits only its own (usually empty) quantile list and the scan stays
+    // O(N + output). r20: the per-group (start, count) stats no longer come
+    // from a groupBy + join back onto the positioned rows — groups are
+    // contiguous under the range sort, so the fused scan derives them from
+    // local run lengths plus O(1)-per-partition boundary stitching
+    // ([[Positions.quantileRowsGrouped]]); the stats exchange, the join
+    // (input-sized at many-group scale), and one post-shuffle pass are
+    // gone. A null group key is a group of its own, exactly as groupBy
+    // treats it; empty groupKeys = one global group.
+    Positions.quantileRowsGrouped(df, n, groupKeys, order, first, last,
+      "quantile")
 
   /** ds[n] — select the nth row (1-based) of the given order
     * (TAKselectn eclhelper.hpp:912).

@@ -165,6 +165,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileGrouped: a group spanning several range partitions is " +
+      "stitched exactly (r20 fused lowering: carry-in/tail-carry replace " +
+      "the stats join)") {
+    // one dominant group (400 rows — far more than the 4 shuffle
+    // partitions, so its run crosses every boundary) plus a tiny group on
+    // each side of the sort order, repartitioned pathologically first
+    val rows = Seq.tabulate(400)(i => ("m", i)) ++
+      Seq(("a", -1), ("a", -2)) ++ Seq(("z", 1000))
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(rows).toDF("g", "x").repartition(7)
+    val byGroup = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for (n <- Seq(1, 4, 7); first <- Seq(false, true); last <- Seq(false, true)) {
+      val expected = byGroup.flatMap { case (g, xs) =>
+        val c = xs.size
+        val interior = (1 until n).map(q =>
+          (g, q, xs(((q.toLong * c + n - 1) / n).toInt - 1)))
+        (if (first) Seq((g, 0, xs.head)) else Nil) ++ interior ++
+          (if (last) Seq((g, n, xs.last)) else Nil)
+      }.toSet
+      val got = Sorting.quantileGrouped(df, n, Seq(col("g")), Seq(col("x")),
+          first, last)
+        .select(col("g"), col("quantile"), col("x"))
+        .as[(String, Int, Int)].collect()
+      assert(got.length == expected.size && got.toSet == expected,
+        s"n=$n first=$first last=$last: got=${got.length} rows, " +
+          s"only-got=${(got.toSet -- expected).take(3)} " +
+          s"only-exp=${(expected -- got.toSet).take(3)}")
+    }
+  }
+
   test("quantileGrouped with EMPTY groupKeys degenerates to one global " +
       "group (broadcast single-stats row, no window)") {
     val df = (1 to 100).toDF("x")
